@@ -85,7 +85,7 @@ class TestConfigurationReferences:
         c = Configuration(name="app")
         c.set("*.cmp-2.value", "45.89")
         c.set("*.val", "3")
-        c.set("*.foo", "$[ $(cmp-$[ $(val) - 1, int]).value * 2 ]")
+        c.set("*.foo", "$[ $(cmp-$[ $(val) - 1, int].value) * 2 ]")
         assert abs(float(c.get("foo")) - 91.78) < 1e-9
 
     def test_circular_reference_raises(self):
