@@ -16,7 +16,8 @@ def split_qualifier(path: str) -> Tuple[str, str]:
     if ":" in path:
         head, rest = path.split(":", 1)
         # avoid eating windows-style or URL-ish paths; qualifiers are short words
-        if head.isalpha() and len(head) <= 8 and not rest.startswith("//"):
+        if (head.replace("-", "").isalpha() and len(head) <= 12
+                and not rest.startswith("//")):
             return head, rest
     return "", path
 
