@@ -1,0 +1,204 @@
+"""Flow network compiler: lowers a network DAG to one fused JAX program.
+
+The reference executes networks by node-at-a-time pulls through data queues
+(src/Flow/AbstractNode.hh:38 work()).  Here the whole network is traced once
+per input-shape bucket and compiled by XLA into a single fused program —
+windowing, FFT, filterbank and DCT all end up in one kernel launch
+(SURVEY.md §2.5 "TPU mapping").
+
+Subnetworks (`filter="mfcc.flow"`) are inlined at build time with their
+parameters substituted, so nesting carries no runtime cost.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .data import Stream
+from .network import LinkDef, NetworkDef, NodeDef, parse_network
+from .nodes import Node, Registry
+
+
+class FlowError(Exception):
+    pass
+
+
+def _flatten(net: NetworkDef, prefix: str = "") -> NetworkDef:
+    """Inline subnetwork nodes (filter ends with .flow) recursively."""
+    flat = NetworkDef(net.name, list(net.inputs), list(net.outputs),
+                      list(net.params), {}, [], net.base_dir)
+    # port rewiring maps for inlined subnets: (node, port) -> (node, port)
+    rewire_in: Dict[Tuple[str, str], Tuple[str, str]] = {}
+    rewire_out: Dict[Tuple[str, str], Tuple[str, str]] = {}
+
+    for name, node in net.nodes.items():
+        if node.filter.endswith(".flow"):
+            sub_path = node.filter if os.path.isabs(node.filter) else \
+                os.path.join(net.base_dir, node.filter)
+            sub = parse_network(sub_path).substituted(node.attrs)
+            sub = _flatten(sub, prefix=f"{name}/")
+            for sname, snode in sub.nodes.items():
+                flat.nodes[f"{name}/{sname}"] = NodeDef(
+                    f"{name}/{sname}", snode.filter, dict(snode.attrs))
+            # subnet's internal links
+            for link in sub.links:
+                fn = link.from_node if link.from_node == sub.name else f"{name}/{link.from_node}"
+                tn = link.to_node if link.to_node == sub.name else f"{name}/{link.to_node}"
+                if link.from_node == sub.name:
+                    # consumed below via rewire_in once outer link is known
+                    rewire_in[(name, link.from_port)] = (tn, link.to_port)
+                elif link.to_node == sub.name:
+                    rewire_out[(name, link.to_port)] = (fn, link.from_port)
+                else:
+                    flat.links.append(LinkDef(fn, link.from_port, tn, link.to_port))
+        else:
+            flat.nodes[name] = NodeDef(name, node.filter, dict(node.attrs))
+
+    for link in net.links:
+        frm = (link.from_node, link.from_port)
+        to = (link.to_node, link.to_port)
+        # outer link into a subnet input port
+        if to in rewire_in:
+            to = rewire_in[to]
+        # outer link from a subnet output port
+        if frm in rewire_out:
+            frm = rewire_out[frm]
+        flat.links.append(LinkDef(frm[0], frm[1], to[0], to[1]))
+    return flat
+
+
+class FlowPipeline:
+    """Executable compiled Flow network."""
+
+    def __init__(self, net: NetworkDef, params: Optional[Dict[str, str]] = None,
+                 jit: bool = True):
+        self.net = _flatten(net.substituted(params or {}))
+        self.jit = jit
+        self._nodes: Dict[str, Node] = {}
+        for name, nd in self.net.nodes.items():
+            cls = Registry.get(nd.filter)
+            if cls is None:
+                raise FlowError(f"unknown flow filter {nd.filter!r} (node {name})")
+            self._nodes[name] = cls(name, nd.attrs)
+        self._topo = self._toposort()
+        self._compiled: Dict[Any, Callable] = {}
+
+    # -- graph helpers -------------------------------------------------------
+
+    def _toposort(self) -> List[str]:
+        # edges between real nodes (network-name endpoints are IO)
+        net_name = self.net.name
+        deps: Dict[str, set] = {n: set() for n in self._nodes}
+        for link in self.net.links:
+            if link.from_node != net_name and link.to_node != net_name:
+                if link.to_node in deps and link.from_node in deps:
+                    deps[link.to_node].add(link.from_node)
+        order, seen, temp = [], set(), set()
+
+        def visit(n):
+            if n in seen:
+                return
+            if n in temp:
+                raise FlowError(f"cycle in flow network at {n}")
+            temp.add(n)
+            for d in deps[n]:
+                visit(d)
+            temp.discard(n)
+            seen.add(n)
+            order.append(n)
+
+        for n in self._nodes:
+            visit(n)
+        return order
+
+    # -- execution -------------------------------------------------------------
+
+    def _trace(self, inputs: Dict[str, Stream]) -> Dict[str, Stream]:
+        """Run the network once (trace-time): returns network outputs."""
+        net_name = self.net.name
+        # values[(node, out_port)] = Stream
+        values: Dict[Tuple[str, str], Stream] = {}
+        for in_name, stream in inputs.items():
+            values[(net_name, in_name)] = stream
+
+        # incoming links per node
+        in_links: Dict[str, List[LinkDef]] = {n: [] for n in self._nodes}
+        for link in self.net.links:
+            if link.to_node in in_links:
+                in_links[link.to_node].append(link)
+
+        for node_name in self._topo:
+            node = self._nodes[node_name]
+            node_inputs: Dict[str, Stream] = {}
+            for link in in_links[node_name]:
+                src = (link.from_node, link.from_port)
+                if src not in values:
+                    raise FlowError(
+                        f"node {node_name}: input {src} not produced "
+                        f"(missing network input or upstream port)")
+                node_inputs[link.to_port] = values[src]
+            if not node_inputs and node_name != net_name:
+                # source node without network input (e.g. audio file reader)
+                node_inputs = {}
+            outs = node.apply(node_inputs)
+            for port, stream in outs.items():
+                values[(node_name, port)] = stream
+
+        # collect network outputs
+        outputs: Dict[str, Stream] = {}
+        for link in self.net.links:
+            if link.to_node == net_name:
+                outputs[link.to_port] = values[(link.from_node, link.from_port)]
+        missing = [o for o in self.net.outputs if o not in outputs]
+        if missing:
+            raise FlowError(f"network outputs not linked: {missing}")
+        return outputs
+
+    def __call__(self, **inputs) -> Dict[str, Stream]:
+        """Run the network on named input arrays (or Streams).
+
+        Array inputs are wrapped with sample_rate from the 'sample_rate'
+        keyword (default 16 kHz).  The compute graph is jit-compiled per
+        (input names, shapes, dtypes) signature.
+        """
+        sample_rate = float(inputs.pop("sample_rate", 16000.0))
+        start_time = float(inputs.pop("start_time", 0.0))
+        streams: Dict[str, Stream] = {}
+        for k, v in inputs.items():
+            if isinstance(v, Stream):
+                streams[k] = v
+            else:
+                arr = jnp.asarray(v)
+                streams[k] = Stream(arr, sample_rate=sample_rate,
+                                    start_time=start_time)
+        if not self.jit:
+            return self._trace(streams)
+
+        key = tuple(sorted((k, tuple(s.data.shape), str(s.data.dtype),
+                            s.sample_rate) for k, s in streams.items()))
+        if key not in self._compiled:
+            meta_out: Dict[str, Stream] = {}
+
+            def fn(data_dict):
+                local = {k: streams[k].with_data(v) for k, v in data_dict.items()}
+                outs = self._trace(local)
+                meta_out.update(outs)
+                return {k: s.data for k, s in outs.items()}
+
+            jitted = jax.jit(fn)
+            # trace once to capture output metadata
+            _ = jitted.lower({k: s.data for k, s in streams.items()})
+            self._compiled[key] = (jitted, dict(meta_out))
+        jitted, meta = self._compiled[key]
+        arrays = jitted({k: s.data for k, s in streams.items()})
+        return {k: meta[k].with_data(arrays[k]) for k in arrays}
+
+
+def compile_network(path_or_def, params: Optional[Dict[str, str]] = None,
+                    jit: bool = True) -> FlowPipeline:
+    net = path_or_def if isinstance(path_or_def, NetworkDef) else parse_network(path_or_def)
+    return FlowPipeline(net, params=params, jit=jit)

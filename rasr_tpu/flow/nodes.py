@@ -1,0 +1,486 @@
+"""Flow filter implementations and registry.
+
+Each reference Flow filter (registrations: src/Flow/Module.cc,
+src/Signal/Module.cc:85-172) becomes a `Node` whose `apply()` is a pure
+function over `Stream`s; a whole network of them is traced into ONE fused
+XLA program by the compiler (flow/compiler.py) instead of the reference's
+node-at-a-time pull execution — the TPU-native "north star" (SURVEY.md §2.5).
+
+Ports: `apply` receives {port: Stream} and returns {port: Stream}; "" is the
+default port.  Filters that change the time base (signal-window) set
+frame_shift so downstream timestamps stay correct.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Dict, Optional, Type
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..signal import dsp
+from .data import Stream
+
+Registry: Dict[str, Type["Node"]] = {}
+
+
+def register(cls: Type["Node"]) -> Type["Node"]:
+    Registry[cls.filter_name] = cls
+    return cls
+
+
+class Node:
+    filter_name = ""
+    # ports this node consumes / produces ("" = default)
+    in_ports = ("",)
+    out_ports = ("",)
+    host_only = False  # True: must run outside jit (file IO)
+
+    def __init__(self, name: str, attrs: Dict[str, str]):
+        self.name = name
+        self.attrs = attrs
+
+    def attr(self, key: str, default=None, typ=str):
+        v = self.attrs.get(key)
+        if v is None:
+            return default
+        if typ is bool:
+            return v.strip().lower() in ("true", "yes", "on", "1")
+        return typ(v)
+
+    def apply(self, inputs: Dict[str, Stream]) -> Dict[str, Stream]:
+        raise NotImplementedError
+
+
+# --------------------------------------------------------------------------
+# generic nodes (src/Flow/Module.cc registrations)
+# --------------------------------------------------------------------------
+
+
+@register
+class VectorF32Log(Node):
+    """generic-vector-f32-log — log10 (src/Flow/SimpleFunction.hh:43)."""
+    filter_name = "generic-vector-f32-log"
+
+    def apply(self, inputs):
+        s = inputs[""]
+        return {"": s.with_data(dsp.log10(s.data))}
+
+
+@register
+class VectorF32Ln(Node):
+    filter_name = "generic-vector-f32-ln"
+
+    def apply(self, inputs):
+        s = inputs[""]
+        return {"": s.with_data(dsp.accurate_log(s.data))}
+
+
+@register
+class VectorF32LogPlus(Node):
+    """log10(x + value)."""
+    filter_name = "generic-vector-f32-log-plus"
+
+    def apply(self, inputs):
+        s = inputs[""]
+        v = self.attr("value", 0.0, float)
+        return {"": s.with_data(jnp.log10(s.data + v))}
+
+
+@register
+class VectorF32Multiplication(Node):
+    filter_name = "generic-vector-f32-multiplication"
+
+    def apply(self, inputs):
+        s = inputs[""]
+        v = self.attr("value", 1.0, float)
+        return {"": s.with_data(s.data * v)}
+
+
+@register
+class VectorF32Addition(Node):
+    filter_name = "generic-vector-f32-addition"
+
+    def apply(self, inputs):
+        s = inputs[""]
+        v = self.attr("value", 0.0, float)
+        return {"": s.with_data(s.data + v)}
+
+
+@register
+class VectorF32Power(Node):
+    filter_name = "generic-vector-f32-power"
+
+    def apply(self, inputs):
+        s = inputs[""]
+        v = self.attr("value", 1.0, float)
+        return {"": s.with_data(jnp.power(s.data, v))}
+
+
+@register
+class VectorF32Exp(Node):
+    filter_name = "generic-vector-f32-exp"
+
+    def apply(self, inputs):
+        s = inputs[""]
+        return {"": s.with_data(jnp.exp(s.data))}
+
+
+@register
+class VectorF32Quantize(Node):
+    """Round to multiples of `value` (standard_system scaling+quantization)."""
+    filter_name = "generic-vector-f32-quantize"
+
+    def apply(self, inputs):
+        s = inputs[""]
+        v = self.attr("value", 1.0, float)
+        return {"": s.with_data(jnp.round(s.data / v) * v)}
+
+
+@register
+class ConvertS16ToF32(Node):
+    filter_name = "generic-convert-vector-s16-to-vector-f32"
+
+    def apply(self, inputs):
+        s = inputs[""]
+        return {"": s.with_data(s.data.astype(jnp.float32))}
+
+
+@register
+class VectorS16Demultiplex(Node):
+    """Select one track from interleaved multi-channel samples."""
+    filter_name = "generic-vector-s16-demultiplex"
+
+    def apply(self, inputs):
+        s = inputs[""]
+        track = self.attr("track", 0, lambda v: int(float(v)))
+        n_tracks = int(s.meta.get("n_tracks", 1))
+        if n_tracks <= 1:
+            return {"": s}
+        data = s.data.reshape(-1, n_tracks)[:, track]
+        return {"": s.with_data(data, meta={**s.meta, "n_tracks": 1})}
+
+
+@register
+class VectorF32Concat(Node):
+    """Concatenate feature streams along the feature axis."""
+    filter_name = "generic-vector-f32-concat"
+    in_ports = ("*",)  # variadic
+
+    def apply(self, inputs):
+        ordered = [inputs[k] for k in sorted(inputs.keys())]
+        data = jnp.concatenate([s.data for s in ordered], axis=-1)
+        return {"": ordered[0].with_data(data)}
+
+
+# --------------------------------------------------------------------------
+# signal nodes (src/Signal/Module.cc registrations)
+# --------------------------------------------------------------------------
+
+
+@register
+class Preemphasis(Node):
+    """src/Signal/Preemphasis.cc."""
+    filter_name = "signal-preemphasis"
+
+    def apply(self, inputs):
+        s = inputs[""]
+        alpha = self.attr("alpha", 1.0, float)
+        return {"": s.with_data(dsp.preemphasis(s.data.astype(jnp.float32), alpha))}
+
+
+@register
+class Window(Node):
+    """signal-window: framing + window function
+    (src/Signal/Window.hh, WindowBuffer.cc)."""
+    filter_name = "signal-window"
+
+    def apply(self, inputs):
+        s = inputs[""]
+        sr = s.sample_rate
+        length = int(round(self.attr("length", 0.025, float) * sr))
+        shift = int(round(self.attr("shift", 0.01, float) * sr))
+        kind = self.attr("type", "hamming")
+        n = int(s.data.shape[-1])
+        num_frames = dsp.n_frames(n, length, shift)
+        frames = dsp.frame_signal(s.data, length, shift, num_frames)
+        frames = dsp.apply_window(frames, kind)
+        return {"": s.with_data(
+            frames,
+            sample_rate=sr / shift if shift else sr,
+            frame_shift=shift / sr,
+            meta={**s.meta, "window_length": length, "window_shift": shift,
+                  "frame_duration": length / sr, "audio_sample_rate": sr})}
+
+
+@register
+class RealFastFourierTransform(Node):
+    """signal-real-fast-fourier-transform
+    (src/Signal/FastFourierTransform.hh:229): zero-pad to pow2 length,
+    optional 1/sample-rate scaling; output stored as amplitude-ready complex.
+    """
+    filter_name = "signal-real-fast-fourier-transform"
+
+    def apply(self, inputs):
+        s = inputs[""]
+        audio_sr = s.meta.get("audio_sample_rate", s.sample_rate)
+        max_in = self.attr("maximum-input-size", 0.0, float)
+        explicit_len = self.attr("length", 0, lambda v: int(float(v)))
+        n_in = int(math.ceil(max_in * audio_sr)) if max_in else s.data.shape[-1]
+        fft_len = explicit_len if explicit_len else dsp.fft_length_for(n_in)
+        apply_scale = self.attr("apply-scale", True, bool)
+        scale = (1.0 / audio_sr) if apply_scale else 1.0
+        re, im = dsp.rdft(s.data, fft_len, scale)
+        meta = {**s.meta, "fft_length": fft_len, "fft_scale": scale,
+                # output "sample-rate" attribute = length/sample-rate
+                # (FastFourierTransform outputSampleRate)
+                "frequency_resolution": audio_sr / fft_len}
+        return {"": s.with_data(jax.lax.complex(re, im), meta=meta)}
+
+
+@register
+class AlternatingComplexAmplitude(Node):
+    """signal-vector-alternating-complex-f32-amplitude: |X_k|."""
+    filter_name = "signal-vector-alternating-complex-f32-amplitude"
+
+    def apply(self, inputs):
+        s = inputs[""]
+        return {"": s.with_data(jnp.abs(s.data).astype(jnp.float32))}
+
+
+@register
+class AlternatingComplexPower(Node):
+    filter_name = "signal-vector-alternating-complex-f32-power"
+
+    def apply(self, inputs):
+        s = inputs[""]
+        return {"": s.with_data((jnp.real(s.data) ** 2
+                                 + jnp.imag(s.data) ** 2).astype(jnp.float32))}
+
+
+@register
+class Filterbank(Node):
+    """signal-filterbank (src/Signal/Filterbank.cc)."""
+    filter_name = "signal-filterbank"
+
+    def apply(self, inputs):
+        s = inputs[""]
+        n_bins = int(s.data.shape[-1])
+        bin_to_hz = s.meta.get("frequency_resolution")
+        if bin_to_hz is None:
+            raise ValueError("signal-filterbank requires spectral input")
+        matrix = dsp.filterbank_matrix(
+            n_bins, bin_to_hz,
+            filter_width=self.attr("filter-width", 268.258, float),
+            spacing=self.attr("spacing", 0.0, float),
+            boundary=self.attr("boundary", "stretch-to-cover"),
+            warping=self.attr("warping-function", "mel"),
+            minimum_frequency=self.attr("filtering-interval-start", 0.0, float),
+            normalize_surface=self.attr("normalization", "none") == "surface",
+            warp_differential_unit=self.attr("warp-differential-unit", True, bool))
+        out = dsp.apply_matrix(s.data, matrix)
+        return {"": s.with_data(out, meta={**s.meta, "n_filters": matrix.shape[0]})}
+
+
+@register
+class CosineTransform(Node):
+    """signal-cosine-transform (src/Signal/CosineTransform.cc)."""
+    filter_name = "signal-cosine-transform"
+
+    def apply(self, inputs):
+        s = inputs[""]
+        n_out = self.attr("nr-outputs", 1, lambda v: int(float(v)))
+        matrix = dsp.dct_matrix(
+            n_out, int(s.data.shape[-1]),
+            input_type=self.attr("input-type", "even-about-N-minus-half"),
+            normalize=self.attr("normalize", False, bool))
+        return {"": s.with_data(dsp.apply_matrix(s.data, matrix))}
+
+
+@register
+class Normalization(Node):
+    """signal-normalization (src/Signal/Normalization.hh): mean /
+    mean-and-variance, segment-wise (length=infinite/0) or sliding."""
+    filter_name = "signal-normalization"
+
+    def apply(self, inputs):
+        s = inputs[""]
+        typ = self.attr("type", "mean")
+        length = self.attr("length", 0, lambda v: int(float(v)))
+        right = self.attr("right", 0, lambda v: int(float(v)))
+        variance = typ in ("mean-and-variance", "mean-and-variance-1D")
+        if typ not in ("mean", "mean-and-variance", "mean-and-variance-1D"):
+            raise NotImplementedError(f"normalization type {typ!r}")
+        T = int(s.data.shape[-2])
+        if length <= 0 or length >= T:
+            out = dsp.normalize_segment(s.data, variance=variance)
+        else:
+            out = dsp.sliding_normalization(s.data, length, right, variance=variance)
+        return {"": s.with_data(out)}
+
+
+@register
+class Delay(Node):
+    """signal-delay (src/Signal/Delay.cc): exposes time-shifted copies of the
+    input on ports named by relative offset ('-2'..'+2'); copy margin policy
+    replicates edge frames."""
+    filter_name = "signal-delay"
+
+    def apply(self, inputs):
+        s = inputs[""]
+        max_size = self.attr("max-size", 1, lambda v: int(float(v)))
+        right = self.attr("right", 0, lambda v: int(float(v)))
+        left = max_size - 1 - right
+        out = {}
+        x = s.data
+        first = x[..., :1, :]
+        last = x[..., -1:, :]
+        T = x.shape[-2]
+        for off in range(-left, right + 1):
+            if off == 0:
+                shifted = x
+            elif off > 0:  # look-ahead: x[t+off]
+                shifted = jnp.concatenate(
+                    [x[..., off:, :], jnp.repeat(last, off, axis=-2)], axis=-2)
+            else:
+                k = -off
+                shifted = jnp.concatenate(
+                    [jnp.repeat(first, k, axis=-2), x[..., :T - k, :]], axis=-2)
+            port = f"+{off}" if off > 0 else str(off)
+            out[port] = s.with_data(shifted)
+        return out
+
+
+@register
+class Regression(Node):
+    """signal-regression (src/Signal/Regression.hh): least-squares derivative
+    over ports -k..+k; order 2 = regression of regressions."""
+    filter_name = "signal-regression"
+    in_ports = ("*",)
+
+    def apply(self, inputs):
+        order = self.attr("order", 1, lambda v: int(float(v)))
+        offsets = sorted(int(p) for p in inputs.keys())
+        k = max(offsets)
+        denom = 2.0 * sum(i * i for i in range(1, k + 1))
+
+        def regress(streams):
+            out = None
+            for i in range(1, k + 1):
+                d = streams[i].data - streams[-i].data
+                out = d * i if out is None else out + d * i
+            return out / denom
+
+        streams = {off: inputs[f"+{off}" if off > 0 else str(off)]
+                   for off in offsets}
+        first = regress(streams)
+        if order == 1:
+            return {"": streams[0].with_data(first)}
+        # order 2: apply regression to the first-order deltas
+        second = dsp.regression_delta(first, half_window=k)
+        return {"": streams[0].with_data(second)}
+
+
+@register
+class SequenceConcatenation(Node):
+    """signal-vector-f32-sequence-concatenation: stack a context window of
+    consecutive frames into one vector (LDA input,
+    src/Signal/VectorSequenceConcatenation.hh)."""
+    filter_name = "signal-vector-f32-sequence-concatenation"
+
+    def apply(self, inputs):
+        s = inputs[""]
+        size = self.attr("max-size", 1, lambda v: int(float(v)))
+        right = self.attr("right", 0, lambda v: int(float(v)))
+        left = size - 1 - right
+        x = s.data
+        T = x.shape[-2]
+        first = x[..., :1, :]
+        last = x[..., -1:, :]
+        parts = []
+        for off in range(-left, right + 1):
+            if off == 0:
+                parts.append(x)
+            elif off > 0:
+                parts.append(jnp.concatenate(
+                    [x[..., off:, :], jnp.repeat(last, off, axis=-2)], axis=-2))
+            else:
+                k = -off
+                parts.append(jnp.concatenate(
+                    [jnp.repeat(first, k, axis=-2), x[..., :T - k, :]], axis=-2))
+        return {"": s.with_data(jnp.concatenate(parts, axis=-1))}
+
+
+@register
+class MatrixMultiplication(Node):
+    """signal-matrix-multiplication-f32: y = A x (LDA / linear transform,
+    src/Signal/MatrixMult.hh).  The matrix is loaded from `file` (xml or
+    binary via Math matrix formats) or provided programmatically."""
+    filter_name = "signal-matrix-multiplication-f32"
+
+    _matrix_cache: Dict[str, np.ndarray] = {}
+
+    def apply(self, inputs):
+        s = inputs[""]
+        path = self.attr("file", "")
+        matrix = self.attrs.get("_matrix")
+        if matrix is None:
+            if not path:
+                raise ValueError("signal-matrix-multiplication-f32 needs a file")
+            matrix = self._matrix_cache.get(path)
+            if matrix is None:
+                from ..math.matrix_io import read_matrix
+                matrix = read_matrix(path)
+                self._matrix_cache[path] = matrix
+        return {"": s.with_data(dsp.apply_matrix(s.data, np.asarray(matrix)))}
+
+
+@register
+class EnergyNode(Node):
+    """signal-energy: per-frame log energy from windowed frames."""
+    filter_name = "signal-energy"
+
+    def apply(self, inputs):
+        s = inputs[""]
+        e = jnp.sum(jnp.square(s.data), axis=-1, keepdims=True)
+        return {"": s.with_data(e)}
+
+
+@register
+class DcDetection(Node):
+    """signal-dc-detection: drop constant (DC) sample blocks.  The batched
+    rebuild treats it as pass-through (segments from corpora are speech);
+    kept for .flow compatibility (src/Signal/DcDetection.hh)."""
+    filter_name = "signal-dc-detection"
+
+    def apply(self, inputs):
+        return {"": inputs[""]}
+
+
+@register
+class CacheNode(Node):
+    """generic-cache: archive-backed caching (src/Flow/Cache.hh).  In the
+    compiled pipeline this is a pass-through marker; the feature-extraction
+    driver handles archive reads/writes around the jitted program."""
+    filter_name = "generic-cache"
+    host_only = True
+
+    def apply(self, inputs):
+        return {"": inputs[""]}
+
+
+@register
+class AggregateNode(Node):
+    """generic-aggregation-vector-f32: bundle multiple streams (multi-stream
+    Flow::Aggregate).  Represented as a tuple in meta."""
+    filter_name = "generic-aggregation-vector-f32"
+    in_ports = ("*",)
+
+    def apply(self, inputs):
+        ordered = [inputs[k] for k in sorted(inputs.keys())]
+        base = ordered[0]
+        return {"": base.with_data(base.data,
+                                   meta={**base.meta,
+                                         "streams": tuple(s.data for s in ordered)})}

@@ -1,0 +1,484 @@
+"""DSP primitives for the feature front-end, TPU-first.
+
+Batched, jit-friendly JAX implementations of the reference Signal filters
+with numerically faithful semantics:
+
+  * preemphasis          — src/Signal/Preemphasis.cc (segment-initial sample
+                           convention: previous := x[0])
+  * framing / windowing  — src/Signal/WindowBuffer.cc (frame count rule:
+                           frames at p=0,shift,... while N-p > length, plus
+                           one final short frame), src/Signal/WindowFunction.cc
+                           (symmetric windows, M = length-1)
+  * real FFT             — src/Signal/FastFourierTransform.cc (length =
+                           next pow2, right zero-padding, apply-scale
+                           multiplies by 1/sample-rate)
+  * amplitude spectrum   — signal-vector-alternating-complex-f32-amplitude
+  * Mel filterbank       — src/Signal/Filterbank.cc (stretch-to-cover
+                           boundary, triangular filters in the warped domain,
+                           derivative-of-warping weighting)
+  * log10                — generic-vector-f32-log is log10
+                           (src/Flow/SimpleFunction.hh:43)
+  * DCT                  — src/Signal/CosineTransform.cc
+                           (even-about-N-minus-half input type)
+  * CMVN                 — src/Signal/Normalization.hh (segment-wise and
+                           sliding-window mean / mean+variance)
+  * delta regression     — src/Signal/Regression.hh (least-squares derivative
+                           over a ±k window, edge frames replicated per the
+                           signal-delay copy margin policy)
+
+Filter/DCT/window matrices are built on host in float64 (as the reference
+does) and applied on device in float32.  All `apply`-style functions take
+either (T, D) single segments or (B, T, D) batches.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import lru_cache
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# window functions (reference: src/Signal/WindowFunction.cc)
+# ---------------------------------------------------------------------------
+
+
+@lru_cache(maxsize=None)
+def window_function(kind: str, length: int) -> np.ndarray:
+    """Symmetric window coefficients, float64 host-side (M = length-1)."""
+    if length <= 1:
+        return np.ones((max(length, 1),), dtype=np.float64)
+    M = length - 1
+    n = np.arange(length, dtype=np.float64)
+    if kind == "rectangular":
+        w = np.ones((length,), dtype=np.float64)
+    elif kind == "hamming":
+        w = 0.54 - 0.46 * np.cos(2.0 * np.pi * n / M)
+    elif kind == "hanning":
+        w = 0.5 - 0.5 * np.cos(2.0 * np.pi * n / M)
+    elif kind == "periodic-hanning":
+        w = 0.5 - 0.5 * np.cos(2.0 * np.pi * n / length)
+    elif kind == "bartlett":
+        w = 1.0 - np.abs(2.0 * n - M) / M
+    elif kind == "blackman":
+        w = (0.42 - 0.5 * np.cos(2.0 * np.pi * n / M)
+             + 0.08 * np.cos(4.0 * np.pi * n / M))
+    else:
+        raise ValueError(f"unknown window type {kind!r}")
+    return w
+
+
+def n_frames(n_samples: int, length: int, shift: int) -> int:
+    """Frame count per reference WindowBuffer get()/flush() semantics:
+    a frame at every shift position p while n - p > length, plus one final
+    (possibly short) frame (src/Signal/WindowBuffer.cc)."""
+    if n_samples <= 0:
+        return 0
+    if n_samples <= length:
+        return 1
+    return int(math.ceil((n_samples - length) / shift)) + 1
+
+
+def preemphasis(x: jnp.ndarray, alpha: float = 1.0) -> jnp.ndarray:
+    """y[t] = x[t] - alpha*x[t-1]; y[0] = x[0] - alpha*x[0]
+    (reference initializes previous := first sample at segment start,
+    src/Signal/Preemphasis.cc init)."""
+    prev = jnp.concatenate([x[..., :1], x[..., :-1]], axis=-1)
+    return x - alpha * prev
+
+
+def frame_signal(x: jnp.ndarray, length: int, shift: int,
+                 num_frames: int) -> jnp.ndarray:
+    """Slice (..., N) samples into (..., num_frames, length) frames with
+    zero padding past the end.  `num_frames` must be static (use n_frames)."""
+    n = x.shape[-1]
+    pad_to = (num_frames - 1) * shift + length
+    if pad_to > n:
+        pad = [(0, 0)] * (x.ndim - 1) + [(0, pad_to - n)]
+        x = jnp.pad(x, pad)
+    idx = jnp.arange(num_frames)[:, None] * shift + jnp.arange(length)[None, :]
+    return x[..., idx]
+
+
+def apply_window(frames: jnp.ndarray, kind: str = "hamming") -> jnp.ndarray:
+    w = jnp.asarray(window_function(kind, frames.shape[-1]), dtype=frames.dtype)
+    return frames * w
+
+
+def fft_length_for(max_input_size: int) -> int:
+    """FFT length = next power of two (src/Signal/FastFourierTransform.cc
+    setLength)."""
+    if max_input_size <= 0:
+        return 0
+    power = math.log2(float(max_input_size))
+    power = round(power) if abs(power - round(power)) < 1e-9 else math.ceil(power)
+    return 1 << int(power)
+
+
+@lru_cache(maxsize=None)
+def dft_matrices(length: int, fft_len: int) -> Tuple[np.ndarray, np.ndarray]:
+    """(cos, sin) real-DFT matrices of shape (length, fft_len//2+1), float64.
+
+    On TPU a 512-point transform is faster and *more accurate* as two MXU
+    matmuls in Precision.HIGHEST than as the backend FFT (which costs ~1e-4
+    absolute error on the log-mel chain); zero-padding beyond `length` is
+    implicit since those rows are zero.
+    """
+    n_bins = fft_len // 2 + 1
+    n = np.arange(length, dtype=np.float64)[:, None]
+    k = np.arange(n_bins, dtype=np.float64)[None, :]
+    angle = -2.0 * np.pi * n * k / fft_len
+    return np.cos(angle), np.sin(angle)
+
+
+def rdft(frames: jnp.ndarray, fft_len: int,
+         scale: float = 1.0) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Real DFT (re, im) of right-zero-padded frames via MXU matmuls.
+
+    Matches the reference real FFT + unpack to fft_len//2+1 complex bins
+    (src/Signal/FastFourierTransform.cc); `scale` is the apply-scale factor
+    1/sample-rate (estimateContinuous)."""
+    length = frames.shape[-1]
+    if length > fft_len:
+        frames = frames[..., :fft_len]
+        length = fft_len
+    cos_m, sin_m = dft_matrices(length, fft_len)
+    x = frames.astype(jnp.float32)
+    re = jnp.matmul(x, jnp.asarray(cos_m, jnp.float32),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+    im = jnp.matmul(x, jnp.asarray(sin_m, jnp.float32),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+    s = jnp.asarray(scale, dtype=jnp.float32)
+    return re * s, im * s
+
+
+def rfft_amplitude(frames: jnp.ndarray, fft_len: int,
+                   scale: float = 1.0) -> jnp.ndarray:
+    """Amplitude spectrum of right-zero-padded real FFT (fft_len//2+1 bins)."""
+    re, im = rdft(frames, fft_len, scale)
+    return jnp.sqrt(re * re + im * im)
+
+
+# ---------------------------------------------------------------------------
+# Mel filterbank (reference: src/Signal/Filterbank.cc)
+# ---------------------------------------------------------------------------
+
+_MEL_SCALE = 2595.0
+_LN10 = math.log(10.0)
+
+
+def mel_warp(f):
+    return _MEL_SCALE * np.log10(1.0 + np.asarray(f, dtype=np.float64) / 700.0)
+
+
+def mel_unwarp(m):
+    return (np.power(10.0, np.asarray(m, dtype=np.float64) / _MEL_SCALE) - 1.0) * 700.0
+
+
+def mel_warp_derivative(f):
+    return _MEL_SCALE / _LN10 / (700.0 + np.asarray(f, dtype=np.float64))
+
+
+def _is_almost_integer(x: float, tol: float = 1e-10) -> bool:
+    return abs(x - round(x)) < tol
+
+
+def filterbank_matrix(n_bins: int,
+                      bin_to_hz: float,
+                      filter_width: float = 268.258,
+                      spacing: float = 0.0,
+                      boundary: str = "stretch-to-cover",
+                      warping: str = "mel",
+                      minimum_frequency: float = 0.0,
+                      maximum_frequency: Optional[float] = None,
+                      normalize_surface: bool = False,
+                      warp_differential_unit: bool = True,
+                      ) -> np.ndarray:
+    """(n_filters, n_bins) float64 filter matrix, built exactly as the
+    reference FilterBank::init for triangular filters with warped center
+    positions (the mfcc.flow configuration).
+
+    `bin_to_hz` is the discrete-to-continuous factor (sample_rate/fft_len);
+    `filter_width`/`spacing` are in warped (mel) units when warping='mel'.
+    """
+    if warping == "mel":
+        warp, unwarp, dwarp = mel_warp, mel_unwarp, mel_warp_derivative
+    elif warping in ("none", "identity", ""):
+        warp = unwarp = lambda f: np.asarray(f, dtype=np.float64)
+        dwarp = lambda f: np.ones_like(np.asarray(f, dtype=np.float64))
+    else:
+        raise ValueError(f"unsupported warping {warping!r}")
+
+    def d2c(i):  # discrete index -> continuous Hz
+        return np.asarray(i, dtype=np.float64) * bin_to_hz
+
+    def c2d_warped(m):  # warped value -> discrete index
+        return unwarp(m) / bin_to_hz
+
+    norm_center = 0.5  # triangular builder normalizedCenterPosition
+    max_f = float(warp(d2c(n_bins - 1))) if maximum_frequency is None \
+        else float(maximum_frequency)
+    min_f = float(minimum_frequency)
+    width = float(filter_width)
+    space = float(spacing) if spacing else norm_center * width
+
+    if boundary == "stretch-to-cover":
+        nf = (max_f - min_f - width) / space + 1.0
+        nf = 1.0 if nf < 1 else (round(nf) if _is_almost_integer(nf) else nf)
+        n_filters = int(math.floor(nf))
+        coverage = (space * (n_filters - 1) + width) / (max_f - min_f)
+        if not (n_filters == 1 and coverage > 1.0 + 1e-9):
+            width /= coverage
+            space /= coverage
+        centers = [min_f + space * i + norm_center * width
+                   for i in range(n_filters)]
+    elif boundary == "include-boundary":
+        nf = (max_f - (1.0 - norm_center) * width) / space
+        nf = 1.0 if nf < 1 else (round(nf) if _is_almost_integer(nf) else nf)
+        n_filters = int(math.ceil(nf))
+        centers = [space * (i + 1) for i in range(n_filters)]
+    elif boundary == "emphasize-boundary":
+        nf = max_f / space + 1.0
+        nf = 1.0 if nf < 1 else (round(nf) if _is_almost_integer(nf) else nf)
+        n_filters = int(math.floor(nf))
+        centers = [space * i for i in range(n_filters)]
+    else:
+        raise ValueError(f"unknown boundary type {boundary!r}")
+
+    matrix = np.zeros((n_filters, n_bins), dtype=np.float64)
+    for fi, center in enumerate(centers):
+        start = c2d_warped(max(center - norm_center * width, min_f))
+        start = round(start) if _is_almost_integer(start) else math.ceil(start)
+        start = int(max(start, 0))
+        end = c2d_warped(min(center + (1.0 - norm_center) * width, max_f))
+        end = round(end) + 1 if _is_almost_integer(end) else math.ceil(end)
+        end = int(min(end, n_bins))
+        if end <= start:
+            continue
+        bins = np.arange(start, end, dtype=np.float64)
+        warped = warp(d2c(bins))
+        tri = 1.0 - np.abs(warped - center) / (width / 2.0)
+        tri = np.maximum(tri, 0.0)
+        if warp_differential_unit:
+            tri = tri * dwarp(d2c(bins))
+        matrix[fi, start:end] = tri
+    if normalize_surface:
+        sums = matrix.sum(axis=1, keepdims=True)
+        matrix = matrix / np.where(sums == 0, 1.0, sums)
+    return matrix
+
+
+# ---------------------------------------------------------------------------
+# cosine transform (reference: src/Signal/CosineTransform.cc)
+# ---------------------------------------------------------------------------
+
+
+def dct_matrix(n_outputs: int, n_inputs: int,
+               input_type: str = "even-about-N-minus-half",
+               normalize: bool = False) -> np.ndarray:
+    """(n_outputs, n_inputs) float64 cosine-transform matrix."""
+    T = np.zeros((n_outputs, n_inputs), dtype=np.float64)
+    if input_type == "even-about-N-minus-half":
+        N = n_inputs
+        for k in range(n_outputs):
+            omega = np.pi * (np.arange(N) + 0.5) / N
+            T[k] = np.cos(omega * k)
+    elif input_type == "N-plus-one":
+        N = n_inputs - 1
+        for k in range(n_outputs):
+            T[k, 0] = 0.5
+            T[k, N] = 0.5 * ((-1.0) ** k)
+            n = np.arange(1, N)
+            T[k, 1:N] = np.cos(np.pi * n / N * k)
+    else:
+        raise ValueError(f"unknown DCT input type {input_type!r}")
+    if normalize:
+        T = T / float(n_inputs if input_type == "even-about-N-minus-half"
+                      else n_inputs - 1)
+    return T
+
+
+def apply_matrix(x: jnp.ndarray, matrix: np.ndarray) -> jnp.ndarray:
+    """x @ matrix.T in full f32 (filterbank / DCT / LDA apply).
+
+    Precision.HIGHEST keeps the TPU MXU in f32 pass mode — these matrices are
+    tiny (D<=512), so this costs nothing and preserves the 1e-4 feature
+    parity target on TPU (BASELINE.json)."""
+    m = jnp.asarray(matrix, dtype=jnp.float32)
+    return jnp.matmul(x, m.T, preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
+
+
+_INV_LN10 = 1.0 / _LN10
+
+
+def accurate_log(x: jnp.ndarray) -> jnp.ndarray:
+    """Natural log with one Newton refinement step.
+
+    The TPU VPU log approximation carries ~4.5e-5 absolute error, which
+    breaks the 1e-4 feature-parity budget once 20 log-mel channels sum into
+    cepstrum c0.  One Newton iteration on exp ( y += x*exp(-y) - 1 ) brings
+    it to ~2e-6 at the cost of a single fused exp."""
+    y = jnp.log(x)
+    return y + (x * jnp.exp(-y) - 1.0)
+
+
+def log10(x: jnp.ndarray) -> jnp.ndarray:
+    """generic-vector-f32-log IS log10 (src/Flow/SimpleFunction.hh:43)."""
+    return accurate_log(x) * jnp.asarray(_INV_LN10, dtype=x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# normalization (reference: src/Signal/Normalization.hh)
+# ---------------------------------------------------------------------------
+
+
+def normalize_segment(x: jnp.ndarray, mask: Optional[jnp.ndarray] = None,
+                      variance: bool = True, eps: float = 0.0) -> jnp.ndarray:
+    """Segment-wise CMVN over the time axis (-2).  `mask` is (..., T) with 1
+    for valid frames (batched padded segments)."""
+    if mask is None:
+        mean = jnp.mean(x, axis=-2, keepdims=True)
+        if not variance:
+            return x - mean
+        var = jnp.mean(jnp.square(x - mean), axis=-2, keepdims=True)
+        return (x - mean) * jax.lax.rsqrt(var + eps + 1e-12)
+    m = mask[..., None].astype(x.dtype)
+    count = jnp.maximum(jnp.sum(m, axis=-2, keepdims=True), 1.0)
+    mean = jnp.sum(x * m, axis=-2, keepdims=True) / count
+    if not variance:
+        return (x - mean) * m
+    var = jnp.sum(jnp.square(x - mean) * m, axis=-2, keepdims=True) / count
+    return (x - mean) * jax.lax.rsqrt(var + eps + 1e-12) * m
+
+
+def sliding_normalization(x: jnp.ndarray, length: int, right: int,
+                          variance: bool = False) -> jnp.ndarray:
+    """Sliding-window mean (and variance) normalization: the window covers
+    [t-(length-right-1) .. t+right] clamped to the segment (reference
+    Normalization sliding semantics, src/Signal/Normalization.hh:66-69)."""
+    T = x.shape[-2]
+    cum = jnp.cumsum(x, axis=-2)
+    cum = jnp.concatenate([jnp.zeros_like(cum[..., :1, :]), cum], axis=-2)
+    t = jnp.arange(T)
+    lo = jnp.clip(t - (length - right - 1), 0, T)
+    hi = jnp.clip(t + right + 1, 0, T)
+    count = (hi - lo).astype(x.dtype)[..., None]
+    mean = (jnp.take(cum, hi, axis=-2) - jnp.take(cum, lo, axis=-2)) / count
+    if not variance:
+        return x - mean
+    cum2 = jnp.cumsum(jnp.square(x), axis=-2)
+    cum2 = jnp.concatenate([jnp.zeros_like(cum2[..., :1, :]), cum2], axis=-2)
+    ex2 = (jnp.take(cum2, hi, axis=-2) - jnp.take(cum2, lo, axis=-2)) / count
+    var = jnp.maximum(ex2 - jnp.square(mean), 0.0)
+    return (x - mean) * jax.lax.rsqrt(var + 1e-12)
+
+
+# ---------------------------------------------------------------------------
+# derivatives by linear regression (reference: src/Signal/Regression.hh)
+# ---------------------------------------------------------------------------
+
+
+def _edge_replicate(x: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Pad time axis (-2) by k frames of edge replication (signal-delay
+    copy margin policy, src/Signal/Delay.cc)."""
+    first = jnp.repeat(x[..., :1, :], k, axis=-2)
+    last = jnp.repeat(x[..., -1:, :], k, axis=-2)
+    return jnp.concatenate([first, x, last], axis=-2)
+
+
+def regression_delta(x: jnp.ndarray, half_window: int = 2) -> jnp.ndarray:
+    """First-order derivative: sum_i i*(f(t+i)-f(t-i)) / (2*sum_i i^2)."""
+    k = half_window
+    denom = 2.0 * sum(i * i for i in range(1, k + 1))
+    xp = _edge_replicate(x, k)
+    T = x.shape[-2]
+    out = jnp.zeros_like(x)
+    for i in range(1, k + 1):
+        plus = jax.lax.dynamic_slice_in_dim(xp, k + i, T, axis=-2)
+        minus = jax.lax.dynamic_slice_in_dim(xp, k - i, T, axis=-2)
+        out = out + i * (plus - minus)
+    return out / denom
+
+
+def regression_deltadelta(x: jnp.ndarray, half_window: int = 2) -> jnp.ndarray:
+    """Second derivative = regression applied to first-order deltas
+    (derivationWithRegression.flow wiring)."""
+    return regression_delta(regression_delta(x, half_window), half_window)
+
+
+# ---------------------------------------------------------------------------
+# fused MFCC pipeline
+# ---------------------------------------------------------------------------
+
+
+class MfccPipeline:
+    """The mfcc.flow network as one fused JAX program.
+
+    Static configuration (sample rate, window, filterbank) is resolved on
+    host; `__call__` is jit-compiled per padded-length bucket and maps
+    (B, N) samples -> (B, T, n_ceps) features plus a frame-validity mask.
+    """
+
+    def __init__(self,
+                 sample_rate: float = 16000.0,
+                 preemphasis_alpha: float = 1.0,
+                 window_type: str = "hamming",
+                 window_length_s: float = 0.025,
+                 window_shift_s: float = 0.01,
+                 filter_width: float = 268.258,
+                 n_cepstra: int = 16,
+                 fft_apply_scale: bool = True):
+        self.sample_rate = float(sample_rate)
+        self.alpha = float(preemphasis_alpha)
+        self.window_type = window_type
+        self.length = int(round(window_length_s * sample_rate))
+        self.shift = int(round(window_shift_s * sample_rate))
+        self.fft_len = fft_length_for(self.length)
+        self.n_bins = self.fft_len // 2 + 1
+        self.fft_scale = 1.0 / sample_rate if fft_apply_scale else 1.0
+        bin_to_hz = sample_rate / self.fft_len
+        self.mel_matrix = filterbank_matrix(self.n_bins, bin_to_hz,
+                                            filter_width=filter_width)
+        self.n_filters = self.mel_matrix.shape[0]
+        self.n_cepstra = n_cepstra
+        self.dct = dct_matrix(n_cepstra, self.n_filters)
+        self._jitted = {}
+
+    def n_frames(self, n_samples: int) -> int:
+        return n_frames(n_samples, self.length, self.shift)
+
+    def _build(self, num_frames: int):
+        length, shift, alpha = self.length, self.shift, self.alpha
+        window_type, fft_len, scale = self.window_type, self.fft_len, self.fft_scale
+        mel, dct = self.mel_matrix, self.dct
+
+        def pipeline(samples: jnp.ndarray) -> jnp.ndarray:
+            x = preemphasis(samples.astype(jnp.float32), alpha)
+            frames = frame_signal(x, length, shift, num_frames)
+            frames = apply_window(frames, window_type)
+            amp = rfft_amplitude(frames, fft_len, scale)
+            fb = apply_matrix(amp, mel)
+            logfb = log10(fb)
+            return apply_matrix(logfb, dct)
+
+        return jax.jit(pipeline)
+
+    def __call__(self, samples, n_samples: Optional[int] = None):
+        """samples: (N,) or (B, N) array; n_samples: true length (defaults to
+        full).  Returns (T, n_ceps) or (B, T, n_ceps) float32 features."""
+        samples = jnp.asarray(samples)
+        n = int(n_samples if n_samples is not None else samples.shape[-1])
+        num_frames = self.n_frames(n)
+        key = (num_frames, samples.shape)
+        if key not in self._jitted:
+            self._jitted[key] = self._build(num_frames)
+        valid = samples if samples.shape[-1] == n else samples[..., :n]
+        if valid.shape[-1] != n:
+            raise ValueError("n_samples exceeds provided samples")
+        return self._jitted[key](valid)
