@@ -133,7 +133,7 @@ class MixtureSet:
             for mix in self.mixtures:
                 parts = [str(mix.n_densities)]
                 for di, lw in zip(mix.density_indices, mix.log_weights):
-                    parts.append(f"{di} {lw!r}")
+                    parts.append(f"{di} {float(lw)!r}")
                 fh.write(" ".join(parts) + "\n")
             for d in self.densities:
                 fh.write(f"{d[0]} {d[1]}\n")

@@ -1,0 +1,108 @@
+"""Batched GMM feature scorers on TPU.
+
+The reference scores one feature vector at a time against one mixture with
+runtime-emitted SIMD code (src/Mm/SimdFeatureScorer.hh:44,
+GaussDiagonalMaximumFeatureScorer.cc) plus density-preselection tricks
+(src/Mm/BatchFeatureScorer.hh:34).  On TPU all of that collapses into one
+GEMM (SURVEY.md §2.8 "TPU mapping"):
+
+    -2 log N(x | mu, var) = D log 2pi + sum log var + sum ((x-mu)^2 / var)
+    score(x, mixture)     = 0.5 * min_d [ -2 log w_d  - 2 log N_d(x) ]
+                                   (max approximation; 'sum' mode uses
+                                    -logsumexp instead of min)
+
+The quadratic form expands to an affine map of [x^2, x, 1]:
+
+    sum (x-mu)^2/var  =  x^2 . (1/var)  -  2 x . (mu/var)  +  sum mu^2/var
+
+so scoring T frames against N densities is a single (T, 2D+1) x (2D+1, N)
+matmul, followed by a segment-min over each mixture's densities.  Scores are
+identical in semantics to the reference scorer (0.5 * best -2-log-lik).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .mixture_set import MixtureSet
+
+_LOG_2PI = math.log(2.0 * math.pi)
+
+
+class GmmScorer:
+    """Batched scorer for a MixtureSet.
+
+    score(features (T,D) or (B,T,D)) -> (T,S) / (B,T,S) negative
+    log-likelihood scores, S = number of mixtures (emission classes).
+    """
+
+    def __init__(self, mixture_set: MixtureSet, mode: str = "max",
+                 mixture_weight_scale: float = 1.0,
+                 gaussian_scale: float = 1.0):
+        if mode not in ("max", "sum"):
+            raise ValueError("mode must be 'max' or 'sum'")
+        self.mode = mode
+        self.n_mixtures = mixture_set.n_mixtures
+        self.dim = mixture_set.dim
+
+        mean, var, m2lw, mix_of = mixture_set.packed()
+        # gaussian-scale scales the inverse variance (reference scales the
+        # inverse sqrt diag by sqrt(scale)); weight scale scales -2 log w
+        inv_var = gaussian_scale / var
+        m2lw = mixture_weight_scale * m2lw
+        # per-density constant: -2logw + D log 2pi + sum log var
+        const = (m2lw + self.dim * _LOG_2PI
+                 + np.sum(np.log(var), axis=1))
+        # affine expansion: score2(x) = x^2 . a + x . b + c
+        self._a = jnp.asarray(inv_var.T, dtype=jnp.float32)           # (D, N)
+        self._b = jnp.asarray((-2.0 * mean * inv_var).T, jnp.float32)  # (D, N)
+        self._c = jnp.asarray(const + np.sum(mean * mean * inv_var, axis=1),
+                              dtype=jnp.float32)                       # (N,)
+        self._mix_of = jnp.asarray(mix_of, dtype=jnp.int32)           # (N,)
+        self._scorer = jax.jit(self._score_impl)
+
+    def _score_impl(self, features: jnp.ndarray) -> jnp.ndarray:
+        x = features.astype(jnp.float32)
+        hp = jax.lax.Precision.HIGHEST
+        d2 = (jnp.matmul(x * x, self._a, precision=hp)
+              + jnp.matmul(x, self._b, precision=hp) + self._c)  # (..., N)
+        if self.mode == "max":
+            red = partial(jax.ops.segment_min, num_segments=self.n_mixtures)
+            per_mix = _segment_reduce_lastaxis(d2, self._mix_of, red)
+            return 0.5 * per_mix
+        # full-sum: -2 log sum_d exp(-d2/2) = -2 logsumexp(-d2/2)
+        neg_half = -0.5 * d2
+        per_mix = _segment_logsumexp_lastaxis(neg_half, self._mix_of,
+                                              self.n_mixtures)
+        return -per_mix
+
+    def score(self, features) -> jnp.ndarray:
+        """Negative log-likelihood scores, lower = better (reference Score
+        convention)."""
+        return self._scorer(jnp.asarray(features))
+
+    def __call__(self, features) -> jnp.ndarray:
+        return self.score(features)
+
+
+def _segment_reduce_lastaxis(values: jnp.ndarray, segment_ids: jnp.ndarray,
+                             reduce_fn) -> jnp.ndarray:
+    """Apply a jax.ops.segment_* reduction along the LAST axis."""
+    moved = jnp.moveaxis(values, -1, 0)          # (N, ...)
+    out = reduce_fn(moved, segment_ids)           # (S, ...)
+    return jnp.moveaxis(out, 0, -1)
+
+
+def _segment_logsumexp_lastaxis(values: jnp.ndarray, segment_ids: jnp.ndarray,
+                                num_segments: int) -> jnp.ndarray:
+    moved = jnp.moveaxis(values, -1, 0)
+    seg_max = jax.ops.segment_max(moved, segment_ids, num_segments=num_segments)
+    exp = jnp.exp(moved - seg_max[segment_ids])
+    seg_sum = jax.ops.segment_sum(exp, segment_ids, num_segments=num_segments)
+    return jnp.moveaxis(jnp.log(seg_sum) + seg_max, 0, -1)

@@ -1,0 +1,206 @@
+"""Conformer CTC acoustic encoder — the flagship neural model.
+
+The reference delegates neural acoustic models to TF/ONNX sessions
+(src/Tensorflow/Session.hh:30, src/Onnx/OnnxEncoder.hh:30); this framework
+owns the model natively in flax so encoder forward, chunked/streaming
+execution and training all run as XLA programs on TPU.
+
+Architecture: conv subsampling (x4) -> N conformer blocks
+(feed-forward macaron / MHSA with relative-position-agnostic bias /
+depthwise conv / feed-forward) -> CTC projection.  bfloat16 compute with
+float32 params; shapes static, masks carry segment lengths.
+
+Sharding: parameters carry logical axis names via flax `nn.with_partitioning`
+— 'embed'/'mlp'/'heads' map onto the mesh 'model' axis, batch maps onto
+'data' (see rasr_tpu.parallel.sharding).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Dtype = Any
+
+
+def _pos_mask(lengths: jnp.ndarray, T: int) -> jnp.ndarray:
+    """(B, T) validity mask from lengths."""
+    return (jnp.arange(T)[None, :] < lengths[:, None])
+
+
+class ConvSubsampling(nn.Module):
+    """Two stride-2 convs: (B, T, D) -> (B, ceil(T/4), d_model)."""
+    d_model: int = 256
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, lengths):
+        B, T, D = x.shape
+        h = x[..., None].astype(self.dtype)  # (B, T, D, 1)
+        h = nn.Conv(self.d_model // 4, (3, 3), strides=(2, 2), dtype=self.dtype,
+                    name="conv1")(h)
+        h = nn.relu(h)
+        h = nn.Conv(self.d_model // 4, (3, 3), strides=(2, 2), dtype=self.dtype,
+                    name="conv2")(h)
+        h = nn.relu(h)
+        B2, T2, D2, C = h.shape
+        h = h.reshape(B2, T2, D2 * C)
+        h = nn.Dense(self.d_model, dtype=self.dtype,
+                     kernel_init=nn.with_partitioning(
+                         nn.initializers.lecun_normal(), (None, "embed")),
+                     name="proj")(h)
+        out_lengths = (lengths + 1) // 2
+        out_lengths = (out_lengths + 1) // 2
+        return h, out_lengths
+
+
+class FeedForward(nn.Module):
+    d_model: int
+    expansion: int = 4
+    dropout: float = 0.1
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool):
+        h = nn.LayerNorm(dtype=jnp.float32, name="ln")(x).astype(self.dtype)
+        h = nn.Dense(self.d_model * self.expansion, dtype=self.dtype,
+                     kernel_init=nn.with_partitioning(
+                         nn.initializers.lecun_normal(), ("embed", "mlp")),
+                     name="wi")(h)
+        h = nn.swish(h)
+        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        h = nn.Dense(self.d_model, dtype=self.dtype,
+                     kernel_init=nn.with_partitioning(
+                         nn.initializers.lecun_normal(), ("mlp", "embed")),
+                     name="wo")(h)
+        return nn.Dropout(self.dropout)(h, deterministic=deterministic)
+
+
+class MHSA(nn.Module):
+    d_model: int
+    n_heads: int = 4
+    dropout: float = 0.1
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, mask, deterministic: bool):
+        h = nn.LayerNorm(dtype=jnp.float32, name="ln")(x).astype(self.dtype)
+        attn_mask = mask[:, None, None, :]  # (B, 1, 1, T)
+        h = nn.MultiHeadDotProductAttention(
+            num_heads=self.n_heads, dtype=self.dtype,
+            kernel_init=nn.with_partitioning(
+                nn.initializers.lecun_normal(), ("embed", "heads")),
+            name="attn")(h, h, mask=attn_mask,
+                         deterministic=deterministic)
+        return nn.Dropout(self.dropout)(h, deterministic=deterministic)
+
+
+class ConvModule(nn.Module):
+    d_model: int
+    kernel_size: int = 15
+    dropout: float = 0.1
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, mask, deterministic: bool):
+        h = nn.LayerNorm(dtype=jnp.float32, name="ln")(x).astype(self.dtype)
+        h = h * mask[..., None].astype(self.dtype)
+        h = nn.Dense(2 * self.d_model, dtype=self.dtype, name="pointwise1")(h)
+        h = nn.glu(h, axis=-1)
+        h = nn.Conv(self.d_model, (self.kernel_size,),
+                    feature_group_count=self.d_model, dtype=self.dtype,
+                    name="depthwise")(h)
+        # batch norm replaced by layer norm for pjit-friendliness
+        h = nn.LayerNorm(dtype=jnp.float32, name="norm")(h).astype(self.dtype)
+        h = nn.swish(h)
+        h = nn.Dense(self.d_model, dtype=self.dtype, name="pointwise2")(h)
+        return nn.Dropout(self.dropout)(h, deterministic=deterministic)
+
+
+class ConformerBlock(nn.Module):
+    d_model: int
+    n_heads: int = 4
+    conv_kernel: int = 15
+    dropout: float = 0.1
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, mask, deterministic: bool):
+        x = x + 0.5 * FeedForward(self.d_model, dropout=self.dropout,
+                                  dtype=self.dtype, name="ff1")(x, deterministic)
+        x = x + MHSA(self.d_model, self.n_heads, self.dropout,
+                     self.dtype, name="mhsa")(x, mask, deterministic)
+        x = x + ConvModule(self.d_model, self.conv_kernel, self.dropout,
+                           self.dtype, name="conv")(x, mask, deterministic)
+        x = x + 0.5 * FeedForward(self.d_model, dropout=self.dropout,
+                                  dtype=self.dtype, name="ff2")(x, deterministic)
+        return nn.LayerNorm(dtype=jnp.float32, name="final_ln")(x)
+
+
+class ConformerEncoder(nn.Module):
+    """(B, T, D) features + lengths -> (B, T', d_model) encoder states."""
+    d_model: int = 256
+    n_layers: int = 12
+    n_heads: int = 4
+    conv_kernel: int = 15
+    dropout: float = 0.1
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, features, lengths, deterministic: bool = True):
+        h, out_lengths = ConvSubsampling(self.d_model, self.dtype,
+                                         name="subsample")(features, lengths)
+        T2 = h.shape[1]
+        mask = _pos_mask(out_lengths, T2)
+        # sinusoidal positions (host-computed constants fold into the graph)
+        pos = _sinusoidal(T2, self.d_model)
+        h = h + jnp.asarray(pos, dtype=h.dtype)[None]
+        for i in range(self.n_layers):
+            h = ConformerBlock(self.d_model, self.n_heads, self.conv_kernel,
+                               self.dropout, self.dtype,
+                               name=f"block{i}")(h, mask, deterministic)
+            h = h.astype(self.dtype)
+        return h.astype(jnp.float32), out_lengths, mask
+
+
+class ConformerCtc(nn.Module):
+    """Conformer encoder + CTC output head; vocab index 0 = blank."""
+    vocab_size: int = 1024
+    d_model: int = 256
+    n_layers: int = 12
+    n_heads: int = 4
+    conv_kernel: int = 15
+    dropout: float = 0.1
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, features, lengths, deterministic: bool = True):
+        h, out_lengths, mask = ConformerEncoder(
+            self.d_model, self.n_layers, self.n_heads, self.conv_kernel,
+            self.dropout, self.dtype, name="encoder")(
+                features, lengths, deterministic)
+        logits = nn.Dense(self.vocab_size, dtype=jnp.float32,
+                          kernel_init=nn.with_partitioning(
+                              nn.initializers.lecun_normal(),
+                              ("embed", "vocab")),
+                          name="ctc_head")(h)
+        return logits, out_lengths, mask
+
+    def log_probs(self, features, lengths):
+        logits, out_lengths, mask = self(features, lengths, deterministic=True)
+        return jax.nn.log_softmax(logits, axis=-1), out_lengths, mask
+
+
+def _sinusoidal(T: int, d: int) -> np.ndarray:
+    pos = np.arange(T)[:, None]
+    i = np.arange(d // 2)[None, :]
+    angle = pos / np.power(10000.0, 2 * i / d)
+    out = np.zeros((T, d), dtype=np.float32)
+    out[:, 0::2] = np.sin(angle)
+    out[:, 1::2] = np.cos(angle)
+    return out

@@ -1,0 +1,152 @@
+"""Neural acoustic model training on TPU.
+
+Replaces the reference legacy NN trainer stack (src/Nn/FeedForwardTrainer,
+Estimator.hh SGD zoo, BufferedFeatureExtractor minibatch assembly) with a
+flax/optax train state and a pjit-sharded train step over a (data, model)
+mesh: gradients psum over 'data' automatically via pjit, the analogue of
+the reference's accumulator combine (SURVEY.md §2.20).
+
+CTC loss uses optax.ctc_loss (blank index 0, matching ConformerCtc).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import flax
+import jax
+import jax.numpy as jnp
+import optax
+from flax.core import FrozenDict
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.conformer import ConformerCtc
+from ..parallel.sharding import (batch_sharding, param_shardings, replicated,
+                                 shard_params)
+
+
+def make_optimizer(learning_rate: float = 1e-3, warmup_steps: int = 1000,
+                   weight_decay: float = 1e-6,
+                   clip_norm: float = 5.0) -> optax.GradientTransformation:
+    schedule = optax.warmup_cosine_decay_schedule(
+        0.0, learning_rate, warmup_steps, 100_000, end_value=learning_rate * 0.05)
+    return optax.chain(
+        optax.clip_by_global_norm(clip_norm),
+        optax.adamw(schedule, weight_decay=weight_decay))
+
+
+class CtcTrainer:
+    """Owns model params + optimizer state; train_step is jit-compiled with
+    mesh shardings (batch along 'data', wide params along 'model')."""
+
+    def __init__(self, model: ConformerCtc, mesh: Mesh,
+                 optimizer: Optional[optax.GradientTransformation] = None,
+                 rng_seed: int = 0,
+                 example_shape: Tuple[int, int, int] = (2, 64, 80)):
+        self.model = model
+        self.mesh = mesh
+        self.optimizer = optimizer or make_optimizer()
+        B, T, D = example_shape
+        rng = jax.random.PRNGKey(rng_seed)
+        feats = jnp.zeros((B, T, D), jnp.float32)
+        lens = jnp.full((B,), T, jnp.int32)
+        variables = model.init({"params": rng, "dropout": rng},
+                               feats, lens, deterministic=True)
+        params = variables["params"]
+        params = shard_params(params, mesh)
+        self.params = params
+        self.opt_state = self.optimizer.init(
+            jax.tree_util.tree_map(
+                lambda x: x.value if isinstance(x, flax.linen.Partitioned) else x,
+                params,
+                is_leaf=lambda x: isinstance(x, flax.linen.Partitioned)))
+        self.step = 0
+        self._train_step = self._build_train_step()
+
+    # -- loss ---------------------------------------------------------------
+
+    def _loss_fn(self, params, batch, dropout_rng):
+        feats, feat_lens, labels, label_lens = batch
+        logits, out_lens, _ = self.model.apply(
+            {"params": params}, feats, feat_lens, deterministic=False,
+            rngs={"dropout": dropout_rng})
+        T = logits.shape[1]
+        logit_pad = (jnp.arange(T)[None, :] >= out_lens[:, None]).astype(jnp.float32)
+        L = labels.shape[1]
+        label_pad = (jnp.arange(L)[None, :] >= label_lens[:, None]).astype(jnp.float32)
+        per_seq = optax.ctc_loss(logits, logit_pad, labels, label_pad,
+                                 blank_id=0)
+        return jnp.mean(per_seq)
+
+    def _build_train_step(self):
+        mesh = self.mesh
+        p_shard = param_shardings(self.params, mesh)
+        b_shard = batch_sharding(mesh)
+        r_shard = replicated(mesh)
+
+        def unboxed(tree):
+            return jax.tree_util.tree_map(
+                lambda x: x.value if isinstance(x, flax.linen.Partitioned) else x,
+                tree, is_leaf=lambda x: isinstance(x, flax.linen.Partitioned))
+
+        def train_step(params, opt_state, batch, rng):
+            raw = unboxed(params)
+
+            def loss_of(raw_params):
+                boxed = jax.tree_util.tree_map(
+                    lambda meta, v: (meta.replace_boxed(v)
+                                     if isinstance(meta, flax.linen.Partitioned)
+                                     else v),
+                    params, raw_params,
+                    is_leaf=lambda x: isinstance(x, flax.linen.Partitioned))
+                return self._loss_fn(boxed, batch, rng)
+
+            loss, grads = jax.value_and_grad(loss_of)(raw)
+            updates, new_opt = self.optimizer.update(grads, opt_state, raw)
+            new_raw = optax.apply_updates(raw, updates)
+            new_params = jax.tree_util.tree_map(
+                lambda meta, v: (meta.replace_boxed(v)
+                                 if isinstance(meta, flax.linen.Partitioned)
+                                 else v),
+                params, new_raw,
+                is_leaf=lambda x: isinstance(x, flax.linen.Partitioned))
+            return new_params, new_opt, loss
+
+        raw_shard = jax.tree_util.tree_map(
+            lambda s: s, p_shard,
+            is_leaf=lambda x: isinstance(x, NamedSharding))
+        return jax.jit(
+            train_step,
+            in_shardings=(p_shard, None,
+                          (b_shard, b_shard, b_shard, b_shard), r_shard),
+            out_shardings=(p_shard, None, r_shard))
+
+    # -- public api -----------------------------------------------------------
+
+    def train_step(self, feats, feat_lens, labels, label_lens,
+                   rng: Optional[jax.Array] = None) -> float:
+        """One sharded optimization step; returns loss."""
+        if rng is None:
+            rng = jax.random.PRNGKey(self.step)
+        batch = (jnp.asarray(feats), jnp.asarray(feat_lens, jnp.int32),
+                 jnp.asarray(labels, jnp.int32),
+                 jnp.asarray(label_lens, jnp.int32))
+        self.params, self.opt_state, loss = self._train_step(
+            self.params, self.opt_state, batch, rng)
+        self.step += 1
+        return float(loss)
+
+    # -- inference ---------------------------------------------------------
+
+    def log_probs_fn(self) -> Callable:
+        """jitted (params, feats, lens) -> (log_probs, out_lens)."""
+        model = self.model
+
+        @jax.jit
+        def fn(params, feats, lens):
+            logits, out_lens, _ = model.apply(
+                {"params": params}, feats, lens, deterministic=True)
+            return jax.nn.log_softmax(logits, axis=-1), out_lens
+
+        return fn
