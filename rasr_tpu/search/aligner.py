@@ -1,0 +1,170 @@
+"""Forced alignment on TPU: Viterbi and Baum-Welch over state graphs.
+
+The reference aligner runs a pointer-based DP over an allophone-state FSA
+frame by frame (src/Search/Aligner.hh:36,114).  Here the DP is a
+`lax.scan` over time with the graph in dense per-state incoming-arc form:
+each state has at most K predecessors (padded), so one scan step is a
+(N, K) gather + min/logsumexp reduce + emission add — all fused by XLA.
+The traceback also runs on device as a reverse scan over backpointers.
+
+Scores are -log probabilities (lower = better), matching the reference's
+Score convention; emission scores come from any (T, E) score matrix
+(GmmScorer output or NN posteriors).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..speech.allophone_graph import StateGraph
+
+BIG = 1e30
+
+
+@dataclass
+class PackedGraph:
+    """Dense incoming-arc representation (host-built, device-resident)."""
+    n_states: int
+    pred: jnp.ndarray          # (N, K) predecessor state ids (0-padded)
+    pred_score: jnp.ndarray    # (N, K) arc scores (BIG = absent)
+    emissions: jnp.ndarray     # (N,) emission class per state
+    labels: jnp.ndarray        # (N,)
+    initial_score: jnp.ndarray  # (N,) 0/score for entry states, BIG otherwise
+    final_score: jnp.ndarray    # (N,) exit score for final states, BIG otherwise
+
+    @classmethod
+    def from_graph(cls, g: StateGraph) -> "PackedGraph":
+        n = g.n_states
+        by_target: list = [[] for _ in range(n)]
+        for f, t, s in zip(g.arcs_from, g.arcs_to, g.arcs_score):
+            by_target[int(t)].append((int(f), float(s)))
+        k = max((len(x) for x in by_target), default=1) or 1
+        pred = np.zeros((n, k), dtype=np.int32)
+        score = np.full((n, k), BIG, dtype=np.float32)
+        for t, lst in enumerate(by_target):
+            for j, (f, s) in enumerate(lst):
+                pred[t, j] = f
+                score[t, j] = s
+        init = np.full((n,), BIG, dtype=np.float32)
+        init[g.initial] = g.initial_score
+        fin = np.full((n,), BIG, dtype=np.float32)
+        fin[g.final] = g.final_score
+        return cls(n, jnp.asarray(pred), jnp.asarray(score),
+                   jnp.asarray(g.emissions), jnp.asarray(g.labels),
+                   jnp.asarray(init), jnp.asarray(fin))
+
+
+@partial(jax.jit, static_argnames=("return_labels",))
+def _viterbi(pred, pred_score, emissions, labels, init_score, final_score,
+             scores, return_labels=True):
+    """scores: (T, E) emission score matrix (-log).  Returns
+    (state_path (T,), label_path (T,), total_score)."""
+    em = scores[:, emissions]                 # (T, N) per-state scores
+
+    def step(alpha, em_t):
+        cand = alpha[pred] + pred_score       # (N, K)
+        best = jnp.min(cand, axis=1)
+        back = jnp.argmin(cand, axis=1).astype(jnp.int32)
+        new_alpha = best + em_t
+        return new_alpha, back
+
+    alpha0 = init_score + em[0]
+    alpha_last, backs = jax.lax.scan(step, alpha0, em[1:])
+    total = jnp.min(alpha_last + final_score)
+    last_state = jnp.argmin(alpha_last + final_score).astype(jnp.int32)
+
+    def back_step(state, back_t):
+        prev = pred[state, back_t[state]]
+        return prev, state
+
+    first_state, rest = jax.lax.scan(back_step, last_state, backs,
+                                     reverse=True)
+    path = jnp.concatenate([first_state[None], rest])
+    if return_labels:
+        return path, labels[path], total
+    return path, path, total
+
+
+@jax.jit
+def _forward_backward(pred, pred_score, emissions, n_states_arr, succ, succ_score,
+                      init_score, final_score, scores):
+    """Baum-Welch: returns (T, N) state posterior -log occupancy weights
+    (gamma) and the total -log score."""
+    em = scores[:, emissions]                  # (T, N)
+
+    def lse(x, axis):
+        return -jax.nn.logsumexp(-x, axis=axis)
+
+    def fwd_step(alpha, em_t):
+        cand = alpha[pred] + pred_score
+        new_alpha = lse(cand, 1) + em_t
+        return new_alpha, new_alpha
+
+    alpha0 = init_score + em[0]
+    _, alphas_rest = jax.lax.scan(fwd_step, alpha0, em[1:])
+    alphas = jnp.concatenate([alpha0[None], alphas_rest])   # (T, N)
+    total = lse(alphas[-1] + final_score, 0)
+
+    def bwd_step(beta, em_t):
+        # beta[i] = -log sum_j exp(-(w(i,j) + em_t[j] + beta[j]))
+        cand = beta[succ] + succ_score + em_t[succ]
+        new_beta = lse(cand, 1)
+        return new_beta, new_beta
+
+    beta_T = final_score
+    _, betas_rest = jax.lax.scan(bwd_step, beta_T, em[1:], reverse=True)
+    betas = jnp.concatenate([betas_rest, beta_T[None]])     # (T, N)
+
+    gamma = alphas + betas - total                          # -log posterior
+    return gamma, total
+
+
+class Aligner:
+    """Forced aligner over a StateGraph (Viterbi or Baum-Welch)."""
+
+    def __init__(self, graph: StateGraph):
+        self.graph = graph
+        self.packed = PackedGraph.from_graph(graph)
+        # successor packing for backward pass
+        n = graph.n_states
+        by_source: list = [[] for _ in range(n)]
+        for f, t, s in zip(graph.arcs_from, graph.arcs_to, graph.arcs_score):
+            by_source[int(f)].append((int(t), float(s)))
+        k = max((len(x) for x in by_source), default=1) or 1
+        succ = np.zeros((n, k), dtype=np.int32)
+        succ_score = np.full((n, k), BIG, dtype=np.float32)
+        for f, lst in enumerate(by_source):
+            for j, (t, s) in enumerate(lst):
+                succ[f, j] = t
+                succ_score[f, j] = s
+        self._succ = jnp.asarray(succ)
+        self._succ_score = jnp.asarray(succ_score)
+
+    def align(self, scores) -> Tuple[np.ndarray, np.ndarray, float]:
+        """Viterbi: scores (T, E) -> (state path, allophone-state labels,
+        total score)."""
+        p = self.packed
+        path, labels, total = _viterbi(p.pred, p.pred_score, p.emissions,
+                                       p.labels, p.initial_score,
+                                       p.final_score, jnp.asarray(scores))
+        return np.asarray(path), np.asarray(labels), float(total)
+
+    def emission_path(self, scores) -> np.ndarray:
+        """Viterbi path mapped to emission indices (for accumulation)."""
+        path, _, _ = self.align(scores)
+        return np.asarray(self.graph.emissions)[path]
+
+    def posteriors(self, scores) -> Tuple[np.ndarray, float]:
+        """Baum-Welch state posteriors: (T, N) probabilities, total score."""
+        p = self.packed
+        gamma, total = _forward_backward(
+            p.pred, p.pred_score, p.emissions,
+            jnp.asarray(p.n_states), self._succ, self._succ_score,
+            p.initial_score, p.final_score, jnp.asarray(scores))
+        return np.exp(-np.asarray(gamma)), float(total)
