@@ -1,0 +1,210 @@
+"""Device-side CTC decoding: greedy and prefix beam search.
+
+The reference's lexiconfree time-synchronous beam search
+(src/Search/LexiconfreeTimesyncBeamSearch, doc/search_v2.rst:183-330)
+extends hypotheses label-by-label on the host with scoring callbacks.  The
+TPU-native fast path keeps the ENTIRE search on device: one `lax.scan` over
+time carrying a fixed-width beam of prefixes, with top-k pruning per step —
+no host round-trips, batched over utterances.
+
+Semantics (matching the reference blank/loop handling,
+src/Nn/LabelScorer/TransitionTypes.hh):
+  * blank extends a prefix without emitting (BLANK_LOOP / LABEL_TO_BLANK),
+  * repeating the last nonblank label without an intervening blank is a
+    LABEL_LOOP (collapsed, stays on the same prefix),
+  * a label after blank — or a different label — emits (LABEL_TO_LABEL).
+
+Internally log-probabilities (higher = better); returned scores are
+negative log-probs per framework convention.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+NEG_INF = -1e30
+# pair of independent uint32 rolling hashes (x64 is disabled in JAX by
+# default, so a single 64-bit hash is unavailable); collision probability
+# per candidate pair ~2^-64
+_H1_OFFSET = np.uint32(2166136261)
+_H1_PRIME = np.uint32(16777619)
+_H2_OFFSET = np.uint32(0x9E3779B9)
+_H2_PRIME = np.uint32(0x85EBCA6B)
+
+
+@jax.jit
+def ctc_greedy(log_probs: jnp.ndarray, lengths: jnp.ndarray,
+               blank: int = 0) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched greedy decode: (B, T, V) log-probs -> (B, T) label sequences
+    with blanks/repeats collapsed (-1 padded), plus per-sequence lengths."""
+    best = jnp.argmax(log_probs, axis=-1)                     # (B, T)
+    T = best.shape[1]
+    valid = jnp.arange(T)[None, :] < lengths[:, None]
+    prev = jnp.concatenate([jnp.full_like(best[:, :1], -1), best[:, :-1]],
+                           axis=1)
+    emit = (best != blank) & (best != prev) & valid
+    # stable-compact emitted labels to the front
+    order = jnp.argsort(~emit, axis=1, stable=True)
+    gathered = jnp.take_along_axis(best, order, axis=1)
+    emitted = jnp.take_along_axis(emit, order, axis=1)
+    labels = jnp.where(emitted, gathered, -1).astype(jnp.int32)
+    return labels, jnp.sum(emit, axis=1).astype(jnp.int32)
+
+
+def _segment_logsumexp_rows(scores: jnp.ndarray, run_id: jnp.ndarray,
+                            num_segments: int) -> jnp.ndarray:
+    """Row-wise (vmapped) segment-logsumexp: combine scores within runs.
+    Returns per-element combined score of its run."""
+
+    def per_row(s, rid):
+        m = jax.ops.segment_max(s, rid, num_segments=num_segments)
+        safe_m = jnp.where(jnp.isfinite(m), m, 0.0)
+        e = jnp.exp(s - safe_m[rid])
+        tot = jax.ops.segment_sum(e, rid, num_segments=num_segments)
+        comb = jnp.where(tot > 0, jnp.log(jnp.maximum(tot, 1e-37)) + safe_m,
+                         NEG_INF)
+        return comb[rid]
+
+    return jax.vmap(per_row)(scores, run_id)
+
+
+@partial(jax.jit, static_argnames=("beam", "topk", "blank"))
+def ctc_prefix_beam(log_probs: jnp.ndarray, lengths: jnp.ndarray,
+                    beam: int = 8, topk: int = 16, blank: int = 0,
+                    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Batched CTC prefix beam search, fully on device.
+
+    log_probs: (B, T, V); lengths: (B,).  Keeps `beam` prefixes per
+    utterance; per frame each prefix considers staying (blank/label-loop)
+    plus extension by the frame's top-`topk` labels.  Duplicate prefixes
+    recombine exactly (pb/pnb merged separately) via rolling content hashes.
+
+    Returns (labels (B, beam, T) int32 -1-padded, lengths (B, beam),
+    scores (B, beam) = -log p(prefix)), best first.
+    """
+    B, T, V = log_probs.shape
+    K = beam + beam * topk  # candidate pool: stays + extends
+
+    def init_state():
+        labels = jnp.full((B, beam, T), -1, jnp.int32)
+        n = jnp.zeros((B, beam), jnp.int32)
+        last = jnp.full((B, beam), -1, jnp.int32)
+        pb = jnp.full((B, beam), NEG_INF, jnp.float32).at[:, 0].set(0.0)
+        pnb = jnp.full((B, beam), NEG_INF, jnp.float32)
+        h1 = jnp.zeros((B, beam), jnp.uint32).at[:, 0].set(_H1_OFFSET)
+        h2 = jnp.zeros((B, beam), jnp.uint32).at[:, 0].set(_H2_OFFSET)
+        return labels, n, last, pb, pnb, h1, h2
+
+    def step(state, inputs):
+        labels, n, last, pb, pnb, h1, h2 = state
+        lp_t, t_valid = inputs                         # (B, V), (B,)
+        total = jnp.logaddexp(pb, pnb)                 # (B, beam)
+
+        # ---- stay candidates (one per beam): same prefix ------------------
+        lp_blank = lp_t[:, blank][:, None]
+        stay_pb = total + lp_blank                                  # blank
+        lp_last = jnp.take_along_axis(lp_t, jnp.maximum(last, 0), axis=1)
+        stay_pnb = jnp.where(last >= 0, pnb + lp_last, NEG_INF)     # label loop
+
+        # ---- extend candidates (beam x topk): prefix + v -------------------
+        # blank never extends (it is the stay path) — mask it out
+        lp_nonblank = lp_t.at[:, blank].set(NEG_INF)
+        cand_lp, cand_v = jax.lax.top_k(lp_nonblank, topk)    # (B, topk)
+        v_eq_last = cand_v[:, None, :] == last[:, :, None]          # (B,bm,tk)
+        base = jnp.where(v_eq_last, pb[:, :, None], total[:, :, None])
+        ext_pnb = base + cand_lp[:, None, :]                        # (B,bm,tk)
+
+        # ---- candidate pool ------------------------------------------------
+        cand_pb = jnp.concatenate(
+            [stay_pb, jnp.full((B, beam * topk), NEG_INF)], axis=1)
+        cand_pnb = jnp.concatenate(
+            [stay_pnb, ext_pnb.reshape(B, -1)], axis=1)
+        is_extend = jnp.concatenate(
+            [jnp.zeros((B, beam), bool), jnp.ones((B, beam * topk), bool)],
+            axis=1)
+        src_beam = jnp.concatenate(
+            [jnp.tile(jnp.arange(beam)[None, :], (B, 1)),
+             jnp.tile(jnp.repeat(jnp.arange(beam), topk)[None, :], (B, 1))],
+            axis=1)
+        ext_label = cand_v[:, None, :].repeat(beam, 1).reshape(B, -1)
+        new_label = jnp.concatenate(
+            [jnp.full((B, beam), -1, jnp.int32), ext_label], axis=1)
+
+        lab_u = new_label.astype(jnp.uint32) + jnp.uint32(1)
+        src_h1 = jnp.take_along_axis(h1, src_beam, axis=1)
+        src_h2 = jnp.take_along_axis(h2, src_beam, axis=1)
+        cand_h1 = jnp.where(is_extend, (src_h1 * _H1_PRIME) ^ lab_u, src_h1)
+        cand_h2 = jnp.where(is_extend, (src_h2 * _H2_PRIME) ^ lab_u, src_h2)
+        # NOTE: merging a dead (NEG_INF) candidate into a live run is
+        # harmless (adds exp(NEG_INF) = 0), so no dead-marking needed.
+
+        # ---- exact recombination: merge pb/pnb within equal-hash runs -----
+        # lexicographic sort by (h1, h2): stable sort by h2 then by h1
+        order2 = jnp.argsort(cand_h2, axis=1, stable=True)
+        h1_o2 = jnp.take_along_axis(cand_h1, order2, axis=1)
+        order1 = jnp.argsort(h1_o2, axis=1, stable=True)
+        order = jnp.take_along_axis(order2, order1, axis=1)
+        sh1 = jnp.take_along_axis(cand_h1, order, axis=1)
+        sh2 = jnp.take_along_axis(cand_h2, order, axis=1)
+        s_pb = jnp.take_along_axis(cand_pb, order, axis=1)
+        s_pnb = jnp.take_along_axis(cand_pnb, order, axis=1)
+        new_run = jnp.concatenate(
+            [jnp.ones((B, 1), bool),
+             (sh1[:, 1:] != sh1[:, :-1]) | (sh2[:, 1:] != sh2[:, :-1])],
+            axis=1)
+        run_id = jnp.cumsum(new_run, axis=1) - 1                    # (B, K)
+        m_pb = _segment_logsumexp_rows(s_pb, run_id, K)
+        m_pnb = _segment_logsumexp_rows(s_pnb, run_id, K)
+        m_total = jnp.logaddexp(m_pb, m_pnb)
+        # only the first candidate of each run survives
+        m_total = jnp.where(new_run, m_total, NEG_INF)
+
+        # ---- prune to beam ---------------------------------------------------
+        top_score, top_pos = jax.lax.top_k(m_total, beam)           # (B, beam)
+        sel = jnp.take_along_axis(order, top_pos, axis=1)           # cand idx
+        sel_pb = jnp.take_along_axis(m_pb, top_pos, axis=1)
+        sel_pnb = jnp.take_along_axis(m_pnb, top_pos, axis=1)
+        sel_src = jnp.take_along_axis(src_beam, sel, axis=1)
+        sel_ext = jnp.take_along_axis(is_extend, sel, axis=1)
+        sel_lab = jnp.take_along_axis(new_label, sel, axis=1)
+        sel_h1 = jnp.take_along_axis(cand_h1, sel, axis=1)
+        sel_h2 = jnp.take_along_axis(cand_h2, sel, axis=1)
+
+        # ---- rebuild state ----------------------------------------------------
+        new_labels = jnp.take_along_axis(
+            labels, sel_src[:, :, None].repeat(T, 2), axis=1)
+        new_n = jnp.take_along_axis(n, sel_src, axis=1)
+        new_last = jnp.take_along_axis(last, sel_src, axis=1)
+        app_pos = jnp.clip(new_n, 0, T - 1)
+        write_mask = (sel_ext[:, :, None]
+                      & (jnp.arange(T)[None, None, :] == app_pos[:, :, None]))
+        new_labels = jnp.where(write_mask, sel_lab[:, :, None], new_labels)
+        new_n = jnp.where(sel_ext, new_n + 1, new_n)
+        new_last = jnp.where(sel_ext, sel_lab, new_last)
+
+        # ---- freeze past end of sequence --------------------------------------
+        frozen = ~t_valid[:, None]
+        new_labels = jnp.where(frozen[:, :, None], labels, new_labels)
+        out = (jnp.where(frozen, n, new_n),
+               jnp.where(frozen, last, new_last),
+               jnp.where(frozen, pb, sel_pb),
+               jnp.where(frozen, pnb, sel_pnb),
+               jnp.where(frozen, h1, sel_h1),
+               jnp.where(frozen, h2, sel_h2))
+        return (new_labels, *out), None
+
+    t_valid = (jnp.arange(T)[None, :] < lengths[:, None]).T        # (T, B)
+    state, _ = jax.lax.scan(step, init_state(),
+                            (jnp.moveaxis(log_probs, 0, 1), t_valid))
+    labels, n, last, pb, pnb, h1, h2 = state
+    total = jnp.logaddexp(pb, pnb)
+    order = jnp.argsort(-total, axis=1)
+    labels = jnp.take_along_axis(labels, order[:, :, None], axis=1)
+    n = jnp.take_along_axis(n, order, axis=1)
+    total = jnp.take_along_axis(total, order, axis=1)
+    return labels, n, -total
