@@ -1,0 +1,127 @@
+"""FSA algorithm tests: sssp, best path, n-best, determinize, compose,
+epsilon removal, prune — small hand-verified cases."""
+
+import math
+
+import pytest
+
+from rasr_tpu.fsa import (EPS, INF, LOG, Automaton, best_path, compose,
+                          connect, determinize, linear_automaton, n_best,
+                          prune, remove_epsilons, sssp)
+
+
+def diamond():
+    """0 -a(1)-> 1 -c(1)-> 3(final), 0 -b(3)-> 2 -c(0)-> 3."""
+    f = Automaton()
+    for _ in range(4):
+        f.add_state()
+    f.add_arc(0, 1, 1, weight=1.0)
+    f.add_arc(0, 2, 2, weight=3.0)
+    f.add_arc(1, 3, 3, weight=1.0)
+    f.add_arc(2, 3, 3, weight=0.0)
+    f.set_final(3, 0.5)
+    return f
+
+
+class TestBasics:
+    def test_sssp_forward(self):
+        d = sssp(diamond())
+        assert d == [0.0, 1.0, 3.0, 2.0]
+
+    def test_sssp_backward(self):
+        d = sssp(diamond(), backward=True)
+        assert d == [2.5, 1.5, 0.5, 0.5]
+
+    def test_best_path(self):
+        ilabels, olabels, score = best_path(diamond())
+        assert ilabels == [1, 3]
+        assert abs(score - 2.5) < 1e-9
+
+    def test_accepts(self):
+        f = diamond()
+        assert abs(f.accepts([1, 3]) - 2.5) < 1e-9
+        assert abs(f.accepts([2, 3]) - 3.5) < 1e-9
+        assert f.accepts([1, 2]) == INF
+
+    def test_n_best(self):
+        paths = n_best(diamond(), 3)
+        assert len(paths) == 2
+        assert paths[0] == ([1, 3], 2.5)
+        assert paths[1] == ([2, 3], 3.5)
+
+    def test_linear(self):
+        f = linear_automaton([5, 6, 7], [0.1, 0.2, 0.3])
+        assert abs(f.accepts([5, 6, 7]) - 0.6) < 1e-9
+
+
+class TestLogSemiring:
+    def test_log_sssp_sums_paths(self):
+        f = diamond()
+        f.semiring = LOG
+        d = sssp(f, backward=True)
+        # state 0: two paths with total scores 2.5 and 3.5
+        expected = -math.log(math.exp(-2.5) + math.exp(-3.5))
+        assert abs(d[0] - expected) < 1e-9
+
+
+class TestTransforms:
+    def test_connect_removes_dead_states(self):
+        f = diamond()
+        dead = f.add_state()
+        f.add_arc(1, dead, 9, weight=0.0)  # dead end
+        out = connect(f)
+        assert out.n_states == 4
+        assert abs(out.accepts([1, 3]) - 2.5) < 1e-9
+
+    def test_prune(self):
+        out = prune(diamond(), threshold=0.5)
+        # only the best path (2.5) survives; second path is at 3.5
+        assert out.accepts([1, 3]) < INF
+        assert out.accepts([2, 3]) == INF
+
+    def test_remove_epsilons(self):
+        f = Automaton()
+        for _ in range(4):
+            f.add_state()
+        f.add_arc(0, 1, EPS, weight=0.5)
+        f.add_arc(1, 2, 7, weight=1.0)
+        f.add_arc(2, 3, EPS, weight=0.25)
+        f.set_final(3)
+        out = remove_epsilons(f)
+        assert abs(out.accepts([7]) - 1.75) < 1e-9
+        for s in range(out.n_states):
+            for arc in out.arcs[s]:
+                assert arc.ilabel != EPS
+
+    def test_determinize(self):
+        f = Automaton()
+        for _ in range(4):
+            f.add_state()
+        # two arcs with same label from initial
+        f.add_arc(0, 1, 5, weight=1.0)
+        f.add_arc(0, 2, 5, weight=2.0)
+        f.add_arc(1, 3, 6, weight=0.0)
+        f.add_arc(2, 3, 7, weight=0.0)
+        f.set_final(3)
+        out = determinize(f)
+        # deterministic: one arc per label per state
+        for s in range(out.n_states):
+            labels = [a.ilabel for a in out.arcs[s]]
+            assert len(labels) == len(set(labels))
+        assert abs(out.accepts([5, 6]) - 1.0) < 1e-9
+        assert abs(out.accepts([5, 7]) - 2.0) < 1e-9
+
+    def test_compose(self):
+        # a: maps 1->10 ; b: maps 10->100
+        a = Automaton()
+        a.add_state(); a.add_state()
+        a.add_arc(0, 1, 1, 10, 0.5)
+        a.set_final(1)
+        b = Automaton()
+        b.add_state(); b.add_state()
+        b.add_arc(0, 1, 10, 100, 0.25)
+        b.set_final(1)
+        c = compose(a, b)
+        ilabels, olabels, score = best_path(c)
+        assert ilabels == [1] and olabels == [100]
+        assert abs(score - 0.75) < 1e-9
