@@ -170,11 +170,13 @@ class FlowPipeline:
         streams: Dict[str, Stream] = {}
         for k, v in inputs.items():
             if isinstance(v, Stream):
-                streams[k] = v
+                start_time = v.start_time or start_time
+                # trace with zero start; the offset is re-applied per call
+                streams[k] = v.with_data(v.data, start_time=0.0)
             else:
                 arr = jnp.asarray(v)
                 streams[k] = Stream(arr, sample_rate=sample_rate,
-                                    start_time=start_time)
+                                    start_time=0.0)
         if not self.jit:
             return self._trace(streams)
 
@@ -195,7 +197,9 @@ class FlowPipeline:
             self._compiled[key] = (jitted, dict(meta_out))
         jitted, meta = self._compiled[key]
         arrays = jitted({k: s.data for k, s in streams.items()})
-        return {k: meta[k].with_data(arrays[k]) for k in arrays}
+        return {k: meta[k].with_data(
+            arrays[k], start_time=meta[k].start_time + start_time)
+            for k in arrays}
 
 
 def compile_network(path_or_def, params: Optional[Dict[str, str]] = None,

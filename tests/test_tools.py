@@ -1,0 +1,152 @@
+"""Tool-level integration tests: feature-extraction over a real corpus XML
+with WAV audio into a RASR-format cache archive; archiver round trip;
+feature cache byte format."""
+
+import os
+import struct
+import textwrap
+
+import numpy as np
+import pytest
+
+from rasr_tpu.audio.reader import read_wav, write_wav
+from rasr_tpu.speech.feature_cache import (FeatureCacheReader,
+                                           FeatureCacheWriter, pack_features,
+                                           unpack_features)
+from rasr_tpu.tools.archiver import main as archiver_main
+from rasr_tpu.tools.feature_extraction import main as fe_main
+
+
+@pytest.fixture
+def setup_corpus(tmp_path):
+    rng = np.random.default_rng(0)
+    sr = 16000
+    wav1 = tmp_path / "rec1.wav"
+    write_wav(str(wav1), (rng.standard_normal(sr) * 1000), sr)
+    corpus = tmp_path / "corpus.xml"
+    corpus.write_text(textwrap.dedent(f"""\
+        <corpus name="mini">
+          <recording name="rec1" audio="rec1.wav">
+            <segment name="s1" start="0.0" end="0.5"><orth>X</orth></segment>
+            <segment name="s2" start="0.5" end="1.0"><orth>Y</orth></segment>
+          </recording>
+        </corpus>
+    """))
+    flow = tmp_path / "mfcc.flow"
+    flow.write_text(textwrap.dedent("""\
+        <network name="mfcc">
+          <in name="samples"/>
+          <out name="features"/>
+          <param name="nr-cepstrum-coefficients"/>
+          <node name="preemphasis" filter="signal-preemphasis" alpha="1.00"/>
+          <link from="mfcc:samples" to="preemphasis"/>
+          <node name="window" filter="signal-window" type="hamming"
+                shift=".01" length="0.025"/>
+          <link from="preemphasis" to="window"/>
+          <node name="fft" filter="signal-real-fast-fourier-transform"
+                maximum-input-size="0.025"/>
+          <link from="window" to="fft"/>
+          <node name="amp" filter="signal-vector-alternating-complex-f32-amplitude"/>
+          <link from="fft" to="amp"/>
+          <node name="filterbank" filter="signal-filterbank"
+                warping-function="mel" filter-width="268.258"/>
+          <link from="amp" to="filterbank"/>
+          <node name="nonlinear" filter="generic-vector-f32-log"/>
+          <link from="filterbank" to="nonlinear"/>
+          <node name="cepstrum" filter="signal-cosine-transform"
+                nr-outputs="$(nr-cepstrum-coefficients)"/>
+          <link from="nonlinear" to="cepstrum"/>
+          <link from="cepstrum" to="mfcc:features"/>
+        </network>
+    """))
+    config = tmp_path / "fe.config"
+    config.write_text(textwrap.dedent(f"""\
+        [*.corpus]
+        file = {corpus}
+        [*.feature-extraction]
+        file = {flow}
+        nr-cepstrum-coefficients = 16
+        cache-path = {tmp_path}/features.cache
+    """))
+    return tmp_path, config
+
+
+class TestWav:
+    def test_roundtrip(self, tmp_path):
+        sr = 16000
+        samples = (np.sin(np.arange(sr) * 0.01) * 10000).astype(np.float32)
+        p = str(tmp_path / "t.wav")
+        write_wav(p, samples, sr)
+        back, got_sr = read_wav(p)
+        assert got_sr == sr
+        np.testing.assert_allclose(back, np.round(samples), atol=1.0)
+
+    def test_segment_extraction(self, tmp_path):
+        sr = 16000
+        samples = np.arange(sr, dtype=np.float32)
+        p = str(tmp_path / "t.wav")
+        write_wav(p, samples, sr)
+        seg, _ = read_wav(p, start_time=0.25, end_time=0.5)
+        assert len(seg) == sr // 4
+        assert seg[0] == 4000.0
+
+
+class TestFeatureCache:
+    def test_pack_format(self):
+        feats = np.arange(6, dtype=np.float32).reshape(2, 3)
+        data = pack_features(feats, [0.0, 0.01], [0.025, 0.035])
+        # string header
+        (nlen,) = struct.unpack_from("<I", data, 0)
+        assert data[4:4 + nlen] == b"vector-f32"
+        (n,) = struct.unpack_from("<I", data, 4 + nlen)
+        assert n == 2
+        back, starts, ends = unpack_features(data)
+        np.testing.assert_array_equal(back, feats)
+        np.testing.assert_allclose(starts, [0.0, 0.01])
+        np.testing.assert_allclose(ends, [0.025, 0.035])
+
+    def test_archive_roundtrip(self, tmp_path):
+        p = str(tmp_path / "f.cache")
+        feats = np.random.default_rng(0).standard_normal((50, 16)).astype(np.float32)
+        with FeatureCacheWriter(p) as w:
+            w.write("corpus/rec/seg1", feats)
+        with FeatureCacheReader(p) as r:
+            assert r.keys() == ["corpus/rec/seg1"]
+            back, starts, ends = r.read("corpus/rec/seg1")
+            np.testing.assert_array_equal(back, feats)
+            assert abs(starts[1] - 0.01) < 1e-9
+
+
+class TestFeatureExtractionTool:
+    def test_end_to_end(self, setup_corpus):
+        tmp_path, config = setup_corpus
+        status = fe_main([f"--config={config}"])
+        assert status == 0
+        with FeatureCacheReader(str(tmp_path / "features.cache")) as r:
+            keys = sorted(r.keys())
+            assert keys == ["mini/rec1/s1", "mini/rec1/s2"]
+            feats, starts, ends = r.read("mini/rec1/s1")
+            # 0.5s at 16kHz = 8000 samples -> ceil((8000-400)/160)+1 = 49 frames
+            assert feats.shape == (49, 16)
+            assert np.isfinite(feats).all()
+            # timestamps offset by the segment start
+            f2, s2, _ = r.read("mini/rec1/s2")
+            assert abs(s2[0] - 0.5) < 1e-9
+
+    def test_partitioned_extraction_combines(self, setup_corpus, capsys):
+        """Two partition jobs + archiver copy == full run (the reference
+        distributed workflow)."""
+        tmp_path, config = setup_corpus
+        for part in range(2):
+            fe_main([f"--config={config}",
+                     "--*.corpus.partition=2",
+                     f"--*.corpus.select-partition={part}",
+                     f"--*.feature-extraction.cache-path={tmp_path}/part{part}.cache"])
+        archiver_main(["copy", f"{tmp_path}/part0.cache",
+                       f"{tmp_path}/part1.cache", f"{tmp_path}/combined.cache"])
+        fe_main([f"--config={config}"])
+        with FeatureCacheReader(f"{tmp_path}/combined.cache") as a, \
+                FeatureCacheReader(f"{tmp_path}/features.cache") as b:
+            assert sorted(a.keys()) == sorted(b.keys())
+            for k in a.keys():
+                np.testing.assert_array_equal(a.features(k), b.features(k))
