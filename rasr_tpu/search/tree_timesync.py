@@ -1,0 +1,268 @@
+"""Tree time-synchronous beam search (lexicon-constrained, search v2).
+
+Re-creates the reference TreeTimesyncBeamSearch
+(src/Search/TreeTimesyncBeamSearch/TreeTimesyncBeamSearch.cc:509 decodeStep:
+batched score request -> extensions over tree successors -> pruning ->
+recombination on (tree state, scoring context, LM history)) and the
+CTC tree builder (src/Search/TreeBuilder.hh:260 CtcTreeBuilder): a lexical
+prefix tree over pronunciations whose arc labels are the label-scorer's
+output tokens; word identities attach to tree nodes; an (optionally
+scaled) word-level LM scores at word ends.
+
+Host keeps the pointer-heavy tree/beam bookkeeping; the device provides one
+batched (beam, V) score matrix per frame (the reference's ONNX-session
+boundary becomes a jitted encoder call).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field, replace
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..bliss.lexicon import Lexicon
+from ..lm.arpa import LanguageModel
+from ..nn.label_scorer import LabelScorer, ScoringContext, TransitionType
+from .lexiconfree_timesync import TracebackItem
+
+
+@dataclass
+class TreeNode:
+    token: int = -1                      # arc label entering this node
+    children: Dict[int, int] = field(default_factory=dict)  # token -> node id
+    word_ends: List[Tuple[int, float]] = field(default_factory=list)
+    # word_ends: (lemma id, pronunciation score)
+
+
+class PrefixTree:
+    """Lexical prefix tree over pronunciations; token ids are phoneme ids
+    mapped through `token_of_phoneme` (identity by default: vocab-text
+    lexica have phoneme id == label id + 1)."""
+
+    def __init__(self, lexicon: Lexicon,
+                 token_of_phoneme=None,
+                 skip_special: bool = True):
+        self.nodes: List[TreeNode] = [TreeNode()]
+        self.lexicon = lexicon
+        tok = token_of_phoneme or (lambda pid: pid - 1)
+        for lemma in lexicon.lemmas:
+            if skip_special and lemma.special:
+                continue
+            for lp in lemma.pronunciations:
+                tokens = [tok(p) for p in lp.pronunciation.phonemes]
+                if not tokens:
+                    continue
+                node = 0
+                for t in tokens:
+                    nxt = self.nodes[node].children.get(t)
+                    if nxt is None:
+                        nxt = len(self.nodes)
+                        self.nodes.append(TreeNode(token=t))
+                        self.nodes[node].children[t] = nxt
+                    node = nxt
+                self.nodes[node].word_ends.append((lemma.id, lp.score))
+
+    @property
+    def root(self) -> int:
+        return 0
+
+    def successors(self, node: int) -> Dict[int, int]:
+        return self.nodes[node].children
+
+    def word_ends(self, node: int) -> List[Tuple[int, float]]:
+        return self.nodes[node].word_ends
+
+
+@dataclass
+class TreeHypothesis:
+    node: int
+    context: ScoringContext
+    lm_history: tuple
+    words: Tuple[int, ...] = ()
+    score: float = 0.0
+    last_label: int = -1
+    is_blank_last: bool = True
+    traceback: Tuple[TracebackItem, ...] = ()
+
+
+class TreeTimesyncBeamSearch:
+    """SearchAlgorithmV2-compatible lexicon-constrained search."""
+
+    def __init__(self, scorer: LabelScorer, lexicon: Lexicon,
+                 lm: Optional[LanguageModel] = None,
+                 lm_scale: float = 1.0,
+                 beam_size: int = 16,
+                 word_end_beam_size: Optional[int] = None,
+                 score_threshold: float = math.inf,
+                 blank_index: int = 0,
+                 collapse_repeated: bool = True,
+                 token_of_phoneme=None,
+                 sentence_end_fallback: bool = True):
+        self.scorer = scorer
+        self.lexicon = lexicon
+        self.tree = PrefixTree(lexicon, token_of_phoneme=token_of_phoneme)
+        self.lm = lm
+        self.lm_scale = lm_scale
+        self.beam_size = beam_size
+        self.word_end_beam = word_end_beam_size or beam_size
+        self.score_threshold = score_threshold
+        self.blank = blank_index
+        self.collapse_repeated = collapse_repeated
+        self.sentence_end_fallback = sentence_end_fallback
+        self._orth_of_lemma = {l.id: l.preferred_orth
+                               for l in lexicon.lemmas}
+        self.enter_segment()
+
+    # -- segment control ------------------------------------------------------
+
+    def enter_segment(self) -> None:
+        self.scorer.reset()
+        h0 = TreeHypothesis(
+            node=self.tree.root,
+            context=self.scorer.get_initial_scoring_context(),
+            lm_history=self.lm.initial_history() if self.lm else ())
+        self._beam: List[TreeHypothesis] = [h0]
+        self._step = 0
+
+    def put_feature(self, feature) -> None:
+        self.scorer.add_input(np.asarray(feature, dtype=np.float32))
+
+    def put_features(self, features) -> None:
+        self.scorer.add_inputs(np.asarray(features, dtype=np.float32))
+
+    def finish_segment(self) -> None:
+        self.scorer.signal_segment_end()
+        self.decode_many_steps()
+
+    # -- decoding ----------------------------------------------------------------
+
+    def _lm_score(self, history, lemma_id: int) -> Tuple[float, tuple]:
+        if self.lm is None:
+            return 0.0, history
+        lemma = self.lexicon.lemmas[lemma_id]
+        score = 0.0
+        h = history
+        for tok in lemma.syntactic_tokens:
+            score += self.lm_scale * self.lm.score(h, tok)
+            h = self.lm.extended_history(h, tok)
+        return score, h
+
+    def decode_step(self) -> bool:
+        scores = self.scorer.score_batch([h.context for h in self._beam])
+        if scores is None:
+            return False
+        candidates: Dict[Tuple, TreeHypothesis] = {}
+
+        def offer(h: TreeHypothesis):
+            key = (h.node, h.lm_history, h.words, h.last_label if not
+                   h.is_blank_last else -1)
+            prev = candidates.get(key)
+            if prev is None or h.score < prev.score:
+                candidates[key] = h
+
+        for bi, hyp in enumerate(self._beam):
+            row = scores[bi]
+            # blank: stay on node
+            if self.blank >= 0:
+                ttype = (TransitionType.BLANK_LOOP if hyp.is_blank_last
+                         else TransitionType.LABEL_TO_BLANK)
+                ctx = self.scorer.extended_scoring_context(
+                    hyp.context, self.blank, ttype)
+                offer(replace(hyp, context=ctx,
+                              score=hyp.score + float(row[self.blank]),
+                              is_blank_last=True))
+            # label loop: repeat last label without advancing the tree
+            if (self.collapse_repeated and not hyp.is_blank_last
+                    and hyp.last_label >= 0):
+                ctx = self.scorer.extended_scoring_context(
+                    hyp.context, hyp.last_label, TransitionType.LABEL_LOOP)
+                offer(replace(hyp, context=ctx,
+                              score=hyp.score + float(row[hyp.last_label])))
+            # tree successors: advance with a (new) label
+            for token, child in self.tree.successors(hyp.node).items():
+                if token == self.blank:
+                    continue
+                if (self.collapse_repeated and not hyp.is_blank_last
+                        and token == hyp.last_label):
+                    continue  # would be a loop, handled above
+                ttype = (TransitionType.BLANK_TO_LABEL if hyp.is_blank_last
+                         else TransitionType.LABEL_TO_LABEL)
+                ctx = self.scorer.extended_scoring_context(hyp.context, token,
+                                                           ttype)
+                new_score = hyp.score + float(row[token])
+                tb = hyp.traceback + (TracebackItem(
+                    token, new_score, self._step, self._step + 1),)
+                advanced = TreeHypothesis(
+                    node=child, context=ctx, lm_history=hyp.lm_history,
+                    words=hyp.words, score=new_score, last_label=token,
+                    is_blank_last=False, traceback=tb)
+                offer(advanced)
+                # word ends at the child: emit word(s), jump to root
+                for lemma_id, pron_score in self.tree.word_ends(child):
+                    lm_s, new_hist = self._lm_score(hyp.lm_history, lemma_id)
+                    offer(replace(
+                        advanced,
+                        node=self.tree.root,
+                        lm_history=new_hist,
+                        words=hyp.words + (lemma_id,),
+                        score=new_score + pron_score + lm_s))
+
+        hyps = sorted(candidates.values(), key=lambda h: h.score)
+        if not hyps:
+            return False
+        best = hyps[0].score
+        hyps = [h for h in hyps if h.score <= best + self.score_threshold]
+        # separate beams for within-word and word-end hypotheses
+        word_end = [h for h in hyps if h.node == self.tree.root]
+        in_word = [h for h in hyps if h.node != self.tree.root]
+        self._beam = sorted(word_end[:self.word_end_beam]
+                            + in_word[:self.beam_size],
+                            key=lambda h: h.score)
+        self._step += 1
+        return True
+
+    def decode_many_steps(self) -> int:
+        steps = 0
+        while self.decode_step():
+            steps += 1
+        return steps
+
+    # -- results --------------------------------------------------------------
+
+    def best(self) -> TreeHypothesis:
+        done = [h for h in self._beam if h.node == self.tree.root]
+        pool = done or self._beam
+        if self.lm is not None and self.sentence_end_fallback:
+            def final_score(h):
+                return h.score + self.lm_scale * self.lm.sentence_end_score(
+                    h.lm_history)
+            return min(pool, key=final_score)
+        return min(pool, key=lambda h: h.score)
+
+    def get_current_best_labels(self) -> List[int]:
+        return list(self.best().words)
+
+    def get_current_best_words(self) -> List[str]:
+        return [self._orth_of_lemma.get(w, f"<{w}>")
+                for w in self.best().words]
+
+    def get_current_best_traceback(self) -> List[TracebackItem]:
+        return list(self.best().traceback)
+
+    def n_best(self, n: int) -> List[TreeHypothesis]:
+        return sorted(self._beam, key=lambda h: h.score)[:n]
+
+    def recognize_segment(self, features) -> List[str]:
+        self.enter_segment()
+        self.put_features(features)
+        self.finish_segment()
+        return self.get_current_best_words()
+
+    def create_lattice(self):
+        """Word lattice from the final beam (prefix-merged n-best paths)."""
+        from ..lattice.word_lattice import lattice_from_nbest
+        hyps = self.n_best(len(self._beam))
+        entries = [(h.words, h.score, 0.0) for h in hyps]
+        return lattice_from_nbest(entries, words=self._orth_of_lemma)

@@ -1,0 +1,187 @@
+"""Tree time-synchronous search + word lattice tests: lexicon-constrained
+decoding with a word LM over synthetic CTC posteriors."""
+
+import math
+import textwrap
+
+import numpy as np
+import pytest
+
+from rasr_tpu.bliss.lexicon import Lexicon
+from rasr_tpu.lattice.word_lattice import WordLattice, lattice_from_nbest
+from rasr_tpu.lm import ArpaLm, Zerogram
+from rasr_tpu.nn.label_scorer import NoOpLabelScorer
+from rasr_tpu.search.tree_timesync import PrefixTree, TreeTimesyncBeamSearch
+
+# labels: 0=blank, 1=a, 2=b, 3=c
+LEXICON_XML = textwrap.dedent("""\
+    <lexicon>
+      <phoneme-inventory>
+        <phoneme><symbol>blank</symbol><variation>none</variation></phoneme>
+        <phoneme><symbol>a</symbol></phoneme>
+        <phoneme><symbol>b</symbol></phoneme>
+        <phoneme><symbol>c</symbol></phoneme>
+      </phoneme-inventory>
+      <lemma special="blank"><orth>[blank]</orth><phon>blank</phon></lemma>
+      <lemma><orth>AB</orth><phon>a b</phon></lemma>
+      <lemma><orth>ABC</orth><phon>a b c</phon></lemma>
+      <lemma><orth>CA</orth><phon>c a</phon></lemma>
+    </lexicon>
+""")
+
+ARPA = """\
+\\data\\
+ngram 1=5
+
+\\1-grams:
+-0.5\t</s>
+-99\t<s>
+-0.3\tAB
+-0.9\tABC
+-0.6\tCA
+
+\\end\\
+"""
+
+
+@pytest.fixture
+def lexicon(tmp_path):
+    p = tmp_path / "lex.xml"
+    p.write_text(LEXICON_XML)
+    lex = Lexicon()
+    lex.load(str(p))
+    return lex
+
+
+def posteriors_for(tokens, V=4, frames_per_token=3, p=0.95):
+    """Synthetic log-posterior matrix: each token dominant for a few frames,
+    blank frames between tokens."""
+    rows = []
+    other = (1 - p) / (V - 1)
+    for t in tokens:
+        for _ in range(frames_per_token):
+            row = np.full(V, other)
+            row[t] = p
+            rows.append(row)
+        blank_row = np.full(V, other)
+        blank_row[0] = p
+        rows.append(blank_row)
+    return np.log(np.asarray(rows, dtype=np.float32))
+
+
+class TestPrefixTree:
+    def test_structure(self, lexicon):
+        tree = PrefixTree(lexicon)
+        # token mapping: phoneme id - 1 (blank=1 -> 0, a=2 -> 1, b -> 2, c -> 3)
+        # root -a-> n1 -b-> n2(AB) -c-> n3(ABC); root -c-> n4 -a-> n5(CA)
+        assert set(tree.successors(0).keys()) == {1, 3}
+
+    def test_word_ends(self, lexicon):
+        tree = PrefixTree(lexicon)
+        n_a = tree.successors(0)[1]     # token 1 = 'a'
+        n_ab = tree.successors(n_a)[2]  # token 2 = 'b'
+        ends = tree.word_ends(n_ab)
+        assert len(ends) == 1
+        lemma_id = ends[0][0]
+        assert lexicon.lemmas[lemma_id].preferred_orth == "AB"
+
+
+class TestTreeSearch:
+    def make_search(self, lexicon, lm=None, **kw):
+        scorer = NoOpLabelScorer(n_labels=4)
+        return TreeTimesyncBeamSearch(scorer, lexicon, lm=lm, beam_size=16,
+                                      blank_index=0, **kw)
+
+    def test_single_word(self, lexicon):
+        search = self.make_search(lexicon)
+        lp = posteriors_for([1, 2])  # a b -> "AB"
+        search.enter_segment()
+        search.put_features(lp)
+        search.finish_segment()
+        assert search.get_current_best_words() == ["AB"]
+
+    def test_two_words(self, lexicon):
+        search = self.make_search(lexicon)
+        lp = posteriors_for([1, 2, 3, 1])  # a b | c a
+        search.enter_segment()
+        search.put_features(lp)
+        search.finish_segment()
+        assert search.get_current_best_words() == ["AB", "CA"]
+
+    def test_longest_word(self, lexicon):
+        search = self.make_search(lexicon)
+        lp = posteriors_for([1, 2, 3])  # a b c -> "ABC" beats "AB"+"C?"
+        got = search.recognize_segment(lp)
+        assert got == ["ABC"]
+
+    def test_lexicon_constraint(self, lexicon):
+        """'b a' is not a word start (no lemma begins with b) -> the search
+        must pick some legal word sequence, never an illegal token path."""
+        search = self.make_search(lexicon)
+        lp = posteriors_for([2, 1])  # b a — illegal start
+        got = search.recognize_segment(lp)
+        for w in got:
+            assert w in ("AB", "ABC", "CA")
+
+    def test_lm_influences_choice(self, lexicon, tmp_path):
+        """With an ambiguous signal, LM preference decides."""
+        p = tmp_path / "lm.arpa"
+        p.write_text(ARPA)
+        lm = ArpaLm(str(p))
+        # ambiguous between ABC (one word) and AB + sentence end
+        lp = posteriors_for([1, 2], frames_per_token=2)
+        tail = np.log(np.full((2, 4), 0.25, dtype=np.float32))  # uninformative
+        lp = np.concatenate([lp, tail])
+        no_lm = self.make_search(lexicon).recognize_segment(lp)
+        with_lm = self.make_search(lexicon, lm=lm,
+                                   lm_scale=5.0).recognize_segment(lp)
+        # strong LM prefers AB (higher unigram prob than ABC)
+        assert with_lm[0] == "AB"
+
+    def test_traceback_times(self, lexicon):
+        search = self.make_search(lexicon)
+        lp = posteriors_for([1, 2])
+        search.recognize_segment(lp)
+        tb = search.get_current_best_traceback()
+        assert [t.label for t in tb] == [1, 2]
+        assert tb[0].start_time < tb[1].start_time
+
+
+class TestWordLattice:
+    def test_from_nbest_and_best(self):
+        lat = lattice_from_nbest([
+            ((1, 2), 1.0, 0.5),
+            ((1, 3), 2.0, 0.5),
+        ], words={1: "A", 2: "B", 3: "C"})
+        labels, score = lat.best()
+        assert labels == [1, 2]
+        assert abs(score - 1.5) < 1e-9
+        nb = lat.n_best(5)
+        assert len(nb) == 2
+        assert nb[1][0] == [1, 3]
+
+    def test_posteriors_sum(self):
+        lat = lattice_from_nbest([((1, 2), 1.0, 0.0), ((1, 3), 1.5, 0.0)])
+        post = lat.arc_posteriors()
+        # arcs out of the shared prefix state must sum to ~1
+        s_after_1 = lat.arcs[lat.initial][0].target
+        total = sum(post[s_after_1])
+        assert abs(total - 1.0) < 1e-6
+
+    def test_posterior_prune(self):
+        lat = lattice_from_nbest([((1, 2), 0.0, 0.0), ((1, 3), 10.0, 0.0)])
+        pruned = lat.prune_posterior(threshold=2.0)
+        assert pruned.n_arcs < lat.n_arcs
+
+    def test_htk_slf_roundtrip(self, tmp_path):
+        lat = lattice_from_nbest([((1, 2), 1.0, 0.5), ((1, 3), 2.0, 0.25)],
+                                 words={1: "A", 2: "B", 3: "C"})
+        p = str(tmp_path / "lat.slf")
+        lat.write_htk_slf(p)
+        back = WordLattice.read_htk_slf(p)
+        assert back.n_states == lat.n_states
+        assert back.n_arcs == lat.n_arcs
+        labels, score = back.best()
+        words = [back.words[l] for l in labels]
+        assert words == ["A", "B"]
+        assert abs(score - 1.5) < 1e-3
