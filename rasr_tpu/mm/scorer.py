@@ -90,6 +90,41 @@ class GmmScorer:
     def __call__(self, features) -> jnp.ndarray:
         return self.score(features)
 
+    def assign_densities(self, features, mixture_path) -> np.ndarray:
+        """Best packed-density index per frame GIVEN an aligned mixture path
+        (T,) — the assignment step of Viterbi accumulation (reference
+        ScoreAndBestDensity, GaussDiagonalMaximumFeatureScorer)."""
+        if not hasattr(self, "_dens_table"):
+            mix_of = np.asarray(self._mix_of)
+            max_d = int(np.max(np.bincount(mix_of, minlength=self.n_mixtures)))
+            table = np.zeros((self.n_mixtures, max_d), dtype=np.int32)
+            valid = np.zeros((self.n_mixtures, max_d), dtype=bool)
+            fill = [0] * self.n_mixtures
+            for d, m in enumerate(mix_of):
+                table[m, fill[m]] = d
+                valid[m, fill[m]] = True
+                fill[m] += 1
+            self._dens_table = jnp.asarray(table)
+            self._dens_valid = jnp.asarray(valid)
+
+        if not hasattr(self, "_assign_fn"):
+            @jax.jit
+            def assign(x, path):
+                hp = jax.lax.Precision.HIGHEST
+                d2 = (jnp.matmul(x * x, self._a, precision=hp)
+                      + jnp.matmul(x, self._b, precision=hp) + self._c)
+                idx = self._dens_table[path]          # (T, maxD)
+                ok = self._dens_valid[path]
+                cand = jnp.take_along_axis(d2, idx, axis=1)
+                cand = jnp.where(ok, cand, jnp.inf)
+                best = jnp.argmin(cand, axis=1)
+                return jnp.take_along_axis(idx, best[:, None], axis=1)[:, 0]
+
+            self._assign_fn = assign
+        return np.asarray(self._assign_fn(
+            jnp.asarray(features, jnp.float32),
+            jnp.asarray(mixture_path, jnp.int32)))
+
 
 def _segment_reduce_lastaxis(values: jnp.ndarray, segment_ids: jnp.ndarray,
                              reduce_fn) -> jnp.ndarray:

@@ -160,6 +160,36 @@ class Aligner:
         path, _, _ = self.align(scores)
         return np.asarray(self.graph.emissions)[path]
 
+    def linear_path(self) -> np.ndarray:
+        """Canonical loop-free state sequence: from the lowest entry state,
+        follow the smallest-target non-loop arc until a final state."""
+        g = self.graph
+        succ: dict = {}
+        for f, t, _ in zip(g.arcs_from, g.arcs_to, g.arcs_score):
+            f, t = int(f), int(t)
+            if t != f:
+                succ.setdefault(f, []).append(t)
+        finals = set(int(s) for s in g.final)
+        state = int(min(g.initial))
+        path = [state]
+        seen = {state}
+        while state not in finals:
+            nxt = [t for t in succ.get(state, []) if t not in seen]
+            if not nxt:
+                break
+            state = min(nxt)
+            path.append(state)
+            seen.add(state)
+        return np.asarray(path, dtype=np.int32)
+
+    def linear_alignment(self, n_frames: int) -> np.ndarray:
+        """Uniform (linear-segmentation) alignment for flat starts:
+        emission path spreading frames evenly over the canonical states."""
+        path = self.linear_path()
+        idx = np.minimum((np.arange(n_frames) * len(path)) // max(n_frames, 1),
+                         len(path) - 1)
+        return np.asarray(self.graph.emissions)[path[idx]]
+
     def posteriors(self, scores) -> Tuple[np.ndarray, float]:
         """Baum-Welch state posteriors: (T, N) probabilities, total score."""
         p = self.packed

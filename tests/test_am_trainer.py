@@ -1,0 +1,164 @@
+"""GMM training workflow integration test (acoustic-model-trainer tool):
+flat start -> align -> accumulate (2 partitions) -> combine -> estimate ->
+split -> re-estimate, on synthetic class-separable features."""
+
+import os
+import textwrap
+
+import numpy as np
+import pytest
+
+from rasr_tpu.mm.mixture_set import MixtureSet
+from rasr_tpu.speech.feature_cache import FeatureCacheWriter
+from rasr_tpu.tools.acoustic_model_trainer import main as amt_main
+
+LEXICON_XML = textwrap.dedent("""\
+    <lexicon>
+      <phoneme-inventory>
+        <phoneme><symbol>a</symbol></phoneme>
+        <phoneme><symbol>b</symbol></phoneme>
+        <phoneme><symbol>si</symbol><variation>none</variation></phoneme>
+      </phoneme-inventory>
+      <lemma special="silence"><orth>[SILENCE]</orth><phon>si</phon></lemma>
+      <lemma><orth>AB</orth><phon>a b</phon></lemma>
+    </lexicon>
+""")
+
+DIM = 4
+# monophone tying allocates states_per_phone classes per phoneme:
+# a -> 0-2, b -> 3-5, si -> 6 (7, 8 unused: silence has 1 HMM state)
+N_CLASSES = 9
+N_USED = 7
+
+
+@pytest.fixture
+def setup(tmp_path):
+    rng = np.random.default_rng(0)
+    class_means = rng.standard_normal((N_USED, DIM)) * 4.0
+
+    lex = tmp_path / "lex.xml"
+    lex.write_text(LEXICON_XML)
+
+    seg_names = []
+    corpus_lines = ['<corpus name="c">', '<recording name="r" audio="x.wav">']
+    with FeatureCacheWriter(str(tmp_path / "features.cache")) as cache:
+        for i in range(6):
+            # synth: 4 frames silence, 6 per 'a' state, 6 per 'b' state, 4 sil
+            frames = []
+            for cls, reps in [(6, 4), (0, 6), (1, 6), (2, 6),
+                              (3, 6), (4, 6), (5, 6), (6, 4)]:
+                frames.append(class_means[cls]
+                              + 0.3 * rng.standard_normal((reps, DIM)))
+            feats = np.concatenate(frames).astype(np.float32)
+            name = f"c/r/s{i}"
+            seg_names.append(name)
+            cache.write(name, feats)
+            corpus_lines.append(
+                f'<segment name="s{i}" start="{i}" end="{i + 1}">'
+                f'<orth>AB</orth></segment>')
+    corpus_lines += ["</recording>", "</corpus>"]
+    (tmp_path / "corpus.xml").write_text("\n".join(corpus_lines))
+
+    config = tmp_path / "amt.config"
+    config.write_text(textwrap.dedent(f"""\
+        [*.corpus]
+        file = {tmp_path}/corpus.xml
+        [*.lexicon]
+        file = {lex}
+        [*.feature-cache]
+        path = {tmp_path}/features.cache
+        [*.acoustic-model.state-tying]
+        type = monophone
+        [*.acoustic-model.tdp.*]
+        loop = 3.0
+        forward = 0.0
+        skip = infinity
+        exit = 0.0
+        [*.acoustic-model.tdp.silence]
+        loop = 0.0
+        forward = 3.0
+        skip = infinity
+        exit = 6.0
+    """))
+    return tmp_path, config, class_means
+
+
+class TestGmmWorkflow:
+    def test_full_workflow(self, setup):
+        tmp_path, config, class_means = setup
+        # accumulate in two partitions (the reference distributed pattern)
+        for part in range(2):
+            status = amt_main([
+                f"--config={config}",
+                "--*.action=accumulate-mixture-set-text-dependent",
+                "--*.corpus.partition=2",
+                f"--*.corpus.select-partition={part}",
+                f"--*.mixture-set-trainer.new-accumulator-file={tmp_path}/p{part}.acc",
+            ])
+            assert status == 0
+        status = amt_main([
+            f"--config={config}",
+            "--*.action=combine-mixture-set-estimators",
+            f"--*.mixture-set-trainer.accumulator-files={tmp_path}/p0.acc {tmp_path}/p1.acc",
+            f"--*.mixture-set-trainer.new-accumulator-file={tmp_path}/all.acc",
+        ])
+        assert status == 0
+        status = amt_main([
+            f"--config={config}",
+            "--*.action=estimate-mixture-set",
+            f"--*.mixture-set-trainer.accumulator-file={tmp_path}/all.acc",
+            f"--*.mixture-set-trainer.new-mixture-set-file={tmp_path}/am.pms",
+        ])
+        assert status == 0
+        ms = MixtureSet.read_pms(str(tmp_path / "am.pms"))
+        assert ms.n_mixtures == N_CLASSES
+
+        # EM iterations: realign with the previous model, re-estimate
+        prev = f"{tmp_path}/am.pms"
+        for it in range(3):
+            amt_main([
+                f"--config={config}",
+                "--*.action=accumulate-mixture-set-text-dependent",
+                f"--*.mixture-set-trainer.old-mixture-set-file={prev}",
+                f"--*.mixture-set-trainer.new-accumulator-file={tmp_path}/em{it}.acc"])
+            amt_main([
+                f"--config={config}",
+                "--*.action=estimate-mixture-set",
+                f"--*.mixture-set-trainer.accumulator-file={tmp_path}/em{it}.acc",
+                f"--*.mixture-set-trainer.new-mixture-set-file={tmp_path}/em{it}.pms",
+                "--*.mixture-set-trainer.minimum-observation-weight=0.5"])
+            prev = f"{tmp_path}/em{it}.pms"
+        ms = MixtureSet.read_pms(prev)
+        err = np.abs(ms.means[:N_USED] - class_means).mean()
+        assert err < 1.0, f"mean recovery error after EM: {err}"
+        # non-silence classes got roughly equal mass
+        # (36 frames per class across 6 segments, boundaries may shift)
+
+        # split then re-estimate: twice the densities
+        status = amt_main([
+            f"--config={config}",
+            "--*.action=split-mixture-set",
+            f"--*.mixture-set-trainer.accumulator-file={tmp_path}/all.acc",
+            f"--*.mixture-set-trainer.new-accumulator-file={tmp_path}/split.acc",
+        ])
+        assert status == 0
+        status = amt_main([
+            f"--config={config}",
+            "--*.action=estimate-mixture-set",
+            f"--*.mixture-set-trainer.accumulator-file={tmp_path}/split.acc",
+            f"--*.mixture-set-trainer.new-mixture-set-file={tmp_path}/am2.pms",
+            "--*.mixture-set-trainer.minimum-observation-weight=0.5",
+        ])
+        assert status == 0
+        ms2 = MixtureSet.read_pms(str(tmp_path / "am2.pms"))
+        assert ms2.n_densities == 2 * ms.n_densities
+        assert ms2.n_mixtures == N_CLASSES
+        # second accumulation pass against the split model exercises
+        # multi-density assignment
+        status = amt_main([
+            f"--config={config}",
+            "--*.action=accumulate-mixture-set-text-dependent",
+            f"--*.mixture-set-trainer.old-mixture-set-file={tmp_path}/am2.pms",
+            f"--*.mixture-set-trainer.new-accumulator-file={tmp_path}/pass2.acc",
+        ])
+        assert status == 0

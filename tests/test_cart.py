@@ -1,0 +1,77 @@
+"""CART tests: question semantics, XML round trip, gain-based training
+recovers a known structure."""
+
+import numpy as np
+import pytest
+
+from rasr_tpu.cart import (DecisionTree, DecisionTreeTrainer, Example,
+                           Question, TreeNode)
+
+
+class TestQuestions:
+    def test_set_question(self):
+        q = Question("central", values={"a", "e", "i"})
+        assert q.ask({"central": "a"})
+        assert not q.ask({"central": "b"})
+        assert not q.ask({})
+
+    def test_scalar_question(self):
+        q = Question("state", min_value=1, max_value=2)
+        assert q.ask({"state": 1}) and q.ask({"state": 2})
+        assert not q.ask({"state": 0})
+
+
+class TestTreeIO:
+    def test_roundtrip(self, tmp_path):
+        tree = DecisionTree(TreeNode(
+            question=Question("central", values={"a", "b"}),
+            yes=TreeNode(question=Question("state", min_value=1),
+                         yes=TreeNode(class_index=0),
+                         no=TreeNode(class_index=1)),
+            no=TreeNode(class_index=2)))
+        p = str(tmp_path / "tree.xml")
+        tree.write_xml(p)
+        back = DecisionTree.read_xml(p)
+        for props in [{"central": "a", "state": 2}, {"central": "a", "state": 0},
+                      {"central": "z", "state": 1}]:
+            assert back.classify(props) == tree.classify(props)
+        assert back.n_classes == 3
+
+
+class TestTraining:
+    def test_recovers_separation(self):
+        """Vowels and consonants have distinct feature distributions; the
+        trainer must split on the vowel question."""
+        rng = np.random.default_rng(0)
+        dim = 4
+        vowels = {"a", "e", "i"}
+        questions = [
+            Question("central", values=vowels, description="vowel"),
+            Question("central", values={"p", "t"}, description="stop"),
+            Question("state", min_value=2, max_value=2),
+        ]
+        examples = []
+        for sym in ["a", "e", "i", "p", "t", "k"]:
+            is_vowel = sym in vowels
+            mean = np.full(dim, 5.0 if is_vowel else -5.0)
+            for state in range(3):
+                x = mean + 0.5 * rng.standard_normal((200, dim))
+                examples.append(Example(
+                    properties={"central": sym, "state": state},
+                    count=200.0, sum_x=x.sum(0), sum_x2=(x ** 2).sum(0)))
+        trainer = DecisionTreeTrainer(questions, min_examples=100,
+                                      max_leaves=2)
+        tree = trainer.train(examples)
+        assert tree.n_classes == 2
+        va = tree.classify({"central": "a", "state": 0})
+        vb = tree.classify({"central": "e", "state": 1})
+        ca = tree.classify({"central": "p", "state": 0})
+        assert va == vb and va != ca
+
+    def test_respects_min_examples(self):
+        examples = [Example({"central": "a"}, 10.0, np.zeros(2), np.ones(2)),
+                    Example({"central": "b"}, 10.0, np.ones(2), np.ones(2))]
+        trainer = DecisionTreeTrainer(
+            [Question("central", values={"a"})], min_examples=50)
+        tree = trainer.train(examples)
+        assert tree.n_classes == 1  # no split possible
