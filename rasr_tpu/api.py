@@ -1,0 +1,159 @@
+"""librasr-compatible Python API.
+
+Mirrors the reference pybind11 `librasr` module surface
+(src/Tools/LibRASR/PybindModule.cc:17-53, Search.cc:118-186,
+LabelScorer.cc:72-92, Lexicon.cc:24-39; python usage doc SURVEY.md §3.5):
+
+    import rasr_tpu.api as librasr
+    cfg = librasr.Configuration(); cfg.set_from_file("decode.config")
+    algo = librasr.SearchAlgorithm(cfg)
+    algo.enter_segment()
+    algo.put_features(feature_matrix)
+    algo.finish_segment()
+    best = algo.get_current_best_traceback()
+    text = algo.recognize_segment(feature_matrix)
+
+plus `register_label_scorer_type` for user-defined scorers and the
+TransitionType enum.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from .bliss.lexicon import Lexicon
+from .core.configuration import Configuration
+from .lm.arpa import ArpaLm, LanguageModel, ScaledLanguageModel, Zerogram
+from .nn.label_scorer import (LabelScorer, TransitionType,
+                              create_label_scorer, register_label_scorer_type)
+from .search.lexiconfree_timesync import (LexiconfreeTimesyncBeamSearch,
+                                          TracebackItem)
+from .search.tree_timesync import TreeTimesyncBeamSearch
+
+__all__ = [
+    "Configuration", "Lexicon", "ModelCombination", "SearchAlgorithm",
+    "TracebackItem", "TransitionType", "create_label_scorer",
+    "register_label_scorer_type",
+]
+
+
+@dataclass
+class ModelCombination:
+    """lexicon + label scorer + LM bundle with scales
+    (reference Speech::ModelCombination, src/Speech/ModelCombination.hh:43)."""
+    lexicon: Optional[Lexicon] = None
+    label_scorer: Optional[LabelScorer] = None
+    language_model: Optional[ScaledLanguageModel] = None
+
+    @classmethod
+    def create(cls, config: Configuration,
+               label_scorer: Optional[LabelScorer] = None) -> "ModelCombination":
+        lex_file = config.sub("lexicon").get("file")
+        lexicon = None
+        if lex_file:
+            lexicon = Lexicon()
+            lexicon.load(lex_file)
+        lm_cfg = config.sub("lm")
+        lm: Optional[ScaledLanguageModel] = None
+        lm_type = lm_cfg.get("type")
+        if lm_type:
+            scale = float(lm_cfg.get("scale") or 1.0)
+            if lm_type in ("ARPA", "arpa"):
+                lm = ScaledLanguageModel(ArpaLm(lm_cfg.get("file")), scale)
+            elif lm_type == "zerogram":
+                vocab = [l.preferred_orth for l in lexicon.lemmas] if lexicon else []
+                lm = ScaledLanguageModel(Zerogram(vocab), scale)
+            else:
+                raise ValueError(f"unsupported lm type {lm_type!r}")
+        return cls(lexicon=lexicon, label_scorer=label_scorer,
+                   language_model=lm)
+
+
+class SearchAlgorithm:
+    """SearchAlgorithmV2 facade (reference librasr.SearchAlgorithm,
+    src/Tools/LibRASR/Search.cc:118-186; impl src/Python/Search.hh:41)."""
+
+    def __init__(self, config: Configuration,
+                 label_scorer: Optional[LabelScorer] = None):
+        self.config = config
+        self.model_combination = ModelCombination.create(config, label_scorer)
+        sa = config.sub("search-algorithm")
+        search_type = sa.get("type") or "lexiconfree-timesync-beam-search"
+        beam = int(sa.get("max-beam-size") or sa.get("beam-size") or 16)
+        blank = int(sa.get("blank-label-index") or 0)
+        threshold = sa.get("score-threshold")
+        threshold = float(threshold) if threshold else float("inf")
+        scorer = self.model_combination.label_scorer
+        if scorer is None:
+            raise ValueError("a label scorer is required (pass one or "
+                             "configure label-scorer)")
+        if search_type in ("lexiconfree-timesync-beam-search",
+                           "lexiconfree-timesync"):
+            self._search = LexiconfreeTimesyncBeamSearch(
+                scorer, beam_size=beam, blank_index=blank,
+                score_threshold=threshold)
+        elif search_type in ("tree-timesync-beam-search", "tree-timesync"):
+            lm = self.model_combination.language_model
+            self._search = TreeTimesyncBeamSearch(
+                scorer, self.model_combination.lexicon,
+                lm=lm.lm if lm else None,
+                lm_scale=lm.scale if lm else 1.0,
+                beam_size=beam, blank_index=blank,
+                score_threshold=threshold)
+        else:
+            raise ValueError(f"unknown search type {search_type!r}")
+
+    # -- segment api -----------------------------------------------------------
+
+    def enter_segment(self) -> None:
+        self._search.enter_segment()
+
+    def finish_segment(self) -> None:
+        self._search.finish_segment()
+
+    def put_feature(self, feature: np.ndarray) -> None:
+        self._search.put_feature(np.asarray(feature))
+
+    def put_features(self, features: np.ndarray) -> None:
+        self._search.put_features(np.asarray(features))
+
+    def decode_more(self) -> bool:
+        return self._search.decode_many_steps() > 0
+
+    # -- results -----------------------------------------------------------------
+
+    def get_current_best_traceback(self) -> List[TracebackItem]:
+        return self._search.get_current_best_traceback()
+
+    def get_current_n_best_list(self, n: int):
+        return self._search.n_best(n)
+
+    def _labels_to_string(self, labels: Sequence[int]) -> str:
+        lex = self.model_combination.lexicon
+        if isinstance(self._search, TreeTimesyncBeamSearch):
+            return " ".join(self._search.get_current_best_words())
+        if lex is None:
+            return " ".join(str(l) for l in labels)
+        words = []
+        for l in labels:
+            if 0 <= l < len(lex.lemmas) and not lex.lemmas[l].special:
+                words.append(lex.lemmas[l].preferred_orth)
+        return " ".join(words)
+
+    def recognize_segment(self, features: np.ndarray) -> str:
+        """Convenience one-shot recognition (Search.cc:173)."""
+        self.enter_segment()
+        self.put_features(np.asarray(features))
+        self.finish_segment()
+        return self._labels_to_string(self._search.get_current_best_labels())
+
+    def recognize_segment_n_best(self, features: np.ndarray, n: int):
+        self.enter_segment()
+        self.put_features(np.asarray(features))
+        self.finish_segment()
+        return [(self._labels_to_string(getattr(h, "labels", None)
+                                        or getattr(h, "words", ())), h.score)
+                for h in self._search.n_best(n)]

@@ -1,0 +1,134 @@
+"""Neural language models with batched device scoring.
+
+The reference RecurrentLanguageModel (src/Lm/RecurrentLanguageModel.hh:89,
+117-196) wraps a TF/ONNX RNN with per-history score caching, batch
+assembly (min/opt/max batch sizes) and an async background forwarding
+thread.  Here the model is a native flax LSTM and the same design becomes:
+per-history score-row cache + one jitted batched forward per request wave;
+histories pad to a static bucket so XLA re-uses compilations.
+
+Scores follow the framework convention: -ln p(token | history).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .arpa import LanguageModel
+
+
+class LstmLmModel(nn.Module):
+    """Embedding -> unidirectional LSTM stack -> logits."""
+    vocab_size: int
+    embed_dim: int = 128
+    hidden_dim: int = 256
+    n_layers: int = 1
+
+    @nn.compact
+    def __call__(self, tokens: jnp.ndarray) -> jnp.ndarray:
+        """tokens (B, L) int32 -> logits (B, L, V)."""
+        x = nn.Embed(self.vocab_size, self.embed_dim, name="embed")(tokens)
+        for i in range(self.n_layers):
+            lstm = nn.RNN(nn.OptimizedLSTMCell(self.hidden_dim),
+                          name=f"lstm{i}")
+            x = lstm(x)
+        return nn.Dense(self.vocab_size, name="output")(x)
+
+
+class NeuralLanguageModel(LanguageModel):
+    """History-cached, batch-forwarded neural LM.
+
+    Histories are token-id tuples starting with BOS.  score_batch collects
+    all uncached histories, pads them to a shared length bucket and runs ONE
+    device forward — the synchronous analogue of the reference's
+    double-buffered request queue (the async variant belongs to the search
+    driver, which can call `prefetch` ahead of time).
+    """
+
+    def __init__(self, model: LstmLmModel, params,
+                 vocab: Sequence[str], bos: str = "<s>", eos: str = "</s>",
+                 unk: str = "<unk>", max_batch: int = 64):
+        self.model = model
+        self.params = params
+        self.vocab = list(vocab)
+        self._ids = {t: i for i, t in enumerate(self.vocab)}
+        self.bos_id = self._ids.get(bos, 0)
+        self.eos = eos
+        self.unk_id = self._ids.get(unk, 0)
+        self.max_batch = max_batch
+        self._cache: Dict[Tuple[int, ...], np.ndarray] = {}
+        self._fwd = jax.jit(self._forward)
+
+    def _forward(self, tokens):
+        logits = self.model.apply({"params": self.params}, tokens)
+        return jax.nn.log_softmax(logits, axis=-1)
+
+    # -- history api ---------------------------------------------------------
+
+    def initial_history(self) -> Tuple[int, ...]:
+        return (self.bos_id,)
+
+    def token_id(self, token: str) -> int:
+        return self._ids.get(token, self.unk_id)
+
+    def extended_history(self, history, token) -> Tuple[int, ...]:
+        tid = token if isinstance(token, int) else self.token_id(token)
+        return tuple(history) + (tid,)
+
+    # -- scoring ------------------------------------------------------------------
+
+    def _row(self, history: Tuple[int, ...]) -> np.ndarray:
+        row = self._cache.get(history)
+        if row is None:
+            self.prefetch([history])
+            row = self._cache[history]
+        return row
+
+    def prefetch(self, histories: Sequence[Tuple[int, ...]]) -> None:
+        """Forward all uncached histories in one padded device batch."""
+        todo = [tuple(h) for h in histories if tuple(h) not in self._cache]
+        if not todo:
+            return
+        todo = list(dict.fromkeys(todo))
+        for chunk_start in range(0, len(todo), self.max_batch):
+            chunk = todo[chunk_start:chunk_start + self.max_batch]
+            max_len = max(len(h) for h in chunk)
+            # pad-left with BOS so the last position is the newest token
+            batch = np.full((len(chunk), max_len), self.bos_id, dtype=np.int32)
+            for i, h in enumerate(chunk):
+                batch[i, max_len - len(h):] = h
+            lp = np.asarray(self._fwd(jnp.asarray(batch)))
+            for i, h in enumerate(chunk):
+                self._cache[h] = lp[i, -1]
+
+    def score(self, history, token) -> float:
+        tid = token if isinstance(token, int) else self.token_id(token)
+        return float(-self._row(tuple(history))[tid])
+
+    def sentence_end_score(self, history) -> float:
+        return self.score(history, self.eos)
+
+    def score_batch(self, histories, tokens) -> np.ndarray:
+        self.prefetch([tuple(h) for h in histories])
+        tids = [t if isinstance(t, int) else self.token_id(t) for t in tokens]
+        out = np.empty((len(histories), len(tids)), dtype=np.float32)
+        for i, h in enumerate(histories):
+            row = self._row(tuple(h))
+            out[i] = -row[tids]
+        return out
+
+    def cleanup_cache(self, keep: Optional[Sequence[Tuple[int, ...]]] = None
+                      ) -> None:
+        """History pruning (reference history_pruning / cache-cleanup)."""
+        if keep is None:
+            self._cache.clear()
+        else:
+            keep_set = {tuple(h) for h in keep}
+            self._cache = {h: r for h, r in self._cache.items()
+                           if h in keep_set}

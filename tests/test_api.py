@@ -1,0 +1,86 @@
+"""librasr-compatible API tests."""
+
+import textwrap
+
+import numpy as np
+import pytest
+
+from rasr_tpu import api as librasr
+from rasr_tpu.nn.label_scorer import NoOpLabelScorer
+
+
+@pytest.fixture
+def config(tmp_path):
+    vocab = tmp_path / "labels.txt"
+    vocab.write_text("<blank>\nA\nB\nC\n")
+    cfg_file = tmp_path / "decode.config"
+    cfg_file.write_text(textwrap.dedent(f"""\
+        [*.lexicon]
+        file = vocab-text:{vocab}
+        [*.search-algorithm]
+        type = lexiconfree-timesync-beam-search
+        max-beam-size = 8
+        blank-label-index = 0
+    """))
+    cfg = librasr.Configuration(name="librasr")
+    cfg.set_from_file(str(cfg_file))
+    return cfg
+
+
+def posteriors(seq, V=4, p=0.9, frames_per=2):
+    rows = []
+    for t in seq:
+        for _ in range(frames_per):
+            r = np.full(V, (1 - p) / (V - 1))
+            r[t] = p
+            rows.append(r)
+    return np.log(np.asarray(rows, dtype=np.float32))
+
+
+class TestSearchAlgorithm:
+    def test_recognize_segment(self, config):
+        algo = librasr.SearchAlgorithm(config,
+                                       label_scorer=NoOpLabelScorer(4))
+        # A B 0 A -> "A B A"
+        feats = posteriors([1, 2, 0, 1])
+        assert algo.recognize_segment(feats) == "A B A"
+
+    def test_streaming_api(self, config):
+        algo = librasr.SearchAlgorithm(config,
+                                       label_scorer=NoOpLabelScorer(4))
+        feats = posteriors([1, 2])
+        algo.enter_segment()
+        for f in feats:
+            algo.put_feature(f)
+        algo.decode_more()
+        mid = algo.get_current_best_traceback()
+        assert [t.label for t in mid] == [1, 2]
+        algo.finish_segment()
+        assert [t.label for t in algo.get_current_best_traceback()] == [1, 2]
+
+    def test_n_best(self, config):
+        algo = librasr.SearchAlgorithm(config,
+                                       label_scorer=NoOpLabelScorer(4))
+        result = algo.recognize_segment_n_best(posteriors([1]), 3)
+        assert result[0][0] == "A"
+        assert result[0][1] <= result[-1][1]
+
+    def test_model_combination_exposed(self, config):
+        algo = librasr.SearchAlgorithm(config,
+                                       label_scorer=NoOpLabelScorer(4))
+        assert algo.model_combination.lexicon is not None
+        assert len(algo.model_combination.lexicon.lemmas) == 4
+
+    def test_register_label_scorer_type(self):
+        created = {}
+
+        class MyScorer(NoOpLabelScorer):
+            pass
+
+        librasr.register_label_scorer_type("my-scorer", MyScorer)
+        s = librasr.create_label_scorer("my-scorer", 4)
+        assert isinstance(s, MyScorer)
+
+    def test_transition_type_enum(self):
+        assert librasr.TransitionType.LABEL_TO_LABEL == 0
+        assert librasr.TransitionType.BLANK_LOOP.name == "BLANK_LOOP"
