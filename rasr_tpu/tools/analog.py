@@ -1,0 +1,78 @@
+"""analog: recognition log analyzer.
+
+The reference analog tool aggregates WER / time / search-space statistics
+from recognition logs (src/Tools/Analog/analog, stats/{wer,time,
+searchSpace}.py).  This version parses the JSON lines emitted by
+speech-recognizer and reports corpus WER, RTF percentiles and totals.
+
+Usage: python -m rasr_tpu.tools.analog <logfile>...
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import sys
+from typing import Dict, List
+
+import numpy as np
+
+_JSON_RE = re.compile(r"\{.*\}")
+
+
+def parse_log(path: str) -> List[Dict]:
+    records = []
+    with open(path, "r", encoding="utf-8") as fh:
+        for line in fh:
+            if '"segment"' not in line:
+                continue
+            m = _JSON_RE.search(line)
+            if not m:
+                continue
+            try:
+                records.append(json.loads(m.group(0)))
+            except json.JSONDecodeError:
+                continue
+    return records
+
+
+def analyze(records: List[Dict]) -> Dict:
+    errors = sum(r.get("errors") or 0 for r in records)
+    ref = sum(r.get("ref-len") or 0 for r in records)
+    rtfs = np.asarray([r["rtf"] for r in records if r.get("rtf") is not None])
+    times = np.asarray([r["time"] for r in records if r.get("time") is not None])
+    durations = np.asarray([r["duration"] for r in records
+                            if r.get("duration") is not None])
+    out = {
+        "segments": len(records),
+        "wer": round(100.0 * errors / ref, 2) if ref else None,
+        "errors": errors,
+        "ref-words": ref,
+        "total-audio-s": round(float(durations.sum()), 2) if len(durations) else 0,
+        "total-time-s": round(float(times.sum()), 2) if len(times) else 0,
+    }
+    if len(rtfs):
+        out.update({
+            "mean-rtf": round(float(np.mean(rtfs)), 5),
+            "median-rtf": round(float(np.median(rtfs)), 5),
+            "p95-rtf": round(float(np.percentile(rtfs, 95)), 5),
+            "overall-rtf": round(float(times.sum() / max(durations.sum(), 1e-9)),
+                                 5),
+        })
+    return out
+
+
+def main(argv=None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if not argv:
+        print(__doc__)
+        return 1
+    records: List[Dict] = []
+    for path in argv:
+        records.extend(parse_log(path))
+    print(json.dumps(analyze(records), indent=2))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
