@@ -1,0 +1,291 @@
+"""Flf lattice processing framework: processor networks.
+
+The reference Flf library (src/Flf, 55k LoC) runs config-defined networks
+of lattice-processing nodes over corpus segments (Network/Node/
+NetworkCrawler, src/Flf/Network.hh:36-166; ~80 node types,
+src/Flf/NodeRegistration.hh; tool src/Tools/Flf/FlfTool.cc).
+
+This runtime keeps the same model: nodes declared under
+``[*.network.<name>]`` with ``type`` and ``links``, pulled once per segment
+from the sinks.  The node set covers the core workflow: speech-segment
+source, archive reader/writer, best/n-best, prune-posterior, LM rescoring,
+evaluator, CTM dump, sink.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, List, Optional, Sequence
+
+from ..bliss.corpus import CorpusDescription, Segment
+from ..bliss.evaluation import Evaluator
+from ..core.configuration import Configuration
+from ..lattice.word_lattice import WordLattice
+
+NodeFactory: Dict[str, Callable[..., "FlfNode"]] = {}
+
+
+def register_node(name: str):
+    def deco(cls):
+        NodeFactory[name] = cls
+        return cls
+    return deco
+
+
+class FlfNode:
+    """One processor node; pull-based: request(port) computes per segment."""
+
+    def __init__(self, name: str, config: Configuration, network: "FlfNetwork"):
+        self.name = name
+        self.config = config
+        self.network = network
+        self.links: List[str] = []
+        self._cache: Dict[int, Any] = {}
+
+    def source(self, index: int = 0) -> "FlfNode":
+        return self.network.node(self.links[index])
+
+    def pull(self) -> Any:
+        seg_id = self.network.segment_counter
+        if seg_id not in self._cache:
+            self._cache.clear()
+            self._cache[seg_id] = self.work()
+        return self._cache[seg_id]
+
+    def work(self) -> Any:
+        raise NotImplementedError
+
+    def finalize(self) -> None:
+        pass
+
+
+@register_node("speech-segment")
+class SpeechSegmentNode(FlfNode):
+    """Source: provides the current Bliss segment
+    (reference speech-segment node, doc/flf_nodes.rst:3122)."""
+
+    def work(self) -> Segment:
+        return self.network.current_segment
+
+
+@register_node("archive-reader")
+class ArchiveReaderNode(FlfNode):
+    """Reads lattices from an archive keyed by segment name (HTK SLF items
+    or a directory of .slf files)."""
+
+    def __init__(self, *a, **k):
+        super().__init__(*a, **k)
+        self.path = self.config.get("path") or ""
+
+    def work(self) -> WordLattice:
+        seg = self.source(0).pull()
+        slf = os.path.join(self.path, seg.full_name.replace("/", "_") + ".slf")
+        return WordLattice.read_htk_slf(slf)
+
+
+@register_node("archive-writer")
+class ArchiveWriterNode(FlfNode):
+    def __init__(self, *a, **k):
+        super().__init__(*a, **k)
+        self.path = self.config.get("path") or "."
+        os.makedirs(self.path, exist_ok=True)
+
+    def work(self) -> WordLattice:
+        lattice = self.source(0).pull()
+        seg = self.network.current_segment
+        slf = os.path.join(self.path, seg.full_name.replace("/", "_") + ".slf")
+        lattice.write_htk_slf(slf)
+        return lattice
+
+
+@register_node("recognizer-v2")
+class RecognizerNode(FlfNode):
+    """Runs a SearchAlgorithmV2 over the segment's features and emits the
+    result lattice (reference RecognizerNodeV2, src/Flf/RecognizerV2.cc:43).
+    Features come from a feature cache; the search object is injected via
+    network context (built from config otherwise)."""
+
+    def __init__(self, *a, **k):
+        super().__init__(*a, **k)
+        self._search = self.network.context.get("search")
+        self._feature_cache = None
+        cache_path = self.config.get("feature-cache")
+        if cache_path:
+            from ..speech.feature_cache import FeatureCacheReader
+            self._feature_cache = FeatureCacheReader(cache_path)
+
+    def work(self) -> WordLattice:
+        seg = self.source(0).pull()
+        feats = self.network.context.get("features")
+        if feats is None and self._feature_cache is not None:
+            feats = self._feature_cache.features(seg.full_name)
+        search = self._search
+        search.enter_segment()
+        search.put_features(feats)
+        search.finish_segment()
+        if hasattr(search, "create_lattice"):
+            return search.create_lattice()
+        from ..lattice.word_lattice import lattice_from_nbest
+        hyps = search.n_best(getattr(search, "beam_size", 8))
+        return lattice_from_nbest(
+            [(h.labels, h.score, 0.0) for h in hyps],
+            words=self.network.context.get("words"))
+
+
+@register_node("best")
+class BestNode(FlfNode):
+    """Extracts the best path as a single-path lattice (reference best node)."""
+
+    def work(self) -> WordLattice:
+        lattice = self.source(0).pull()
+        labels, score = lattice.best()
+        out = WordLattice(words=lattice.words)
+        s = out.add_state(0)
+        out.initial = s
+        for i, lab in enumerate(labels):
+            t = out.add_state(i + 1)
+            out.add_arc(s, t, lab, score / max(len(labels), 1), 0.0)
+            s = t
+        out.set_final(s)
+        return out
+
+
+@register_node("prune-posterior")
+class PrunePosteriorNode(FlfNode):
+    def work(self) -> WordLattice:
+        lattice = self.source(0).pull()
+        threshold = float(self.config.get("threshold") or 10.0)
+        return lattice.prune_posterior(threshold)
+
+
+@register_node("rescore-lm")
+class RescoreLmNode(FlfNode):
+    """Replaces arc LM scores using an LM over word labels
+    (reference compose-with-lm / rescore nodes, best-context approximation:
+    each arc scored with the best single history reaching it)."""
+
+    def work(self) -> WordLattice:
+        lattice = self.source(0).pull()
+        lm = self.network.context.get("lm")
+        scale = float(self.config.get("scale") or 1.0)
+        words = lattice.words or {}
+        out = WordLattice(words=lattice.words)
+        for s in range(lattice.n_states):
+            out.add_state(lattice.boundaries[s])
+        out.initial = lattice.initial
+        out.final = dict(lattice.final)
+        # propagate one best history per state (Viterbi approximation)
+        hist: Dict[int, Any] = {lattice.initial: lm.initial_history()}
+        order = list(range(lattice.n_states))
+        for s in order:
+            h = hist.get(s)
+            for arc in lattice.arcs[s]:
+                if h is not None and arc.word in words:
+                    tok = words[arc.word]
+                    lm_score = scale * lm.score(h, tok)
+                    nh = lm.extended_history(h, tok)
+                else:
+                    lm_score = arc.lm_score
+                    nh = h
+                out.add_arc(s, arc.target, arc.word, arc.am_score, lm_score)
+                if arc.target not in hist and nh is not None:
+                    hist[arc.target] = nh
+        return out
+
+
+@register_node("evaluator")
+class EvaluatorNode(FlfNode):
+    """WER evaluation of the best path vs the segment orth
+    (reference evaluator node)."""
+
+    def __init__(self, *a, **k):
+        super().__init__(*a, **k)
+        self.evaluator = Evaluator(self.name)
+
+    def work(self):
+        lattice = self.source(0).pull()
+        seg = self.network.current_segment
+        labels, _ = lattice.best()
+        words = lattice.words or {}
+        hyp = " ".join(words.get(l, str(l)) for l in labels)
+        self.evaluator.evaluate(seg.orth, hyp)
+        return lattice
+
+    def finalize(self):
+        print(self.evaluator.report())
+
+
+@register_node("dump-ctm")
+class DumpCtmNode(FlfNode):
+    def __init__(self, *a, **k):
+        super().__init__(*a, **k)
+        self.lines: List[str] = []
+        self.path = self.config.get("path") or ""
+
+    def work(self):
+        lattice = self.source(0).pull()
+        seg = self.network.current_segment
+        labels, _ = lattice.best()
+        words = lattice.words or {}
+        for i, lab in enumerate(labels):
+            self.lines.append(f"{seg.recording.name} 1 "
+                              f"{seg.start + 0.01 * i:.2f} 0.01 "
+                              f"{words.get(lab, str(lab))}")
+        return lattice
+
+    def finalize(self):
+        if self.path:
+            with open(self.path, "w", encoding="utf-8") as fh:
+                fh.write("\n".join(self.lines) + "\n")
+
+
+@register_node("sink")
+class SinkNode(FlfNode):
+    def work(self):
+        results = [self.source(i).pull() for i in range(len(self.links))]
+        return results[0] if results else None
+
+
+class FlfNetwork:
+    """Config-driven network + segment loop (reference Flf::Processor /
+    NetworkCrawler run loop, src/Flf/Processor.hh:28)."""
+
+    def __init__(self, config: Configuration,
+                 context: Optional[Dict[str, Any]] = None):
+        self.config = config
+        self.context = context or {}
+        self.current_segment: Optional[Segment] = None
+        self.segment_counter = 0
+        self._nodes: Dict[str, FlfNode] = {}
+        net_cfg = config.sub("network")
+        node_names = (net_cfg.get("nodes") or "").split()
+        for name in node_names:
+            ncfg = net_cfg.sub(name)
+            typ = ncfg.get("type")
+            if typ not in NodeFactory:
+                raise ValueError(f"unknown flf node type {typ!r} "
+                                 f"(node {name}); known: {sorted(NodeFactory)}")
+            node = NodeFactory[typ](name, ncfg, self)
+            node.links = (ncfg.get("links") or "").split()
+            self._nodes[name] = node
+        self._sinks = [n for n in self._nodes.values()
+                       if isinstance(n, SinkNode)]
+        if not self._sinks:
+            raise ValueError("flf network has no sink node")
+
+    def node(self, name: str) -> FlfNode:
+        return self._nodes[name]
+
+    def run(self, corpus: CorpusDescription) -> int:
+        n = 0
+        for seg in corpus.segments():
+            self.current_segment = seg
+            self.segment_counter += 1
+            for sink in self._sinks:
+                sink.pull()
+            n += 1
+        for node in self._nodes.values():
+            node.finalize()
+        return n

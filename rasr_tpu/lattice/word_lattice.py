@@ -200,10 +200,14 @@ def lattice_from_nbest(hypotheses: Sequence[Tuple[Sequence[int], float, float]],
     lat = WordLattice(words=words)
     root = lat.add_state(0)
     lat.initial = root
-    # trie over prefixes
+    # trie over prefixes; cumulative arc score per node so the final weight
+    # can absorb the residual (otherwise shorter/empty prefixes would
+    # always dominate the best path)
     trie: Dict[Tuple[int, ...], int] = {(): root}
+    cum: Dict[Tuple[int, ...], float] = {(): 0.0}
     for hi, (labels, am, lm) in enumerate(hypotheses):
         labels = tuple(labels)
+        total = am + lm
         n = len(labels) or 1
         am_per, lm_per = am / n, lm / n
         prev = ()
@@ -213,7 +217,10 @@ def lattice_from_nbest(hypotheses: Sequence[Tuple[Sequence[int], float, float]],
                 frame = (boundaries[hi][i] if boundaries else i)
                 trie[cur] = lat.add_state(frame)
                 lat.add_arc(trie[prev], trie[cur], lab, am_per, lm_per)
+                cum[cur] = cum[prev] + am_per + lm_per
             prev = cur
-        lat.set_final(trie[labels],
-                      min(0.0, lat.final.get(trie[labels], 0.0)))
+        residual = total - cum[labels]
+        state = trie[labels]
+        if state not in lat.final or residual < lat.final[state]:
+            lat.set_final(state, residual)
     return lat

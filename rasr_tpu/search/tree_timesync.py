@@ -261,8 +261,13 @@ class TreeTimesyncBeamSearch:
         return self.get_current_best_words()
 
     def create_lattice(self):
-        """Word lattice from the final beam (prefix-merged n-best paths)."""
+        """Word lattice from the final beam (prefix-merged n-best paths).
+        Only completed (word-end) hypotheses enter the lattice; in-word
+        hypotheses have no word identity yet."""
         from ..lattice.word_lattice import lattice_from_nbest
-        hyps = self.n_best(len(self._beam))
+        hyps = [h for h in self.n_best(len(self._beam))
+                if h.node == self.tree.root and h.words]
+        if not hyps:
+            hyps = self.n_best(len(self._beam))
         entries = [(h.words, h.score, 0.0) for h in hyps]
         return lattice_from_nbest(entries, words=self._orth_of_lemma)
