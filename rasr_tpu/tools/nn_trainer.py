@@ -1,0 +1,212 @@
+"""nn-trainer tool.
+
+The reference NnTrainer drives legacy FFNN training actions
+(src/Tools/NnTrainer/NnTrainer.cc:66-171: supervised-training,
+combine-statistics, estimate priors...).  Here the trainable model is the
+native conformer-CTC stack; this tool provides:
+
+    --action=supervised-training   features+transcripts -> sharded CTC
+                                   training with checkpointing
+    --action=compute-priors        label priors from model posteriors
+    --action=init                  write an initial checkpoint
+
+Config: corpus / lexicon / feature-cache / model / trainer selectors.
+Batches assemble by length bucketing (the BufferedFeatureExtractor
+minibatch role, src/Nn/BufferedFeatureExtractor.hh:38) and shard over the
+(data, model) mesh.
+"""
+
+from __future__ import annotations
+
+import sys
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from ..bliss.corpus import CorpusDescription
+from ..bliss.lexicon import Lexicon
+from ..core.application import Application
+from ..speech.feature_cache import FeatureCacheReader
+
+
+def _pad_batch(items: List[Tuple[np.ndarray, List[int]]],
+               pad_T: int, pad_L: int):
+    B = len(items)
+    D = items[0][0].shape[1]
+    feats = np.zeros((B, pad_T, D), np.float32)
+    feat_lens = np.zeros((B,), np.int32)
+    labels = np.zeros((B, pad_L), np.int32)
+    label_lens = np.zeros((B,), np.int32)
+    for i, (f, l) in enumerate(items):
+        feats[i, :len(f)] = f[:pad_T]
+        feat_lens[i] = min(len(f), pad_T)
+        labels[i, :len(l)] = l[:pad_L]
+        label_lens[i] = min(len(l), pad_L)
+    return feats, feat_lens, labels, label_lens
+
+
+class NnTrainerApp(Application):
+    def __init__(self, argv=None):
+        super().__init__("nn-trainer", argv)
+
+    def _model_and_trainer(self, dim: int, vocab: int):
+        import jax.numpy as jnp
+        import optax
+        from ..models import ConformerCtc
+        from ..nn.training import CtcTrainer, make_optimizer
+        from ..parallel import make_mesh
+        m = self.config.sub("model")
+        t = self.config.sub("trainer")
+        model = ConformerCtc(
+            vocab_size=vocab,
+            d_model=int(m.get("d-model") or 256),
+            n_layers=int(m.get("n-layers") or 12),
+            n_heads=int(m.get("n-heads") or 4),
+            dtype=jnp.bfloat16 if (m.get("dtype") or "bfloat16") == "bfloat16"
+            else jnp.float32)
+        lr = float(t.get("learning-rate") or 1e-3)
+        warmup = int(t.get("warmup-steps") or 1000)
+        dp = t.get("data-parallel")
+        mp = t.get("model-parallel")
+        if dp:
+            dp = int(dp)
+            mp = int(mp) if mp else 1
+            mesh = make_mesh(n_devices=dp * mp, data_parallel=dp)
+        else:
+            mesh = make_mesh()
+        trainer = CtcTrainer(model, mesh,
+                             optimizer=make_optimizer(lr, warmup),
+                             example_shape=(2, 32, dim))
+        return model, trainer
+
+    def _label_seq(self, lexicon: Lexicon, orth: str) -> List[int]:
+        out = []
+        for word in orth.split():
+            lemma = lexicon.lemma_by_orth(word)
+            if lemma is None:
+                continue
+            out.append(lemma.id)
+        return out
+
+    def action_supervised_training(self) -> int:
+        import jax
+        from ..nn.checkpoint import load_params, save_params
+        corpus = CorpusDescription(self.config.sub("corpus"))
+        lexicon = Lexicon(self.config.sub("lexicon"))
+        cache = FeatureCacheReader(self.config.sub("feature-cache").get("path"))
+        t = self.config.sub("trainer")
+        batch_size = int(t.get("batch-size") or 8)
+        epochs = int(t.get("epochs") or 1)
+        ckpt = t.get("checkpoint") or "model.msgpack"
+        resume = t.get("resume") or ""
+
+        data: List[Tuple[np.ndarray, List[int]]] = []
+        for seg in corpus.segments():
+            try:
+                feats = cache.features(seg.full_name)
+            except KeyError:
+                continue
+            labels = self._label_seq(lexicon, seg.orth)
+            if labels:
+                data.append((feats, labels))
+        if not data:
+            raise ValueError("no training data")
+        dim = data[0][0].shape[1]
+        model, trainer = self._model_and_trainer(dim, len(lexicon.lemmas))
+        if resume:
+            trainer.params, step = load_params(resume, trainer.params)
+            trainer.step = step
+        # sort by length for efficient bucketing, fixed pad shapes per epoch
+        data.sort(key=lambda x: len(x[0]))
+        losses = []
+        rng = np.random.default_rng(0)
+        for epoch in range(epochs):
+            order = list(range(0, len(data), batch_size))
+            rng.shuffle(order)
+            dp = trainer.mesh.shape.get("data", 1)
+            for start in order:
+                batch = data[start:start + batch_size]
+                # batch must divide the data-parallel axis: repeat entries
+                while len(batch) % dp:
+                    batch = batch + batch[:dp - len(batch) % dp]
+                pad_T = max(len(f) for f, _ in batch)
+                pad_T = -(-pad_T // 32) * 32  # round to bucket
+                pad_L = max(len(l) for _, l in batch)
+                feats, fl, labels, ll = _pad_batch(batch, pad_T, pad_L)
+                loss = trainer.train_step(feats, fl, labels, ll)
+                losses.append(loss)
+            self.log("epoch %d: mean loss %.4f", epoch,
+                     float(np.mean(losses[-len(order):])))
+        save_params(ckpt, trainer.params, step=trainer.step)
+        self.log("saved checkpoint -> %s (step %d)", ckpt, trainer.step)
+        return 0
+
+    def action_compute_priors(self) -> int:
+        """Label priors by averaging model posteriors over the corpus
+        (reference Nn::Prior, src/Nn/Prior.hh)."""
+        import jax
+        import jax.numpy as jnp
+        from ..models import ConformerCtc
+        from ..nn.checkpoint import load_params
+        corpus = CorpusDescription(self.config.sub("corpus"))
+        lexicon = Lexicon(self.config.sub("lexicon"))
+        cache = FeatureCacheReader(self.config.sub("feature-cache").get("path"))
+        t = self.config.sub("trainer")
+        dim = None
+        acc = None
+        count = 0
+        model, trainer = None, None
+        for seg in corpus.segments():
+            try:
+                feats = cache.features(seg.full_name)
+            except KeyError:
+                continue
+            if model is None:
+                dim = feats.shape[1]
+                model, trainer = self._model_and_trainer(
+                    dim, len(lexicon.lemmas))
+                trainer.params, _ = load_params(t.get("checkpoint"),
+                                                trainer.params)
+                fwd = trainer.log_probs_fn()
+            lp, out_lens = fwd(trainer.params, jnp.asarray(feats)[None],
+                               jnp.asarray([len(feats)], jnp.int32))
+            probs = np.exp(np.asarray(lp[0, :int(out_lens[0])]))
+            acc = probs.sum(0) if acc is None else acc + probs.sum(0)
+            count += probs.shape[0]
+        priors = np.log(np.maximum(acc / count, 1e-20))
+        out = t.get("prior-file") or "priors.xml"
+        from ..math.matrix_io import write_vector
+        write_vector(out, priors.astype(np.float32))
+        self.log("priors over %d frames -> %s", count, out)
+        return 0
+
+    def action_init(self) -> int:
+        from ..nn.checkpoint import save_params
+        lexicon = Lexicon(self.config.sub("lexicon"))
+        t = self.config.sub("trainer")
+        dim = int(self.config.sub("model").get("feature-dim") or 80)
+        model, trainer = self._model_and_trainer(dim, len(lexicon.lemmas))
+        ckpt = t.get("checkpoint") or "model.msgpack"
+        save_params(ckpt, trainer.params, step=0)
+        self.log("initialized checkpoint -> %s", ckpt)
+        return 0
+
+    def run(self) -> int:
+        action = self.config.get("action")
+        dispatch = {
+            "supervised-training": self.action_supervised_training,
+            "compute-priors": self.action_compute_priors,
+            "init": self.action_init,
+        }
+        if action not in dispatch:
+            raise ValueError(f"unknown action {action!r}; "
+                             f"known: {sorted(dispatch)}")
+        return dispatch[action]()
+
+
+def main(argv=None) -> int:
+    return NnTrainerApp(argv).main()
+
+
+if __name__ == "__main__":
+    sys.exit(main())
