@@ -185,3 +185,32 @@ class TestWordLattice:
         words = [back.words[l] for l in labels]
         assert words == ["A", "B"]
         assert abs(score - 1.5) < 1e-3
+
+
+class TestConfusionNetwork:
+    def test_cn_decode_matches_dominant_path(self):
+        from rasr_tpu.lattice.confusion_network import (
+            build_confusion_network, mbr_decode)
+        lat = lattice_from_nbest([
+            ((1, 2), 1.0, 0.0),
+            ((1, 3), 4.0, 0.0),
+        ], words={1: "A", 2: "B", 3: "C"})
+        cn = build_confusion_network(lat)
+        assert len(cn) == 2
+        words, conf = cn.decode()
+        assert words == [1, 2]
+        assert conf[0] > 0.9  # both paths agree on "A"
+        assert 0.5 < conf[1] < 1.0
+
+    def test_mbr_combines_evidence(self):
+        """Three paths: B appears in slot 2 of two weaker paths; their
+        combined mass beats the single stronger path's C."""
+        from rasr_tpu.lattice.confusion_network import mbr_decode
+        lat = lattice_from_nbest([
+            ((1, 3), 1.0, 0.0),      # A C, strongest single path
+            ((2, 4), 1.3, 0.0),      # D B
+            ((1, 4), 1.4, 0.0),      # A B
+        ], words={1: "A", 2: "D", 3: "C", 4: "B"})
+        words, conf = mbr_decode(lat)
+        # slot 2: p(B) = p(path2)+p(path3) > p(C) = p(path1)
+        assert words[-1] == 4
