@@ -165,14 +165,39 @@ class VectorS16Demultiplex(Node):
 
 @register
 class VectorF32Concat(Node):
-    """Concatenate feature streams along the feature axis."""
+    """Concatenate feature streams along the feature axis.  Port order
+    follows link declaration order (insertion order of the inputs dict),
+    matching the reference's positional concatenation."""
     filter_name = "generic-vector-f32-concat"
     in_ports = ("*",)  # variadic
 
     def apply(self, inputs):
-        ordered = [inputs[k] for k in sorted(inputs.keys())]
-        data = jnp.concatenate([s.data for s in ordered], axis=-1)
+        ordered = list(inputs.values())
+        data = jnp.concatenate([jnp.atleast_2d(s.data.T).T
+                                if s.data.ndim < ordered[0].data.ndim
+                                else s.data for s in ordered], axis=-1)
         return {"": ordered[0].with_data(data)}
+
+
+@register
+class VectorF32Split(Node):
+    """generic-vector-f32-split: exposes single elements on numbered ports
+    ('0', '1', ...); reverse=true indexes from the end."""
+    filter_name = "generic-vector-f32-split"
+
+    def apply(self, inputs):
+        s = inputs[""]
+        reverse = self.attr("reverse", False, bool)
+        out = {}
+        # lazily expose the first few elements; the compiler only consumes
+        # linked ports, unused entries are dead code removed by XLA
+        n_expose = 4
+        for i in range(n_expose):
+            idx = -(i + 1) if reverse else i
+            out[str(i)] = s.with_data(s.data[..., idx:idx + 1]
+                                      if idx != -1 else s.data[..., -1:])
+        out[""] = s
+        return out
 
 
 # --------------------------------------------------------------------------
@@ -271,17 +296,25 @@ class Filterbank(Node):
         bin_to_hz = s.meta.get("frequency_resolution")
         if bin_to_hz is None:
             raise ValueError("signal-filterbank requires spectral input")
+        spacing = self.attr("spacing", 0.0, float)
         matrix = dsp.filterbank_matrix(
             n_bins, bin_to_hz,
             filter_width=self.attr("filter-width", 268.258, float),
-            spacing=self.attr("spacing", 0.0, float),
+            spacing=spacing,
             boundary=self.attr("boundary", "stretch-to-cover"),
             warping=self.attr("warping-function", "mel"),
+            filter_type=self.attr("type", "triangular"),
             minimum_frequency=self.attr("filtering-interval-start", 0.0, float),
             normalize_surface=self.attr("normalization", "none") == "surface",
             warp_differential_unit=self.attr("warp-differential-unit", True, bool))
         out = dsp.apply_matrix(s.data, matrix)
-        return {"": s.with_data(out, meta={**s.meta, "n_filters": matrix.shape[0]})}
+        # output sample-rate = 1/spacing in the warped domain (Boundary
+        # outputSampleRate); downstream continuous transforms map index ->
+        # warped position via this rate
+        meta = {**s.meta, "n_filters": matrix.shape[0],
+                "warped_spacing": spacing if spacing else None,
+                "warping_function": self.attr("warping-function", "mel")}
+        return {"": s.with_data(out, meta=meta)}
 
 
 @register
@@ -435,6 +468,63 @@ class MatrixMultiplication(Node):
                 matrix = read_matrix(path)
                 self._matrix_cache[path] = matrix
         return {"": s.with_data(dsp.apply_matrix(s.data, np.asarray(matrix)))}
+
+
+@register
+class ContinuousTransform(Node):
+    """signal-vector-f32-continuous-transform: elementwise multiply (or
+    other op) with an analytic function evaluated at each element's
+    continuous position (reference StringExpressionNode + analytic
+    functions; used for equal-loudness preemphasis in plp.flow)."""
+    filter_name = "signal-vector-f32-continuous-transform"
+
+    def apply(self, inputs):
+        s = inputs[""]
+        decl = self.attr("f", "identity")
+        op = self.attr("operation", "multiplies")
+        from ..math.analytic import AnalyticFunctionFactory
+        # disc-to-cont divides by the stream's warped rate: index * spacing
+        spacing = s.meta.get("warped_spacing") or 1.0
+        factory = AnalyticFunctionFactory(sample_rate=1.0 / spacing)
+        fn = factory.create(decl)
+        n = int(s.data.shape[-1])
+        weights = fn.value(np.arange(n, dtype=np.float64))
+        w = jnp.asarray(weights, dtype=jnp.float32)
+        if op == "multiplies":
+            return {"": s.with_data(s.data * w)}
+        if op == "plus":
+            return {"": s.with_data(s.data + w)}
+        if op == "divides":
+            return {"": s.with_data(s.data / w)}
+        raise ValueError(f"unknown operation {op!r}")
+
+
+@register
+class AutocorrelationToAutoregression(Node):
+    """signal-autocorrelation-to-autoregression: Levinson-Durbin
+    (src/Math/LevinsonLse.cc).  Output data: (..., p+1) with column 0 =
+    gain and columns 1..p the prediction coefficients.  The order
+    recursion unrolls inside the fused program (p ~ 13)."""
+    filter_name = "signal-autocorrelation-to-autoregression"
+
+    def apply(self, inputs):
+        s = inputs[""]
+        a, gain = dsp.levinson(s.data)
+        data = jnp.concatenate([gain[..., None], a], axis=-1)
+        return {"": s.with_data(data)}
+
+
+@register
+class AutoregressionToCepstrum(Node):
+    """signal-autoregression-to-cepstrum (src/Signal/
+    AutoregressionToCepstrum.cc)."""
+    filter_name = "signal-autoregression-to-cepstrum"
+
+    def apply(self, inputs):
+        s = inputs[""]
+        n_out = self.attr("nr-outputs", 1, lambda v: int(float(v)))
+        c = dsp.ar_to_cepstrum(s.data[..., 0], s.data[..., 1:], n_out)
+        return {"": s.with_data(c)}
 
 
 @register

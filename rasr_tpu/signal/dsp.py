@@ -194,25 +194,41 @@ def filterbank_matrix(n_bins: int,
                       spacing: float = 0.0,
                       boundary: str = "stretch-to-cover",
                       warping: str = "mel",
+                      filter_type: str = "triangular",
                       minimum_frequency: float = 0.0,
                       maximum_frequency: Optional[float] = None,
                       normalize_surface: bool = False,
                       warp_differential_unit: bool = True,
                       ) -> np.ndarray:
     """(n_filters, n_bins) float64 filter matrix, built exactly as the
-    reference FilterBank::init for triangular filters with warped center
-    positions (the mfcc.flow configuration).
+    reference FilterBank::init (triangular mel for mfcc.flow; trapeze bark
+    with include-boundary for plp.flow; arbitrary warpings incl. VTLN via
+    analytic-function declarations like 'nest(linear-2(1.2, 0.875), mel)').
 
     `bin_to_hz` is the discrete-to-continuous factor (sample_rate/fft_len);
-    `filter_width`/`spacing` are in warped (mel) units when warping='mel'.
+    `filter_width`/`spacing` are in warped units.
     """
     if warping == "mel":
         warp, unwarp, dwarp = mel_warp, mel_unwarp, mel_warp_derivative
+    elif warping == "bark":
+        warp = lambda f: 6.0 * np.arcsinh(np.asarray(f, np.float64) / 600.0)
+        unwarp = lambda b: 600.0 * np.sinh(np.asarray(b, np.float64) / 6.0)
+        dwarp = lambda f: (6.0 / 600.0
+                           / np.sqrt(1.0 + (np.asarray(f, np.float64) / 600.0) ** 2))
     elif warping in ("none", "identity", ""):
         warp = unwarp = lambda f: np.asarray(f, dtype=np.float64)
         dwarp = lambda f: np.ones_like(np.asarray(f, dtype=np.float64))
     else:
-        raise ValueError(f"unsupported warping {warping!r}")
+        # general declaration via the analytic-function factory
+        from ..math.analytic import AnalyticFunctionFactory
+        factory = AnalyticFunctionFactory(
+            sample_rate=1.0, max_argument=(n_bins - 1) * bin_to_hz)
+        fn = factory.create(warping)
+        inv = fn.invert()
+        der = fn.derive()
+        if inv is None or der is None:
+            raise ValueError(f"warping {warping!r} not invertible/derivable")
+        warp, unwarp, dwarp = fn.value, inv.value, der.value
 
     def d2c(i):  # discrete index -> continuous Hz
         return np.asarray(i, dtype=np.float64) * bin_to_hz
@@ -220,7 +236,13 @@ def filterbank_matrix(n_bins: int,
     def c2d_warped(m):  # warped value -> discrete index
         return unwarp(m) / bin_to_hz
 
-    norm_center = 0.5  # triangular builder normalizedCenterPosition
+    if filter_type == "triangular":
+        norm_center = 0.5
+    elif filter_type in ("trapeze", "trapezeRasta"):
+        # reference TrapezeFilterBuilder: flanks -2.5..+1.3 in warped units
+        norm_center = 2.5 / 3.8
+    else:
+        raise ValueError(f"unknown filter type {filter_type!r}")
     max_f = float(warp(d2c(n_bins - 1))) if maximum_frequency is None \
         else float(maximum_frequency)
     min_f = float(minimum_frequency)
@@ -262,11 +284,19 @@ def filterbank_matrix(n_bins: int,
             continue
         bins = np.arange(start, end, dtype=np.float64)
         warped = warp(d2c(bins))
-        tri = 1.0 - np.abs(warped - center) / (width / 2.0)
-        tri = np.maximum(tri, 0.0)
+        if filter_type == "triangular":
+            w = np.maximum(1.0 - np.abs(warped - center) / (width / 2.0), 0.0)
+        else:
+            # trapeze (TrapezeFilterBuilder::weight): flat middle
+            # +-0.5/3.8*width, 10^z rising left flank, 10^-2.5z falling right
+            rel = warped - center
+            mid = (0.5 / 3.8) * width
+            w = np.where(rel < -mid, np.power(10.0, rel + mid),
+                         np.where(rel <= mid, 1.0,
+                                  np.power(10.0, -2.5 * (rel - mid))))
         if warp_differential_unit:
-            tri = tri * dwarp(d2c(bins))
-        matrix[fi, start:end] = tri
+            w = w * dwarp(d2c(bins))
+        matrix[fi, start:end] = w
     if normalize_surface:
         sums = matrix.sum(axis=1, keepdims=True)
         matrix = matrix / np.where(sums == 0, 1.0, sums)
@@ -413,8 +443,78 @@ def regression_deltadelta(x: jnp.ndarray, half_window: int = 2) -> jnp.ndarray:
 
 
 # ---------------------------------------------------------------------------
-# fused MFCC pipeline
+# PLP: Levinson-Durbin and LPC cepstrum (reference: src/Math/LevinsonLse.cc,
+# src/Signal/AutoregressionToCepstrum.cc)
 # ---------------------------------------------------------------------------
+
+
+def levinson(r) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Levinson-Durbin over autocorrelations r (..., p+1).
+
+    Returns (a (..., p) prediction coefficients in the reference sign
+    convention, gain (...,) = sqrt(final prediction error)).  Functional /
+    traceable: the order recursion unrolls (p is small, ~13), batch axes
+    vectorize on device."""
+    r = jnp.asarray(r, dtype=jnp.float32)
+    p = r.shape[-1] - 1
+    eps = 1e-30
+    # alpha: list indexed j=1..i of (batch,) arrays for the current order i
+    k1 = -r[..., 1] / jnp.maximum(r[..., 0], eps)
+    alpha = [k1]
+    E = r[..., 0] + r[..., 1] * k1
+    for i in range(2, p + 1):
+        k = r[..., i]
+        for j in range(1, i):
+            k = k + alpha[j - 1] * r[..., i - j]
+        k = -k / jnp.maximum(E, eps)
+        new_alpha = [alpha[j - 1] + k * alpha[i - j - 1] for j in range(1, i)]
+        new_alpha.append(k)
+        alpha = new_alpha
+        E = (1.0 - k * k) * E
+    a = jnp.stack(alpha, axis=-1) if alpha else jnp.zeros(r.shape[:-1] + (0,))
+    return a, jnp.sqrt(jnp.maximum(E, eps))
+
+
+def ar_to_cepstrum(gain, a, n_out: int) -> jnp.ndarray:
+    """LPC -> cepstrum recursion (autoregressionToCepstrum):
+    c0 = 2 ln gain; c1 = -a0; cn = -(n a_{n-1} + sum (n-k) c_{n-k} a_{k-1})/n.
+    Traceable: recursion unrolls over n_out."""
+    gain = jnp.asarray(gain, dtype=jnp.float32)
+    a = jnp.asarray(a, dtype=jnp.float32)
+    p = a.shape[-1]
+    c = [2.0 * accurate_log(jnp.maximum(gain, 1e-30))]
+    if n_out > 1:
+        c.append(-a[..., 0])
+    for n in range(2, n_out):
+        acc = n * a[..., n - 1] if n - 1 < p else jnp.zeros_like(gain)
+        for k in range(1, n):
+            if k - 1 < p:
+                acc = acc + (n - k) * c[n - k] * a[..., k - 1]
+        c.append(acc / (-n))
+    return jnp.stack(c, axis=-1)
+
+
+def plp_cepstrum(power_spectrum_filters: np.ndarray, n_autocorr: int,
+                 n_cepstra: int, spacing: float = 0.93853) -> np.ndarray:
+    """Critical-band power -> PLP cepstra (the plp.flow tail):
+    boundary-filter duplication (copy-first-last), equal-loudness weighting
+    at bark positions i*spacing, cube-root compression, IDFT (N-plus-one
+    cosine transform, normalized) to autocorrelations, Levinson, LPC
+    cepstrum."""
+    from ..math.analytic import BarkWarping, EqualLoudnessPreemphasis
+    x = np.asarray(power_spectrum_filters, dtype=np.float64)
+    # duplicate boundary filters first (plp.flow copy-first-last), then
+    # weight at warped positions 0, spacing, ... over the extended vector
+    x = np.concatenate([x[..., :1], x, x[..., -1:]], axis=-1)
+    bark_pos = np.arange(x.shape[-1], dtype=np.float64) * spacing
+    hz = BarkWarping().invert().value(bark_pos)
+    el = EqualLoudnessPreemphasis().value(hz)
+    x = np.power(np.maximum(x * el, 1e-30), 0.33)
+    T = dct_matrix(n_autocorr, x.shape[-1], input_type="N-plus-one",
+                   normalize=True)
+    r = x @ T.T
+    a, gain = levinson(r)
+    return np.asarray(ar_to_cepstrum(gain, a, n_cepstra))
 
 
 class MfccPipeline:
