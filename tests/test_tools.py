@@ -150,3 +150,33 @@ class TestFeatureExtractionTool:
             assert sorted(a.keys()) == sorted(b.keys())
             for k in a.keys():
                 np.testing.assert_array_equal(a.features(k), b.features(k))
+
+
+class TestLmUtilAndCosta:
+    def test_lm_util_score(self, tmp_path, capsys):
+        from rasr_tpu.tools.lm_util import main as lm_main
+        arpa = tmp_path / "lm.arpa"
+        arpa.write_text(
+            "\\data\\\nngram 1=4\n\n\\1-grams:\n-0.60206\t</s>\n-99\t<s>\n"
+            "-0.30103\tA\n-0.60206\tB\n\n\\end\\\n")
+        text = tmp_path / "text.txt"
+        text.write_text("A B\n")
+        status = lm_main([f"--*.lm.file={arpa}", f"--*.file={text}",
+                          "--*.action=score-sentences",
+                          "--*.log.channel=nil"])
+        assert status == 0
+        out = capsys.readouterr().out
+        assert "perplexity=" in out and "sentences=1" in out
+
+    def test_costa(self, setup_corpus, capsys, tmp_path):
+        from rasr_tpu.tools.corpus_statistics import main as costa_main
+        corpus_dir, config = setup_corpus
+        vocab = tmp_path / "v.txt"
+        vocab.write_text("X\n")
+        status = costa_main([f"--config={config}",
+                             f"--*.lexicon.file=vocab-text:{vocab}"])
+        assert status == 0
+        import json
+        stats = json.loads(capsys.readouterr().out)
+        assert stats["segments"] == 2
+        assert stats["oov-tokens"] == 1  # "Y" not in lexicon
