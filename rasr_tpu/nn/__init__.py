@@ -1,1 +1,15 @@
-"""Nn layer: label scorers, encoders, trainers (reference: src/Nn)."""
+"""Nn layer: label scorers, trainers, checkpoints (reference: src/Nn)."""
+
+from .ctc_prefix_scorer import CtcPrefixScorer
+from .label_scorer import (CombineLabelScorer, EncoderOnlyLabelScorer,
+                           LabelScorer, NoOpLabelScorer, PriorLabelScorer,
+                           ScaledLabelScorer, ScoringContext,
+                           StepScoringContext, TransitionType,
+                           create_label_scorer, register_label_scorer_type)
+
+__all__ = [
+    "CtcPrefixScorer", "CombineLabelScorer", "EncoderOnlyLabelScorer",
+    "LabelScorer", "NoOpLabelScorer", "PriorLabelScorer",
+    "ScaledLabelScorer", "ScoringContext", "StepScoringContext",
+    "TransitionType", "create_label_scorer", "register_label_scorer_type",
+]

@@ -166,6 +166,45 @@ class LexiconfreeTimesyncBeamSearch:
     def get_current_best_labels(self) -> List[int]:
         return list(self.best().labels)
 
+    def get_common_prefix(self) -> List[int]:
+        """Longest label prefix shared by ALL beam hypotheses — stable
+        output for streaming (reference SearchAlgorithmV2
+        getCurrentCommonPrefix, src/Search/SearchV2.hh)."""
+        if not self._beam:
+            return []
+        first = self._beam[0].labels
+        n = min(len(h.labels) for h in self._beam)
+        out = []
+        for i in range(n):
+            v = first[i]
+            if all(h.labels[i] == v for h in self._beam):
+                out.append(v)
+            else:
+                break
+        return out
+
+    def prune_stable_delay(self, max_delay: int) -> None:
+        """maximum-stable-delay pruning (doc/search_v2.rst:303-307): drop
+        hypotheses whose traceback diverges from the best hypothesis
+        earlier than `max_delay` steps ago, bounding streaming latency."""
+        if not self._beam:
+            return
+        best = self._beam[0]
+        horizon = self._step - max_delay
+
+        def diverges_early(h: Hypothesis) -> bool:
+            for i, (a, b) in enumerate(zip(best.traceback, h.traceback)):
+                if a.label != b.label:
+                    return a.start_time < horizon
+            if len(best.traceback) != len(h.traceback):
+                tail = (best.traceback[len(h.traceback):]
+                        or h.traceback[len(best.traceback):])
+                return tail[0].start_time < horizon
+            return False
+
+        kept = [h for h in self._beam if h is best or not diverges_early(h)]
+        self._beam = kept
+
     def n_best(self, n: int) -> List[Hypothesis]:
         return self._beam[:n]
 

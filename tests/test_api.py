@@ -84,3 +84,22 @@ class TestSearchAlgorithm:
     def test_transition_type_enum(self):
         assert librasr.TransitionType.LABEL_TO_LABEL == 0
         assert librasr.TransitionType.BLANK_LOOP.name == "BLANK_LOOP"
+
+
+class TestStreaming:
+    def test_common_prefix_and_stable_delay(self, config):
+        from rasr_tpu.nn.label_scorer import NoOpLabelScorer
+        from rasr_tpu.search import LexiconfreeTimesyncBeamSearch
+        search = LexiconfreeTimesyncBeamSearch(
+            NoOpLabelScorer(4), beam_size=2, blank_index=0)
+        feats = posteriors([1, 2, 3], p=0.97)
+        search.put_features(feats[:4])
+        search.decode_many_steps()
+        cp = search.get_common_prefix()
+        # with a narrow beam the first label is stable across hypotheses
+        assert cp[:1] == [1]
+        search.prune_stable_delay(2)
+        assert len(search._beam) >= 1
+        search.put_features(feats[4:])
+        search.finish_segment()
+        assert list(search.get_current_best_labels()) == [1, 2, 3]
