@@ -180,3 +180,34 @@ class TestLmUtilAndCosta:
         stats = json.loads(capsys.readouterr().out)
         assert stats["segments"] == 2
         assert stats["oov-tokens"] == 1  # "Y" not in lexicon
+
+
+class TestNativeIo:
+    def test_native_reader_matches_python(self, tmp_path):
+        from rasr_tpu.speech.native_io import (NativeFeatureCacheReader,
+                                               native_available)
+        if not native_available():
+            pytest.skip("no native toolchain")
+        rng = np.random.default_rng(3)
+        p = str(tmp_path / "f.cache")
+        feats = {f"c/r/s{i}": rng.standard_normal((30 + i, 12)).astype(np.float32)
+                 for i in range(3)}
+        with FeatureCacheWriter(p) as w:
+            for k, v in feats.items():
+                w.write(k, v)
+        with NativeFeatureCacheReader(p) as nr, FeatureCacheReader(p) as pr:
+            assert sorted(nr.keys()) == sorted(pr.keys())
+            for k in feats:
+                nf, ns, ne = nr.read(k)
+                pf, ps, pe = pr.read(k)
+                np.testing.assert_array_equal(nf, pf)
+                np.testing.assert_allclose(ns, ps)
+                np.testing.assert_allclose(ne, pe)
+
+    def test_open_feature_cache_fallback(self, tmp_path):
+        from rasr_tpu.speech.native_io import open_feature_cache
+        p = str(tmp_path / "f.cache")
+        with FeatureCacheWriter(p) as w:
+            w.write("x", np.ones((5, 4), np.float32))
+        with open_feature_cache(p) as r:
+            assert r.features("x").shape == (5, 4)
