@@ -34,10 +34,39 @@ from .search.lexiconfree_timesync import (LexiconfreeTimesyncBeamSearch,
 from .search.tree_timesync import TreeTimesyncBeamSearch
 
 __all__ = [
-    "Configuration", "Lexicon", "ModelCombination", "SearchAlgorithm",
-    "TracebackItem", "TransitionType", "create_label_scorer",
-    "register_label_scorer_type",
+    "AllophoneStateFsaBuilder", "Configuration", "Lexicon",
+    "ModelCombination", "SearchAlgorithm", "TracebackItem", "TransitionType",
+    "create_label_scorer", "register_label_scorer_type",
 ]
+
+
+class AllophoneStateFsaBuilder:
+    """Builds allophone-state graphs for full-sum/CTC training from
+    orthographies (reference librasr AllophoneStateFsaBuilder,
+    src/Tools/LibRASR/PybindModule.cc:49-53,
+    src/Python/AllophoneStateFsaBuilder.cc)."""
+
+    def __init__(self, config: Configuration):
+        from .am.acoustic_model import AcousticModel
+        from .speech.allophone_graph import StateGraphBuilder
+        lexicon = Lexicon()
+        lexicon.load(config.sub("lexicon").get("file"))
+        am = AcousticModel.create(config.sub("acoustic-model"), lexicon)
+        self._builder = StateGraphBuilder(am)
+
+    def build_by_orthography(self, orth: str):
+        """Returns (edges (4, E) [from, to, emission, -1], weights (E,),
+        n_states) matching the reference's flat FSA export layout."""
+        import numpy as np
+        g = self._builder.build(orth)
+        em_of_target = g.emissions[g.arcs_to]
+        edges = np.stack([g.arcs_from, g.arcs_to, em_of_target,
+                          np.full_like(g.arcs_from, -1)])
+        return edges, g.arcs_score, g.n_states
+
+    def build_graph(self, orth: str):
+        """The full StateGraph (for the aligner / full-sum posteriors)."""
+        return self._builder.build(orth)
 
 
 @dataclass

@@ -528,6 +528,29 @@ class AutoregressionToCepstrum(Node):
 
 
 @register
+class GammatoneNode(Node):
+    """signal-gammatone: gammatone critical-band energies from the
+    amplitude spectrum (frequency-domain realization of
+    src/Signal/GammaTone.hh; ERB-spaced 4th-order responses)."""
+    filter_name = "signal-gammatone"
+
+    def apply(self, inputs):
+        s = inputs[""]
+        bin_to_hz = s.meta.get("frequency_resolution")
+        if bin_to_hz is None:
+            raise ValueError("signal-gammatone requires spectral input")
+        matrix = dsp.gammatone_matrix(
+            int(s.data.shape[-1]), bin_to_hz,
+            n_filters=self.attr("nr-filters", 68, lambda v: int(float(v))),
+            f_min=self.attr("minimum-frequency", 100.0, float),
+            f_max=self.attr("maximum-frequency", None,
+                            lambda v: float(v)) or None)
+        out = dsp.apply_matrix(jnp.abs(s.data) if jnp.iscomplexobj(s.data)
+                               else s.data, matrix)
+        return {"": s.with_data(out)}
+
+
+@register
 class EnergyNode(Node):
     """signal-energy: per-frame log energy from windowed frames."""
     filter_name = "signal-energy"

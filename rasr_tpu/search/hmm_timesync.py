@@ -192,8 +192,7 @@ class WordConditionedTreeSearch:
                                    exit_score, hyp.traceback)
                     if node.word_ends:
                         word_end(hyp.words, hyp.node, hyp.lm_history,
-                                 exit_score + tdp.exit - penalty + penalty,
-                                 hyp.traceback)
+                                 exit_score + tdp.exit, hyp.traceback)
 
         # pruning
         hyps = sorted(new.values(), key=lambda h: h.score)

@@ -443,6 +443,46 @@ def regression_deltadelta(x: jnp.ndarray, half_window: int = 2) -> jnp.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# gammatone filterbank (reference: src/Signal/GammaTone.hh — frequency-domain
+# realization of the 4th-order gammatone magnitude response on the ERB scale)
+# ---------------------------------------------------------------------------
+
+
+def erb_scale(f):
+    """ERB-rate scale: 21.4 log10(1 + 0.00437 f)."""
+    return 21.4 * np.log10(1.0 + 0.00437 * np.asarray(f, np.float64))
+
+
+def erb_bandwidth(fc):
+    """Equivalent rectangular bandwidth at center frequency fc."""
+    return 24.7 * (1.0 + 0.00437 * np.asarray(fc, np.float64))
+
+
+def gammatone_matrix(n_bins: int, bin_to_hz: float, n_filters: int = 68,
+                     f_min: float = 100.0, f_max: Optional[float] = None,
+                     order: int = 4) -> np.ndarray:
+    """(n_filters, n_bins) gammatone magnitude-response matrix, centers
+    equidistant on the ERB-rate scale.  Applied to amplitude spectra it
+    yields the gammatone critical-band energies that the reference computes
+    by time-domain filtering + spectral integration (GammaTone.hh +
+    SpectralIntegration); the frequency-domain form is the MXU-friendly
+    realization."""
+    if f_max is None:
+        f_max = (n_bins - 1) * bin_to_hz
+    e_lo, e_hi = erb_scale(f_min), erb_scale(f_max)
+    centers_erb = np.linspace(e_lo, e_hi, n_filters)
+    centers = (np.power(10.0, centers_erb / 21.4) - 1.0) / 0.00437
+    freqs = np.arange(n_bins) * bin_to_hz
+    out = np.zeros((n_filters, n_bins), dtype=np.float64)
+    for i, fc in enumerate(centers):
+        b = 1.019 * erb_bandwidth(fc)
+        # |H(f)| of an order-n gammatone: (1 + ((f-fc)/b)^2)^(-n/2)
+        out[i] = np.power(1.0 + ((freqs - fc) / b) ** 2, -order / 2.0)
+        out[i] /= out[i].sum() or 1.0
+    return out
+
+
+# ---------------------------------------------------------------------------
 # PLP: Levinson-Durbin and LPC cepstrum (reference: src/Math/LevinsonLse.cc,
 # src/Signal/AutoregressionToCepstrum.cc)
 # ---------------------------------------------------------------------------

@@ -103,3 +103,23 @@ class TestStreaming:
         search.put_features(feats[4:])
         search.finish_segment()
         assert list(search.get_current_best_labels()) == [1, 2, 3]
+
+
+class TestFsaBuilder:
+    def test_build_by_orthography(self, tmp_path):
+        lex = tmp_path / "lex.xml"
+        lex.write_text(
+            "<lexicon><phoneme-inventory>"
+            "<phoneme><symbol>a</symbol></phoneme>"
+            "<phoneme><symbol>si</symbol><variation>none</variation></phoneme>"
+            "</phoneme-inventory>"
+            '<lemma special="silence"><orth>[SI]</orth><phon>si</phon></lemma>'
+            "<lemma><orth>A</orth><phon>a</phon></lemma></lexicon>")
+        cfg = librasr.Configuration(name="fsa")
+        cfg.set("*.lexicon.file", str(lex))
+        builder = librasr.AllophoneStateFsaBuilder(cfg)
+        edges, weights, n_states = builder.build_by_orthography("A")
+        assert edges.shape[0] == 4
+        assert n_states > 0 and edges.shape[1] == len(weights)
+        g = builder.build_graph("A A")
+        assert g.n_states > n_states

@@ -181,3 +181,40 @@ class TestPlpPipeline:
         filt = power @ fb.T
         expected = dsp.plp_cepstrum(filt, 14, 13, spacing=0.93853)
         np.testing.assert_allclose(feats, expected, atol=2e-3, rtol=1e-3)
+
+
+class TestGammatone:
+    def test_matrix_properties(self):
+        from rasr_tpu.signal.dsp import erb_scale, gammatone_matrix
+        gm = gammatone_matrix(257, 16000.0 / 512.0, n_filters=40)
+        assert gm.shape == (40, 257)
+        # every filter normalized; peaks monotonically increasing in freq
+        np.testing.assert_allclose(gm.sum(1), 1.0, atol=1e-9)
+        peaks = gm.argmax(1)
+        assert (np.diff(peaks) >= 0).all()
+
+    def test_flow_node(self):
+        from rasr_tpu.flow import FlowPipeline, parse_network_string
+        net = parse_network_string(textwrap.dedent("""\
+            <network name="gt">
+              <in name="samples"/>
+              <out name="features"/>
+              <node name="window" filter="signal-window" type="hamming"
+                    shift=".01" length="0.025"/>
+              <link from="gt:samples" to="window"/>
+              <node name="fft" filter="signal-real-fast-fourier-transform"
+                    maximum-input-size="0.025"/>
+              <link from="window" to="fft"/>
+              <node name="amp" filter="signal-vector-alternating-complex-f32-amplitude"/>
+              <link from="fft" to="amp"/>
+              <node name="gammatone" filter="signal-gammatone" nr-filters="40"/>
+              <link from="amp" to="gammatone"/>
+              <link from="gammatone" to="gt:features"/>
+            </network>
+        """))
+        rng = np.random.default_rng(0)
+        sig = (rng.standard_normal(4000) * 100).astype(np.float32)
+        out = FlowPipeline(net)(samples=sig, sample_rate=16000.0)
+        feats = np.asarray(out["features"].data)
+        assert feats.shape[1] == 40
+        assert np.isfinite(feats).all() and (feats >= 0).all()
