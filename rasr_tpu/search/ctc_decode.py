@@ -91,17 +91,19 @@ def ctc_prefix_beam(log_probs: jnp.ndarray, lengths: jnp.ndarray,
     K = beam + beam * topk  # candidate pool: stays + extends
 
     def init_state():
-        labels = jnp.full((B, beam, T), -1, jnp.int32)
         n = jnp.zeros((B, beam), jnp.int32)
         last = jnp.full((B, beam), -1, jnp.int32)
         pb = jnp.full((B, beam), NEG_INF, jnp.float32).at[:, 0].set(0.0)
         pnb = jnp.full((B, beam), NEG_INF, jnp.float32)
         h1 = jnp.zeros((B, beam), jnp.uint32).at[:, 0].set(_H1_OFFSET)
         h2 = jnp.zeros((B, beam), jnp.uint32).at[:, 0].set(_H2_OFFSET)
-        return labels, n, last, pb, pnb, h1, h2
+        return n, last, pb, pnb, h1, h2
 
     def step(state, inputs):
-        labels, n, last, pb, pnb, h1, h2 = state
+        # O(beam) state only — prefixes are reconstructed from per-step
+        # backpointers after the scan (a (B, beam, T) label carry would
+        # move ~beam*T*4 bytes of HBM per frame and dominates runtime)
+        n, last, pb, pnb, h1, h2 = state
         lp_t, t_valid = inputs                         # (B, V), (B,)
         total = jnp.logaddexp(pb, pnb)                 # (B, beam)
 
@@ -176,35 +178,47 @@ def ctc_prefix_beam(log_probs: jnp.ndarray, lengths: jnp.ndarray,
         sel_h2 = jnp.take_along_axis(cand_h2, sel, axis=1)
 
         # ---- rebuild state ----------------------------------------------------
-        new_labels = jnp.take_along_axis(
-            labels, sel_src[:, :, None].repeat(T, 2), axis=1)
         new_n = jnp.take_along_axis(n, sel_src, axis=1)
         new_last = jnp.take_along_axis(last, sel_src, axis=1)
-        app_pos = jnp.clip(new_n, 0, T - 1)
-        write_mask = (sel_ext[:, :, None]
-                      & (jnp.arange(T)[None, None, :] == app_pos[:, :, None]))
-        new_labels = jnp.where(write_mask, sel_lab[:, :, None], new_labels)
         new_n = jnp.where(sel_ext, new_n + 1, new_n)
         new_last = jnp.where(sel_ext, sel_lab, new_last)
 
         # ---- freeze past end of sequence --------------------------------------
         frozen = ~t_valid[:, None]
-        new_labels = jnp.where(frozen[:, :, None], labels, new_labels)
+        identity = jnp.tile(jnp.arange(beam)[None, :], (B, 1))
+        bp_src = jnp.where(frozen, identity, sel_src)
+        bp_lab = jnp.where(frozen | ~sel_ext, -1, sel_lab)
         out = (jnp.where(frozen, n, new_n),
                jnp.where(frozen, last, new_last),
                jnp.where(frozen, pb, sel_pb),
                jnp.where(frozen, pnb, sel_pnb),
                jnp.where(frozen, h1, sel_h1),
                jnp.where(frozen, h2, sel_h2))
-        return (new_labels, *out), None
+        return out, (bp_src.astype(jnp.int32), bp_lab.astype(jnp.int32))
 
     t_valid = (jnp.arange(T)[None, :] < lengths[:, None]).T        # (T, B)
-    state, _ = jax.lax.scan(step, init_state(),
-                            (jnp.moveaxis(log_probs, 0, 1), t_valid))
-    labels, n, last, pb, pnb, h1, h2 = state
+    state, (bp_src, bp_lab) = jax.lax.scan(
+        step, init_state(), (jnp.moveaxis(log_probs, 0, 1), t_valid))
+    n, last, pb, pnb, h1, h2 = state
     total = jnp.logaddexp(pb, pnb)
     order = jnp.argsort(-total, axis=1)
-    labels = jnp.take_along_axis(labels, order[:, :, None], axis=1)
     n = jnp.take_along_axis(n, order, axis=1)
     total = jnp.take_along_axis(total, order, axis=1)
+
+    # ---- backpointer traceback: reconstruct prefixes in reverse ------------
+    def back_step(k_cur, xs):
+        src_t, lab_t = xs                                # (B, beam) each
+        lab = jnp.take_along_axis(lab_t, k_cur, axis=1)
+        k_prev = jnp.take_along_axis(src_t, k_cur, axis=1)
+        return k_prev, lab
+
+    _, labs_rev = jax.lax.scan(back_step, order, (bp_src, bp_lab),
+                               reverse=True)
+    labs = labs_rev                                       # (T, B, beam)
+    labs = jnp.moveaxis(labs, 0, 2)                       # (B, beam, T)
+    # compact emitted labels (>=0) to the front, preserving order
+    emit = labs >= 0
+    pos = jnp.argsort(~emit, axis=2, stable=True)
+    labels = jnp.where(jnp.take_along_axis(emit, pos, axis=2),
+                       jnp.take_along_axis(labs, pos, axis=2), -1)
     return labels, n, -total

@@ -91,3 +91,25 @@ class TestExactLmComposition:
         composed = compose_with_lm(lat, lm)
         _, best_comp = composed.best()
         np.testing.assert_allclose(rescored[0][1], best_comp, atol=1e-5)
+
+
+class TestChunkedEncoderScorer:
+    def test_chunked_encoding_then_full_context_finish(self):
+        from rasr_tpu.nn.label_scorer import EncoderOnlyLabelScorer
+        calls = []
+
+        def encode(x):
+            calls.append(len(x))
+            return x * 2.0
+
+        s = EncoderOnlyLabelScorer(encode, n_labels=4, chunk_frames=8,
+                                   chunk_history=2)
+        feats = np.arange(40, dtype=np.float32).reshape(10, 4)
+        s.add_inputs(feats[:6])
+        assert s.max_ready_step() == 0          # below chunk size
+        s.add_inputs(feats[6:])
+        assert s.max_ready_step() == 8          # one chunk scored
+        assert calls == [8]
+        s.signal_segment_end()                  # full-context re-encode
+        assert s.max_ready_step() == 10
+        np.testing.assert_allclose(s.log_probs(), feats * 2.0)
