@@ -119,11 +119,12 @@ class SearchAlgorithm:
         if scorer is None:
             raise ValueError("a label scorer is required (pass one or "
                              "configure label-scorer)")
+        hist = int(sa.get("histogram-pruning-bins") or 0)
         if search_type in ("lexiconfree-timesync-beam-search",
                            "lexiconfree-timesync"):
             self._search = LexiconfreeTimesyncBeamSearch(
                 scorer, beam_size=beam, blank_index=blank,
-                score_threshold=threshold)
+                score_threshold=threshold, histogram_bins=hist)
         elif search_type in ("tree-timesync-beam-search", "tree-timesync"):
             lm = self.model_combination.language_model
             self._search = TreeTimesyncBeamSearch(

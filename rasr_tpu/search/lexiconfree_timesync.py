@@ -52,12 +52,18 @@ class LexiconfreeTimesyncBeamSearch:
     def __init__(self, scorer: LabelScorer,
                  beam_size: int = 16,
                  score_threshold: float = math.inf,
+                 histogram_bins: int = 0,
                  blank_index: int = 0,
                  collapse_repeated: bool = True,
                  length_norm: bool = False):
         self.scorer = scorer
         self.beam_size = beam_size
         self.score_threshold = score_threshold
+        # histogram pruning (reference doc/search_v2.rst pruning types):
+        # cap candidates by binning scores below the threshold and cutting
+        # at the bin that fills the beam — cheaper than a full sort when
+        # candidate sets are huge; here also caps pathological thresholds
+        self.histogram_bins = histogram_bins
         self.blank = blank_index
         self.collapse_repeated = collapse_repeated
         self.length_norm = length_norm
@@ -98,7 +104,18 @@ class LexiconfreeTimesyncBeamSearch:
 
         # score-threshold pruning relative to best candidate
         best = cand.min()
-        cand_mask = cand <= best + self.score_threshold
+        threshold = self.score_threshold
+        if self.histogram_bins and np.isfinite(threshold):
+            # histogram pruning: tighten the threshold to the bin where the
+            # cumulative candidate count reaches the beam size
+            counts, edges = np.histogram(
+                cand[cand <= best + threshold],
+                bins=self.histogram_bins)
+            cum = np.cumsum(counts)
+            idx = int(np.searchsorted(cum, self.beam_size))
+            if idx + 1 < len(edges):
+                threshold = min(threshold, float(edges[idx + 1] - best))
+        cand_mask = cand <= best + threshold
 
         # top beam_size among allowed candidates
         flat = np.where(cand_mask, cand, np.inf).ravel()

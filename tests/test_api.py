@@ -123,3 +123,15 @@ class TestFsaBuilder:
         assert n_states > 0 and edges.shape[1] == len(weights)
         g = builder.build_graph("A A")
         assert g.n_states > n_states
+
+
+class TestHistogramPruning:
+    def test_histogram_pruning_keeps_result(self, config):
+        from rasr_tpu.search import LexiconfreeTimesyncBeamSearch
+        search = LexiconfreeTimesyncBeamSearch(
+            NoOpLabelScorer(4), beam_size=4, blank_index=0,
+            score_threshold=50.0, histogram_bins=32)
+        feats = posteriors([1, 2, 3])
+        search.put_features(feats)
+        search.finish_segment()
+        assert search.get_current_best_labels() == [1, 2, 3]
