@@ -26,6 +26,22 @@ class Application(Component):
             list(argv if argv is not None else sys.argv[1:]))
         super().__init__(config)
         self._start_time = time.time()
+        self._setup_compilation_cache()
+
+    def _setup_compilation_cache(self) -> None:
+        """Persistent XLA compilation cache — the TPU-native equivalent of
+        the reference's MappedArchive image caches (state trees / lookahead
+        tables survived process restarts; here compiled executables do).
+        Configured via `*.compilation-cache.path` or JAX defaults."""
+        path = self.config.sub("compilation-cache").get("path")
+        if path:
+            try:
+                import jax
+                jax.config.update("jax_compilation_cache_dir", path)
+                jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                                  0.5)
+            except Exception as exc:  # cache is an optimization, never fatal
+                self.warning("compilation cache setup failed: %s", exc)
 
     @property
     def arguments(self) -> List[str]:

@@ -195,6 +195,53 @@ class RescoreLmNode(FlfNode):
         return out
 
 
+@register_node("n-best")
+class NBestNode(FlfNode):
+    """n-best extraction into a prefix-merged lattice (reference n-best
+    node, src/Flf/NBest.cc)."""
+
+    def work(self) -> WordLattice:
+        lattice = self.source(0).pull()
+        n = int(self.config.get("n") or 10)
+        from .word_lattice_helpers import nbest_lattice
+        return nbest_lattice(lattice, n)
+
+
+@register_node("compose-with-lm")
+class ComposeWithLmNode(FlfNode):
+    """Exact LM composition (reference compose-with-lm,
+    src/Flf/Compose.cc); LM from network context."""
+
+    def work(self) -> WordLattice:
+        lattice = self.source(0).pull()
+        from ..lattice.rescore import compose_with_lm
+        lm = self.network.context.get("lm")
+        scale = float(self.config.get("scale") or 1.0)
+        return compose_with_lm(lattice, lm, scale=scale)
+
+
+@register_node("confusion-network")
+class ConfusionNetworkNode(FlfNode):
+    """CN construction + MBR decode into a linear lattice (reference CN
+    builder nodes, src/Flf/ConfusionNetwork.cc)."""
+
+    def work(self) -> WordLattice:
+        lattice = self.source(0).pull()
+        from ..lattice.confusion_network import build_confusion_network
+        cn = build_confusion_network(lattice)
+        words, confs = cn.decode()
+        out = WordLattice(words=lattice.words)
+        s = out.add_state(0)
+        out.initial = s
+        import math
+        for i, (w, c) in enumerate(zip(words, confs)):
+            t = out.add_state(i + 1)
+            out.add_arc(s, t, w, -math.log(max(c, 1e-10)), 0.0)
+            s = t
+        out.set_final(s)
+        return out
+
+
 @register_node("evaluator")
 class EvaluatorNode(FlfNode):
     """WER evaluation of the best path vs the segment orth

@@ -122,3 +122,64 @@ class TestFlfNetwork:
         config.set("*.network.out.type", "sink")
         with pytest.raises(ValueError, match="unknown flf node"):
             FlfNetwork(config)
+
+
+class TestMoreNodes:
+    def test_nbest_compose_cn_nodes(self, tmp_path):
+        from rasr_tpu.core.configuration import Configuration
+        from rasr_tpu.flf.processor import FlfNetwork
+        from rasr_tpu.bliss.corpus import CorpusDescription
+        from rasr_tpu.lm import Zerogram
+
+        (tmp_path / "corpus.xml").write_text(
+            '<corpus name="c"><recording name="r" audio="x.wav">'
+            '<segment name="s" start="0" end="1"><orth>A B</orth></segment>'
+            "</recording></corpus>")
+
+        # a fake "recognizer": injects a fixed lattice via context
+        from rasr_tpu.lattice.word_lattice import lattice_from_nbest
+        lat = lattice_from_nbest([((1, 2), 1.0, 0.0), ((1, 3), 2.0, 0.0)],
+                                 words={1: "A", 2: "B", 3: "C"})
+
+        from rasr_tpu.flf.processor import FlfNode, register_node
+
+        @register_node("fixed-lattice")
+        class FixedLattice(FlfNode):
+            def work(self):
+                return lat
+
+        config = Configuration(name="flf-tool")
+        config.set("*.corpus.file", str(tmp_path / "corpus.xml"))
+        config.set("*.network.nodes", "src nb comp cn out")
+        config.set("*.network.src.type", "fixed-lattice")
+        config.set("*.network.nb.type", "n-best")
+        config.set("*.network.nb.links", "src")
+        config.set("*.network.nb.n", "2")
+        config.set("*.network.comp.type", "compose-with-lm")
+        config.set("*.network.comp.links", "nb")
+        config.set("*.network.cn.type", "confusion-network")
+        config.set("*.network.cn.links", "comp")
+        config.set("*.network.out.type", "sink")
+        config.set("*.network.out.links", "cn")
+        net = FlfNetwork(config, context={"lm": Zerogram(["A", "B", "C"])})
+        corpus = CorpusDescription(config.sub("corpus"))
+        assert net.run(corpus) == 1
+        result = net.node("cn").pull()
+        labels, _ = result.best()
+        assert [result.words[l] for l in labels] == ["A", "B"]
+
+
+class TestScorerFactory:
+    def test_reference_names(self):
+        import numpy as np
+        from rasr_tpu.mm.module import create_feature_scorer
+        from rasr_tpu.mm import MixtureSet, GmmScorer
+        ms = MixtureSet.single_gaussian(np.zeros((3, 4)), np.ones((3, 4)))
+        for name in ("diagonal-maximum", "batch-diagonal-maximum-fast",
+                     "preselection-batch-float", "SIMD-diagonal-maximum"):
+            s = create_feature_scorer(name, ms, use_pallas=False)
+            assert isinstance(s, GmmScorer) and s.mode == "max"
+        s = create_feature_scorer("diagonal-sum", ms, use_pallas=False)
+        assert s.mode == "sum"
+        with pytest.raises(ValueError):
+            create_feature_scorer("nonsense", ms)
