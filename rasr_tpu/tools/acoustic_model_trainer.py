@@ -162,6 +162,35 @@ class AcousticModelTrainerApp(Application):
                   f"logw={['%.3f' % w for w in mix.log_weights]}")
         return 0
 
+    def action_align(self) -> int:
+        """Viterbi-align the corpus and write an alignment cache
+        (reference AligningFeatureExtractor / dump-alignment)."""
+        am = self._load_am()
+        corpus = CorpusDescription(self.config.sub("corpus"))
+        cache = FeatureCacheReader(
+            self.config.sub("feature-cache").get("path"))
+        tc = self._trainer_config()
+        ms = MixtureSet.read_pms(tc.get("old-mixture-set-file"))
+        scorer = GmmScorer(ms)
+        builder = StateGraphBuilder(am)
+        out_path = tc.get("alignment-cache") or "alignment.cache"
+        from ..speech.alignment import Alignment, AlignmentCacheWriter
+        n = 0
+        with AlignmentCacheWriter(out_path) as out:
+            for seg in corpus.segments():
+                try:
+                    feats, _, _ = cache.read(seg.full_name)
+                except KeyError:
+                    continue
+                graph = builder.build(seg.orth)
+                aligner = Aligner(graph)
+                scores = np.asarray(scorer.score(feats))
+                _, labels, _ = aligner.align(scores)
+                out.write(seg.full_name, Alignment.from_viterbi(labels))
+                n += 1
+        self.log("aligned %d segments -> %s", n, out_path)
+        return 0
+
     def run(self) -> int:
         action = self.param_action(self.config)
         dispatch = {
@@ -170,6 +199,7 @@ class AcousticModelTrainerApp(Application):
             "estimate-mixture-set": self.action_estimate,
             "split-mixture-set": self.action_split,
             "show-mixture-set": self.action_show,
+            "dump-alignment": self.action_align,
         }
         if action not in dispatch:
             raise ValueError(f"unknown action {action!r}; "

@@ -162,3 +162,41 @@ class TestGmmWorkflow:
             f"--*.mixture-set-trainer.new-accumulator-file={tmp_path}/pass2.acc",
         ])
         assert status == 0
+
+
+class TestAlignmentCache:
+    def test_pack_roundtrip(self, tmp_path):
+        from rasr_tpu.speech.alignment import (Alignment, AlignmentCacheReader,
+                                               AlignmentCacheWriter)
+        align = Alignment.from_viterbi(np.array([64, 64, 65, 66, 70]))
+        p = str(tmp_path / "a.cache")
+        with AlignmentCacheWriter(p) as w:
+            w.write("c/r/s", align)
+        with AlignmentCacheReader(p) as r:
+            back = r.read("c/r/s")
+            np.testing.assert_array_equal(back.state_ids, align.state_ids)
+            np.testing.assert_array_equal(back.frames, np.arange(5))
+            np.testing.assert_allclose(back.weights, 1.0)
+
+    def test_dump_alignment_action(self, setup):
+        tmp_path, config, class_means = setup
+        # need a model first: flat-start accumulate + estimate
+        amt_main([f"--config={config}",
+                  "--*.action=accumulate-mixture-set-text-dependent",
+                  f"--*.mixture-set-trainer.new-accumulator-file={tmp_path}/a.acc"])
+        amt_main([f"--config={config}", "--*.action=estimate-mixture-set",
+                  f"--*.mixture-set-trainer.accumulator-file={tmp_path}/a.acc",
+                  f"--*.mixture-set-trainer.new-mixture-set-file={tmp_path}/m.pms"])
+        status = amt_main([
+            f"--config={config}", "--*.action=dump-alignment",
+            f"--*.mixture-set-trainer.old-mixture-set-file={tmp_path}/m.pms",
+            f"--*.mixture-set-trainer.alignment-cache={tmp_path}/align.cache"])
+        assert status == 0
+        from rasr_tpu.speech.alignment import AlignmentCacheReader
+        with AlignmentCacheReader(str(tmp_path / "align.cache")) as r:
+            keys = r.keys()
+            assert len(keys) == 6
+            a = r.read(keys[0])
+            assert len(a) == 44  # frames per synthetic segment (4+6*6+4)
+            # labels are packed allophone-state ids
+            assert a.state_ids.max() > 0
