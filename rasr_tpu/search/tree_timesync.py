@@ -74,6 +74,71 @@ class PrefixTree:
     def word_ends(self, node: int) -> List[Tuple[int, float]]:
         return self.nodes[node].word_ends
 
+    def reachable_word_ends(self) -> List[np.ndarray]:
+        """Per node: lemma ids of all word ends in the subtree (for LM
+        lookahead, reference LanguageModelLookahead tree compression)."""
+        n = len(self.nodes)
+        memo: List[Optional[set]] = [None] * n
+
+        def collect(i: int) -> set:
+            if memo[i] is not None:
+                return memo[i]
+            out = {lemma for lemma, _ in self.nodes[i].word_ends}
+            for child in self.nodes[i].children.values():
+                out |= collect(child)
+            memo[i] = out
+            return out
+
+        collect(0)
+        return [np.asarray(sorted(memo[i]), dtype=np.int64) for i in range(n)]
+
+
+class LmLookahead:
+    """Per-history lookahead tables over the prefix tree: la(node, h) =
+    min over word ends reachable below node of the scaled LM score
+    (reference LanguageModelLookahead, src/Search/LanguageModelLookahead.hh:
+    compressed lookahead tree + cached per-history score tables).
+
+    One batched LM query per new history fills the whole table."""
+
+    def __init__(self, tree: PrefixTree, lm, lm_scale: float,
+                 lexicon: Lexicon):
+        self.tree = tree
+        self.lm = lm
+        self.lm_scale = lm_scale
+        self._reachable = tree.reachable_word_ends()
+        # unique first syntactic token per lemma (unigram-style lookahead)
+        self._tokens = []
+        self._lemma_ids = []
+        for lemma in lexicon.lemmas:
+            toks = lemma.syntactic_tokens
+            if toks:
+                self._lemma_ids.append(lemma.id)
+                self._tokens.append(toks[0])
+        self._lemma_pos = {l: i for i, l in enumerate(self._lemma_ids)}
+        self._cache: Dict[tuple, np.ndarray] = {}
+
+    def table(self, history: tuple) -> np.ndarray:
+        t = self._cache.get(history)
+        if t is None:
+            scores = self.lm_scale * self.lm.score_batch(
+                [history], self._tokens)[0]                 # (n_lemmas,)
+            t = np.zeros(len(self._reachable), dtype=np.float32)
+            for node, lemmas in enumerate(self._reachable):
+                if len(lemmas):
+                    idx = [self._lemma_pos[l] for l in lemmas
+                           if l in self._lemma_pos]
+                    t[node] = float(np.min(scores[idx])) if idx else 0.0
+            self._cache[history] = t
+        return t
+
+    def score(self, node: int, history: tuple) -> float:
+        return float(self.table(history)[node])
+
+    def cleanup(self, keep_histories) -> None:
+        keep = set(keep_histories)
+        self._cache = {h: t for h, t in self._cache.items() if h in keep}
+
 
 @dataclass
 class TreeHypothesis:
@@ -99,12 +164,15 @@ class TreeTimesyncBeamSearch:
                  blank_index: int = 0,
                  collapse_repeated: bool = True,
                  token_of_phoneme=None,
-                 sentence_end_fallback: bool = True):
+                 sentence_end_fallback: bool = True,
+                 lm_lookahead: bool = False):
         self.scorer = scorer
         self.lexicon = lexicon
         self.tree = PrefixTree(lexicon, token_of_phoneme=token_of_phoneme)
         self.lm = lm
         self.lm_scale = lm_scale
+        self.lookahead = (LmLookahead(self.tree, lm, lm_scale, lexicon)
+                          if (lm_lookahead and lm is not None) else None)
         self.beam_size = beam_size
         self.word_end_beam = word_end_beam_size or beam_size
         self.score_threshold = score_threshold
@@ -209,17 +277,29 @@ class TreeTimesyncBeamSearch:
                         words=hyp.words + (lemma_id,),
                         score=new_score + pron_score + lm_s))
 
-        hyps = sorted(candidates.values(), key=lambda h: h.score)
+        # prospect = score + LM lookahead (anticipated best word-end LM
+        # cost below the node); pruning uses prospects, stored scores stay
+        # raw (the reference's lookahead semantics)
+        if self.lookahead is not None:
+            def prospect(h):
+                return h.score + self.lookahead.score(h.node, h.lm_history)
+        else:
+            def prospect(h):
+                return h.score
+
+        hyps = sorted(candidates.values(), key=prospect)
         if not hyps:
             return False
-        best = hyps[0].score
-        hyps = [h for h in hyps if h.score <= best + self.score_threshold]
+        best = prospect(hyps[0])
+        hyps = [h for h in hyps if prospect(h) <= best + self.score_threshold]
         # separate beams for within-word and word-end hypotheses
         word_end = [h for h in hyps if h.node == self.tree.root]
         in_word = [h for h in hyps if h.node != self.tree.root]
         self._beam = sorted(word_end[:self.word_end_beam]
                             + in_word[:self.beam_size],
-                            key=lambda h: h.score)
+                            key=prospect)
+        if self.lookahead is not None:
+            self.lookahead.cleanup({h.lm_history for h in self._beam})
         self._step += 1
         return True
 
