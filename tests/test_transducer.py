@@ -162,3 +162,37 @@ class TestTransducerE2E:
                 lambda e, p: np.asarray(joint(jnp.asarray(e), jnp.asarray(p))),
                 pred_step, enc_np, int(out_lens[0]))
             assert got == labels[b].tolist(), f"utt {b}: {got}"
+
+
+class TestTransducerBeam:
+    def test_beam_decodes_training_data(self, trained):
+        from rasr_tpu.search.transducer_beam import TransducerBeamSearch
+        model, params, feats, feat_lens, labels, _ = trained
+
+        @jax.jit
+        def encode(f, l):
+            return model.apply({"params": params}, f, l, method=model.encode)
+
+        @jax.jit
+        def pred_batch(lab_seq):
+            # full (B, L, P): the search gathers per-hypothesis lengths
+            return model.apply({"params": params}, lab_seq,
+                               method=model.predict)
+
+        @jax.jit
+        def joint_batch(enc_t, pred):
+            logits = model.apply({"params": params},
+                                 enc_t[None, None].repeat(pred.shape[0], 0),
+                                 pred[:, None], method=model.joint_logits)
+            return jax.nn.log_softmax(logits[:, 0, 0], -1)
+
+        search = TransducerBeamSearch(
+            lambda p: np.asarray(pred_batch(jnp.asarray(p))),
+            lambda e, p: np.asarray(joint_batch(jnp.asarray(e),
+                                                jnp.asarray(p))),
+            beam_size=4, max_symbols_per_frame=2, expansion_topk=3)
+        for b in range(2):
+            enc, out_lens = encode(jnp.asarray(feats[b:b + 1]),
+                                   jnp.asarray(feat_lens[b:b + 1]))
+            got = search.recognize(np.asarray(enc[0]), int(out_lens[0]))
+            assert got == labels[b].tolist(), f"utt {b}: {got}"
