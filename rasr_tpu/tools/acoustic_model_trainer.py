@@ -191,6 +191,92 @@ class AcousticModelTrainerApp(Application):
         self.log("aligned %d segments -> %s", n, out_path)
         return 0
 
+    def action_accumulate_cart(self) -> int:
+        """Accumulate CART examples: per (central, left, right, hmm-state)
+        context, Gaussian sufficient statistics of the aligned frames
+        (reference cart accumulation, AcousticModelTrainer cart actions +
+        src/Cart/Example.hh)."""
+        import pickle
+        am = self._load_am()
+        corpus = CorpusDescription(self.config.sub("corpus"))
+        cache = FeatureCacheReader(self.config.sub("feature-cache").get("path"))
+        tc = self._trainer_config()
+        ms = MixtureSet.read_pms(tc.get("old-mixture-set-file"))
+        scorer = GmmScorer(ms)
+        builder = StateGraphBuilder(am)
+        inv = am.lexicon.phoneme_inventory
+
+        stats: dict = {}
+        n = 0
+        for seg in corpus.segments():
+            try:
+                feats, _, _ = cache.read(seg.full_name)
+            except KeyError:
+                continue
+            graph = builder.build(seg.orth)
+            aligner = Aligner(graph)
+            scores = np.asarray(scorer.score(feats))
+            _, labels, _ = aligner.align(scores)
+            for t, sid in enumerate(labels):
+                allo_idx, state = am.alphabet.split_state_id(int(sid))
+                allo = am.alphabet.allophone(allo_idx)
+                def sym(pid):
+                    return inv.by_id(pid).symbol if pid else "#"
+                key = (sym(allo.central), sym(allo.left), sym(allo.right),
+                       state)
+                entry = stats.get(key)
+                x = feats[t].astype(np.float64)
+                if entry is None:
+                    stats[key] = [1.0, x.copy(), x * x]
+                else:
+                    entry[0] += 1.0
+                    entry[1] += x
+                    entry[2] += x * x
+            n += 1
+        out = tc.get("cart-example-file") or "cart.examples"
+        with open(out, "wb") as fh:
+            pickle.dump(stats, fh)
+        self.log("accumulated CART examples from %d segments "
+                 "(%d contexts) -> %s", n, len(stats), out)
+        return 0
+
+    def action_estimate_cart(self) -> int:
+        """Train the phonetic decision tree from accumulated examples and
+        write the XML tree for CART state tying."""
+        import pickle
+        from ..cart.decision_tree import (DecisionTreeTrainer, Example,
+                                          Question)
+        tc = self._trainer_config()
+        with open(tc.get("cart-example-file") or "cart.examples", "rb") as fh:
+            stats = pickle.load(fh)
+        examples = [Example(
+            properties={"central": c, "history[0]": l, "future[0]": r,
+                        "state": s},
+            count=v[0], sum_x=v[1], sum_x2=v[2])
+            for (c, l, r, s), v in stats.items()]
+        # auto questions: singleton phoneme sets per position + state splits
+        phonemes = sorted({p for ex in examples
+                           for p in (ex.properties["central"],
+                                     ex.properties["history[0]"],
+                                     ex.properties["future[0]"])})
+        questions = []
+        for key in ("central", "history[0]", "future[0]"):
+            for p in phonemes:
+                questions.append(Question(key, values={p}))
+        max_state = max(ex.properties["state"] for ex in examples)
+        for s in range(max_state + 1):
+            questions.append(Question("state", min_value=s, max_value=s))
+        trainer = DecisionTreeTrainer(
+            questions,
+            min_examples=float(tc.get("cart-minimum-examples") or 100.0),
+            max_leaves=int(tc.get("cart-maximum-leaves") or 1000))
+        tree = trainer.train(examples)
+        out = tc.get("cart-file") or "cart.tree.xml"
+        tree.write_xml(out)
+        self.log("CART: %d contexts -> %d tied classes -> %s",
+                 len(examples), tree.n_classes, out)
+        return 0
+
     def run(self) -> int:
         action = self.param_action(self.config)
         dispatch = {
@@ -200,6 +286,8 @@ class AcousticModelTrainerApp(Application):
             "split-mixture-set": self.action_split,
             "show-mixture-set": self.action_show,
             "dump-alignment": self.action_align,
+            "accumulate-cart-examples": self.action_accumulate_cart,
+            "estimate-cart": self.action_estimate_cart,
         }
         if action not in dispatch:
             raise ValueError(f"unknown action {action!r}; "

@@ -200,3 +200,45 @@ class TestAlignmentCache:
             assert len(a) == 44  # frames per synthetic segment (4+6*6+4)
             # labels are packed allophone-state ids
             assert a.state_ids.max() > 0
+
+
+class TestCartWorkflow:
+    def test_cart_accumulate_estimate_and_tying(self, setup):
+        tmp_path, config, class_means = setup
+        amt_main([f"--config={config}",
+                  "--*.action=accumulate-mixture-set-text-dependent",
+                  f"--*.mixture-set-trainer.new-accumulator-file={tmp_path}/c.acc"])
+        amt_main([f"--config={config}", "--*.action=estimate-mixture-set",
+                  f"--*.mixture-set-trainer.accumulator-file={tmp_path}/c.acc",
+                  f"--*.mixture-set-trainer.new-mixture-set-file={tmp_path}/c.pms"])
+        status = amt_main([
+            f"--config={config}", "--*.action=accumulate-cart-examples",
+            f"--*.mixture-set-trainer.old-mixture-set-file={tmp_path}/c.pms",
+            f"--*.mixture-set-trainer.cart-example-file={tmp_path}/cart.ex"])
+        assert status == 0
+        status = amt_main([
+            f"--config={config}", "--*.action=estimate-cart",
+            f"--*.mixture-set-trainer.cart-example-file={tmp_path}/cart.ex",
+            f"--*.mixture-set-trainer.cart-file={tmp_path}/cart.xml",
+            "--*.mixture-set-trainer.cart-minimum-examples=10"])
+        assert status == 0
+        # use the tree as CART state tying in a fresh acoustic model
+        from rasr_tpu.am.acoustic_model import AcousticModel
+        from rasr_tpu.bliss.lexicon import Lexicon
+        from rasr_tpu.core.configuration import Configuration
+        cfg = Configuration(name="t")
+        cfg.set("*.lexicon.file", str(tmp_path / "lex.xml"))
+        cfg.set("*.acoustic-model.state-tying.type", "cart")
+        cfg.set("*.acoustic-model.state-tying.file", str(tmp_path / "cart.xml"))
+        lex = Lexicon(cfg.sub("lexicon"))
+        am = AcousticModel.create(cfg.sub("acoustic-model"), lex)
+        # distinct central phonemes/states land in valid tied classes
+        from rasr_tpu.am.allophone import Allophone
+        n = am.state_tying.n_classes
+        assert n >= 3
+        a_id = lex.phoneme_inventory.phoneme("a").id
+        b_id = lex.phoneme_inventory.phoneme("b").id
+        cls_a = am.state_tying.emission_index(Allophone(a_id), 0)
+        cls_b = am.state_tying.emission_index(Allophone(b_id), 0)
+        assert 0 <= cls_a < n and 0 <= cls_b < n
+        assert cls_a != cls_b  # strongly separated synthetic classes
