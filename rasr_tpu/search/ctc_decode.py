@@ -88,7 +88,8 @@ def ctc_prefix_beam(log_probs: jnp.ndarray, lengths: jnp.ndarray,
     scores (B, beam) = -log p(prefix)), best first.
     """
     B, T, V = log_probs.shape
-    K = beam + beam * topk  # candidate pool: stays + extends
+    topk = min(topk, V - 1)  # at most all nonblank labels
+    K = beam + beam * topk   # candidate pool: stays + extends
 
     def init_state():
         n = jnp.zeros((B, beam), jnp.int32)

@@ -77,3 +77,55 @@ class TestSpeechRecognizer:
         assert stats["ref-words"] == 5
         assert abs(stats["wer"] - 20.0) < 1e-9
         assert stats["overall-rtf"] > 0
+
+
+class TestBatchedRecognizer:
+    def test_bucketing_matches_single(self, tmp_path):
+        """Batched bucketed decoding == per-segment decoding, across
+        different segment lengths."""
+        from rasr_tpu.bliss.evaluation import Evaluator
+        from rasr_tpu.bliss.lexicon import Lexicon
+        from rasr_tpu.speech.batch_recognizer import BatchedCtcRecognizer
+
+        vocab = tmp_path / "labels.txt"
+        vocab.write_text("<blank>\nA\nB\nC\n")
+        lex = Lexicon()
+        lex.load(f"vocab-text:{vocab}")
+        lex.lemmas[0].special = "blank"
+        V, p = 4, 0.9
+
+        def posterior_feats(seq, frames_per):
+            rows = []
+            for t in seq:
+                for _ in range(frames_per):
+                    r = np.full(V, (1 - p) / (V - 1))
+                    r[t] = p
+                    rows.append(r)
+            return np.log(np.asarray(rows, dtype=np.float32))
+
+        def encode_fn(feats, lens):
+            # identity "encoder": features already log-posteriors; padding
+            # rows are near-uniform logs and get masked by lens
+            return feats, lens
+
+        segs = [
+            ("s0", posterior_feats([1, 2], 3), "A B"),
+            ("s1", posterior_feats([3], 2), "C"),
+            ("s2", posterior_feats([2, 0, 2], 4), "B B"),
+            ("s3", posterior_feats([1, 3, 2], 8), "A C B"),  # other bucket
+        ]
+        ev = Evaluator()
+        rec = BatchedCtcRecognizer(encode_fn, lex, batch_size=2,
+                                   bucket_frames=16, evaluator=ev)
+        results = rec.recognize(segs)
+        assert [r.orth for r in results] == ["A B", "C", "B B", "A C B"]
+        assert ev.wer == 0.0
+        # consistency with unbatched decode
+        from rasr_tpu.search.ctc_decode import ctc_prefix_beam
+        for name, feats, ref in segs:
+            lab, n, sc = ctc_prefix_beam(feats[None],
+                                         np.array([len(feats)]), beam=8,
+                                         topk=8)
+            single = lab[0, 0, :int(n[0, 0])].tolist()
+            batched = next(r for r in results if r.segment_name == name)
+            assert batched.labels == single
