@@ -573,6 +573,50 @@ class DcDetection(Node):
 
 
 @register
+class WarpTimeNode(Node):
+    """warp-time: linear time-axis resampling of a feature sequence
+    (reference warp-time filter); factor > 1 stretches."""
+    filter_name = "warp-time"
+
+    def apply(self, inputs):
+        s = inputs[""]
+        factor = self.attr("factor", 1.0, float)
+        T = int(s.data.shape[-2])
+        new_T = max(int(round(T * factor)), 1)
+        src = jnp.clip((jnp.arange(new_T) / factor).astype(jnp.int32), 0, T - 1)
+        return {"": s.with_data(jnp.take(s.data, src, axis=-2),
+                                frame_shift=s.shift / factor)}
+
+
+@register
+class CutterNode(Node):
+    """generic-cutter: keep a [start, end) frame range."""
+    filter_name = "generic-cutter"
+
+    def apply(self, inputs):
+        s = inputs[""]
+        start = self.attr("start", 0, lambda v: int(float(v)))
+        end = self.attr("end", 0, lambda v: int(float(v)))
+        T = int(s.data.shape[-2])
+        end = end if end > 0 else T
+        return {"": s.with_data(
+            s.data[..., start:end, :],
+            start_time=s.start_time + start * s.shift)}
+
+
+@register
+class RepeaterNode(Node):
+    """generic-repeater: repeat each frame `count` times."""
+    filter_name = "generic-repeater"
+
+    def apply(self, inputs):
+        s = inputs[""]
+        count = self.attr("count", 1, lambda v: int(float(v)))
+        return {"": s.with_data(jnp.repeat(s.data, count, axis=-2),
+                                frame_shift=s.shift / count)}
+
+
+@register
 class CacheNode(Node):
     """generic-cache: archive-backed caching (src/Flow/Cache.hh).  In the
     compiled pipeline this is a pass-through marker; the feature-extraction

@@ -159,3 +159,37 @@ class TestDerivatives:
         np.testing.assert_allclose(np.asarray(out["deltadelta"].data),
                                    np.asarray(regression_deltadelta(feats)),
                                    atol=1e-6)
+
+
+class TestUtilityNodes:
+    def test_warp_cutter_repeater(self):
+        from rasr_tpu.flow import Stream
+        from rasr_tpu.flow.nodes import Registry
+        feats = np.arange(40, dtype=np.float32).reshape(10, 4)
+        s = Stream(feats, sample_rate=100.0, frame_shift=0.01)
+        warp = Registry["warp-time"]("w", {"factor": "2.0"})
+        out = warp.apply({"": s})[""]
+        assert out.data.shape == (20, 4)
+        np.testing.assert_array_equal(np.asarray(out.data[0]),
+                                      np.asarray(out.data[1]))
+        cut = Registry["generic-cutter"]("c", {"start": "2", "end": "5"})
+        out = cut.apply({"": s})[""]
+        assert out.data.shape == (3, 4)
+        assert abs(out.start_time - 0.02) < 1e-9
+        rep = Registry["generic-repeater"]("r", {"count": "3"})
+        out = rep.apply({"": s})[""]
+        assert out.data.shape == (30, 4)
+
+
+class TestDistributedHelpers:
+    def test_single_process_noop_and_partition(self):
+        from rasr_tpu.core.configuration import Configuration
+        from rasr_tpu.parallel.distributed import (
+            corpus_partition_for_process, initialize_distributed)
+        pid, n = initialize_distributed()
+        assert (pid, n) == (0, 1)
+        cfg = Configuration(name="t")
+        corpus_partition_for_process(cfg, process_id=2, num_processes=4)
+        # explicit multi-process mapping sets the reference knobs
+        assert cfg.resources().get("*.corpus.partition") == "4"
+        assert cfg.resources().get("*.corpus.select-partition") == "2"
