@@ -113,10 +113,26 @@ class Automaton:
 
     # -- path utilities ------------------------------------------------------
 
+    def _eps_closure(self, frontier: Dict[int, float]) -> Dict[int, float]:
+        heap = [(w, s) for s, w in frontier.items()]
+        heapq.heapify(heap)
+        dist = dict(frontier)
+        while heap:
+            d, s = heapq.heappop(heap)
+            if d > dist.get(s, INF):
+                continue
+            for arc in self.arcs[s]:
+                if arc.ilabel == EPS:
+                    nd = d + arc.weight
+                    if nd < dist.get(arc.target, INF):
+                        dist[arc.target] = nd
+                        heapq.heappush(heap, (nd, arc.target))
+        return dist
+
     def accepts(self, labels: Sequence[int]) -> float:
-        """Score of the best accepting path for a label sequence (tropical),
-        epsilon-free automata only."""
-        frontier = {self.initial: 0.0}
+        """Score of the best accepting path for an input label sequence
+        (tropical); follows input-epsilon arcs."""
+        frontier = self._eps_closure({self.initial: 0.0})
         for lab in labels:
             new: Dict[int, float] = {}
             for s, w in frontier.items():
@@ -127,7 +143,7 @@ class Automaton:
                             new[arc.target] = c
             if not new:
                 return INF
-            frontier = new
+            frontier = self._eps_closure(new)
         best = INF
         for s, w in frontier.items():
             if s in self.final:
