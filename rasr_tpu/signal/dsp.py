@@ -410,6 +410,96 @@ def sliding_normalization(x: jnp.ndarray, length: int, right: int,
 
 
 # ---------------------------------------------------------------------------
+# MRASTA temporal filtering (reference: src/Signal/Mrasta.hh — multi-
+# resolution RASTA: Gaussian-derivative filters over a temporal context of
+# critical-band energies)
+# ---------------------------------------------------------------------------
+
+
+@lru_cache(maxsize=None)
+def mrasta_filters(context: int = 50,
+                   sigmas: Tuple[float, ...] = (8.0, 16.0, 32.0, 64.0),
+                   derivatives: Tuple[int, ...] = (1, 2)) -> np.ndarray:
+    """(n_filters, 2*context+1) bank of first/second Gaussian-derivative
+    temporal filters at multiple resolutions, each L2-normalized."""
+    t = np.arange(-context, context + 1, dtype=np.float64)
+    rows = []
+    for sigma in sigmas:
+        g = np.exp(-0.5 * (t / sigma) ** 2)
+        d1 = -t / sigma ** 2 * g
+        d2 = (t ** 2 / sigma ** 4 - 1.0 / sigma ** 2) * g
+        for order in derivatives:
+            f = d1 if order == 1 else d2
+            rows.append(f / np.linalg.norm(f))
+    return np.stack(rows)
+
+
+def mrasta(features: jnp.ndarray, context: int = 50,
+           sigmas: Tuple[float, ...] = (8.0, 16.0, 32.0, 64.0),
+           derivatives: Tuple[int, ...] = (1, 2)) -> jnp.ndarray:
+    """(T, D) critical-band energies -> (T, D*n_filters) MRASTA features:
+    temporal convolution with edge replication realized as one matmul over
+    the unfolded context window (MXU-friendly)."""
+    filters = mrasta_filters(context, tuple(sigmas), tuple(derivatives))
+    nf, W = filters.shape
+    xp = _edge_replicate(features, context)          # (T+2c, D)
+    T = features.shape[-2]
+    idx = jnp.arange(T)[:, None] + jnp.arange(W)[None, :]
+    windows = xp[idx]                                # (T, W, D)
+    f = jnp.asarray(filters, jnp.float32)            # (nf, W)
+    out = jnp.einsum("twd,fw->tdf", windows.astype(jnp.float32), f,
+                     precision=jax.lax.Precision.HIGHEST)
+    return out.reshape(T, -1)
+
+
+# ---------------------------------------------------------------------------
+# histogram normalization (reference: src/Signal/HistogramNormalization.hh —
+# per-dimension quantile mapping to a target distribution)
+# ---------------------------------------------------------------------------
+
+
+def histogram_normalization_tables(data: np.ndarray, n_quantiles: int = 32
+                                   ) -> Tuple[np.ndarray, np.ndarray]:
+    """(quantile values (Q, D), target values (Q,)) estimated from training
+    data; targets are standard-normal quantiles."""
+    from math import sqrt
+    qs = np.linspace(0.0, 1.0, n_quantiles)
+    values = np.quantile(np.asarray(data, np.float64), qs, axis=0)  # (Q, D)
+    # standard normal quantiles via the probit of the same grid (clipped)
+    eps = 0.5 / max(len(data), 2)
+    clipped = np.clip(qs, eps, 1 - eps)
+    try:
+        from statistics import NormalDist
+        targets = np.asarray([NormalDist().inv_cdf(q) for q in clipped])
+    except Exception:  # pragma: no cover
+        targets = np.sqrt(2) * np.vectorize(_erfinv_approx)(2 * clipped - 1)
+    return values.astype(np.float32), targets.astype(np.float32)
+
+
+def _erfinv_approx(x):
+    a = 0.147
+    import math
+    ln = math.log(1 - x * x)
+    first = 2 / (math.pi * a) + ln / 2
+    return math.copysign(math.sqrt(math.sqrt(first ** 2 - ln / a) - first), x)
+
+
+def apply_histogram_normalization(features: jnp.ndarray,
+                                  quantile_values: np.ndarray,
+                                  targets: np.ndarray) -> jnp.ndarray:
+    """Piecewise-linear per-dimension quantile mapping (vectorized
+    interpolation on device)."""
+    qv = jnp.asarray(quantile_values)      # (Q, D)
+    tg = jnp.asarray(targets)              # (Q,)
+    x = features.astype(jnp.float32)
+
+    def per_dim(xd, qd):
+        return jnp.interp(xd, qd, tg)
+
+    return jax.vmap(per_dim, in_axes=(-1, -1), out_axes=-1)(x, qv)
+
+
+# ---------------------------------------------------------------------------
 # derivatives by linear regression (reference: src/Signal/Regression.hh)
 # ---------------------------------------------------------------------------
 

@@ -253,3 +253,44 @@ class TestRegression:
         d1 = np.asarray(regression_delta(x))
         dd_expected = np.asarray(regression_delta(d1))
         np.testing.assert_allclose(dd, dd_expected, atol=1e-6)
+
+
+class TestMrasta:
+    def test_filter_bank_properties(self):
+        from rasr_tpu.signal.dsp import mrasta_filters
+        f = mrasta_filters(context=20, sigmas=(4.0, 8.0), derivatives=(1, 2))
+        assert f.shape == (4, 41)
+        np.testing.assert_allclose(np.linalg.norm(f, axis=1), 1.0, atol=1e-12)
+        # first derivatives are odd, second derivatives sum to ~0 mean shape
+        np.testing.assert_allclose(f[0], -f[0][::-1], atol=1e-12)
+
+    def test_mrasta_output(self):
+        from rasr_tpu.signal.dsp import mrasta
+        x = rng().standard_normal((40, 6)).astype(np.float32)
+        out = np.asarray(mrasta(x, context=10, sigmas=(4.0, 8.0),
+                                derivatives=(1, 2)))
+        assert out.shape == (40, 6 * 4)
+        assert np.isfinite(out).all()
+        # constant input: derivative filters respond ~0 in the interior
+        const = np.ones((40, 2), np.float32)
+        out_c = np.asarray(mrasta(const, context=10, sigmas=(4.0,),
+                                  derivatives=(1,)))
+        np.testing.assert_allclose(out_c[15:25], 0.0, atol=1e-4)
+
+
+class TestHistogramNormalization:
+    def test_gaussianizes(self):
+        from rasr_tpu.signal.dsp import (apply_histogram_normalization,
+                                         histogram_normalization_tables)
+        r = rng()
+        # skewed data: exponential
+        train = r.exponential(2.0, size=(5000, 3)).astype(np.float32)
+        qv, tg = histogram_normalization_tables(train, n_quantiles=64)
+        out = np.asarray(apply_histogram_normalization(train[:1000], qv, tg))
+        assert abs(out.mean()) < 0.1
+        assert abs(out.std() - 1.0) < 0.15
+        # monotone per dimension
+        xs = np.sort(train[:100, 0])
+        ys = np.asarray(apply_histogram_normalization(
+            np.stack([xs] * 3, 1), qv, tg))[:, 0]
+        assert (np.diff(ys) >= -1e-6).all()
