@@ -34,18 +34,22 @@ def _pos_mask(lengths: jnp.ndarray, T: int) -> jnp.ndarray:
 
 
 class ConvSubsampling(nn.Module):
-    """Two stride-2 convs: (B, T, D) -> (B, ceil(T/4), d_model)."""
+    """Two stride-2 convs: (B, T, D) -> (B, ceil(T/4), d_model).
+    causal=True pads only the past (streaming mode)."""
     d_model: int = 256
     dtype: Dtype = jnp.bfloat16
+    causal: bool = False
 
     @nn.compact
     def __call__(self, x, lengths):
         B, T, D = x.shape
         h = x[..., None].astype(self.dtype)  # (B, T, D, 1)
         h = nn.Conv(self.d_model // 4, (3, 3), strides=(2, 2), dtype=self.dtype,
+                    padding=(((2, 0), (1, 1)) if self.causal else "SAME"),
                     name="conv1")(h)
         h = nn.relu(h)
         h = nn.Conv(self.d_model // 4, (3, 3), strides=(2, 2), dtype=self.dtype,
+                    padding=(((2, 0), (1, 1)) if self.causal else "SAME"),
                     name="conv2")(h)
         h = nn.relu(h)
         B2, T2, D2, C = h.shape
@@ -86,11 +90,15 @@ class MHSA(nn.Module):
     n_heads: int = 4
     dropout: float = 0.1
     dtype: Dtype = jnp.bfloat16
+    causal: bool = False
 
     @nn.compact
     def __call__(self, x, mask, deterministic: bool):
         h = nn.LayerNorm(dtype=jnp.float32, name="ln")(x).astype(self.dtype)
         attn_mask = mask[:, None, None, :]  # (B, 1, 1, T)
+        if self.causal:
+            T = x.shape[1]
+            attn_mask = attn_mask & jnp.tril(jnp.ones((T, T), bool))[None, None]
         h = nn.MultiHeadDotProductAttention(
             num_heads=self.n_heads, dtype=self.dtype,
             kernel_init=nn.with_partitioning(
@@ -105,6 +113,7 @@ class ConvModule(nn.Module):
     kernel_size: int = 15
     dropout: float = 0.1
     dtype: Dtype = jnp.bfloat16
+    causal: bool = False
 
     @nn.compact
     def __call__(self, x, mask, deterministic: bool):
@@ -114,6 +123,7 @@ class ConvModule(nn.Module):
         h = nn.glu(h, axis=-1)
         h = nn.Conv(self.d_model, (self.kernel_size,),
                     feature_group_count=self.d_model, dtype=self.dtype,
+                    padding="CAUSAL" if self.causal else "SAME",
                     name="depthwise")(h)
         # batch norm replaced by layer norm for pjit-friendliness
         h = nn.LayerNorm(dtype=jnp.float32, name="norm")(h).astype(self.dtype)
@@ -128,32 +138,41 @@ class ConformerBlock(nn.Module):
     conv_kernel: int = 15
     dropout: float = 0.1
     dtype: Dtype = jnp.bfloat16
+    causal: bool = False
 
     @nn.compact
     def __call__(self, x, mask, deterministic: bool):
         x = x + 0.5 * FeedForward(self.d_model, dropout=self.dropout,
                                   dtype=self.dtype, name="ff1")(x, deterministic)
         x = x + MHSA(self.d_model, self.n_heads, self.dropout,
-                     self.dtype, name="mhsa")(x, mask, deterministic)
+                     self.dtype, self.causal, name="mhsa")(x, mask,
+                                                           deterministic)
         x = x + ConvModule(self.d_model, self.conv_kernel, self.dropout,
-                           self.dtype, name="conv")(x, mask, deterministic)
+                           self.dtype, self.causal, name="conv")(
+                               x, mask, deterministic)
         x = x + 0.5 * FeedForward(self.d_model, dropout=self.dropout,
                                   dtype=self.dtype, name="ff2")(x, deterministic)
         return nn.LayerNorm(dtype=jnp.float32, name="final_ln")(x)
 
 
 class ConformerEncoder(nn.Module):
-    """(B, T, D) features + lengths -> (B, T', d_model) encoder states."""
+    """(B, T, D) features + lengths -> (B, T', d_model) encoder states.
+
+    causal=True builds a streaming encoder: causal attention masks and
+    left-padded convolutions, so prefix outputs equal full-utterance
+    outputs exactly (chunked scoring is lossless)."""
     d_model: int = 256
     n_layers: int = 12
     n_heads: int = 4
     conv_kernel: int = 15
     dropout: float = 0.1
     dtype: Dtype = jnp.bfloat16
+    causal: bool = False
 
     @nn.compact
     def __call__(self, features, lengths, deterministic: bool = True):
         h, out_lengths = ConvSubsampling(self.d_model, self.dtype,
+                                         self.causal,
                                          name="subsample")(features, lengths)
         T2 = h.shape[1]
         mask = _pos_mask(out_lengths, T2)
@@ -162,7 +181,7 @@ class ConformerEncoder(nn.Module):
         h = h + jnp.asarray(pos, dtype=h.dtype)[None]
         for i in range(self.n_layers):
             h = ConformerBlock(self.d_model, self.n_heads, self.conv_kernel,
-                               self.dropout, self.dtype,
+                               self.dropout, self.dtype, self.causal,
                                name=f"block{i}")(h, mask, deterministic)
             h = h.astype(self.dtype)
         return h.astype(jnp.float32), out_lengths, mask
@@ -177,12 +196,13 @@ class ConformerCtc(nn.Module):
     conv_kernel: int = 15
     dropout: float = 0.1
     dtype: Dtype = jnp.bfloat16
+    causal: bool = False
 
     @nn.compact
     def __call__(self, features, lengths, deterministic: bool = True):
         h, out_lengths, mask = ConformerEncoder(
             self.d_model, self.n_layers, self.n_heads, self.conv_kernel,
-            self.dropout, self.dtype, name="encoder")(
+            self.dropout, self.dtype, self.causal, name="encoder")(
                 features, lengths, deterministic)
         logits = nn.Dense(self.vocab_size, dtype=jnp.float32,
                           kernel_init=nn.with_partitioning(

@@ -73,3 +73,42 @@ class TestShardedTraining:
         assert partitioned, "expected mlp-partitioned params"
         shard_count = len(partitioned[0].value.sharding.device_set)
         assert shard_count > 1
+
+
+class TestCausalStreaming:
+    def test_prefix_outputs_equal_full(self):
+        """Causal encoder: outputs over a prefix equal the corresponding
+        full-utterance outputs exactly -> chunked scoring is lossless."""
+        import jax
+        model = ConformerCtc(vocab_size=16, d_model=32, n_layers=2,
+                             n_heads=2, conv_kernel=7, dropout=0.0,
+                             dtype=jnp.float32, causal=True)
+        rng = jax.random.PRNGKey(0)
+        feats = jax.random.normal(rng, (1, 64, 8))
+        lens = jnp.asarray([64])
+        variables = model.init(rng, feats, lens)
+        full, full_lens, _ = model.apply(variables, feats, lens)
+        # prefix of 32 frames -> 8 output frames; compare overlap
+        pre, pre_lens, _ = model.apply(variables, feats[:, :32],
+                                       jnp.asarray([32]))
+        n = int(pre_lens[0])
+        np.testing.assert_allclose(np.asarray(pre[0, :n]),
+                                   np.asarray(full[0, :n]),
+                                   atol=2e-4)
+
+    def test_noncausal_differs(self):
+        """Sanity: the default (full-context) encoder does NOT have this
+        property."""
+        import jax
+        model = ConformerCtc(vocab_size=16, d_model=32, n_layers=2,
+                             n_heads=2, conv_kernel=7, dropout=0.0,
+                             dtype=jnp.float32, causal=False)
+        rng = jax.random.PRNGKey(0)
+        feats = jax.random.normal(rng, (1, 64, 8))
+        variables = model.init(rng, feats, jnp.asarray([64]))
+        full, _, _ = model.apply(variables, feats, jnp.asarray([64]))
+        pre, pre_lens, _ = model.apply(variables, feats[:, :32],
+                                       jnp.asarray([32]))
+        n = int(pre_lens[0])
+        assert not np.allclose(np.asarray(pre[0, :n]),
+                               np.asarray(full[0, :n]), atol=1e-3)
