@@ -1,9 +1,11 @@
-"""Lattice layer: word lattices, confusion networks, MBR
+"""Lattice layer: word lattices, confusion networks, MBR, LM rescoring
 (reference: src/Lattice, parts of src/Flf)."""
 
 from .confusion_network import (ConfusionNetwork, Slot,
                                 build_confusion_network, mbr_decode)
+from .rescore import compose_with_lm, nbest_rescore
 from .word_lattice import LatticeArc, WordLattice, lattice_from_nbest
 
 __all__ = ["ConfusionNetwork", "Slot", "build_confusion_network",
-           "mbr_decode", "LatticeArc", "WordLattice", "lattice_from_nbest"]
+           "mbr_decode", "compose_with_lm", "nbest_rescore",
+           "LatticeArc", "WordLattice", "lattice_from_nbest"]

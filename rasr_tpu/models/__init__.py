@@ -1,6 +1,10 @@
-"""Neural model zoo (flax): conformer CTC (flagship), and the model
-families the reference runs via TF/ONNX bridges — implemented natively."""
+"""Neural model zoo (flax): conformer CTC (flagship, with causal streaming
+mode), attention encoder-decoder, transducer — the model families the
+reference runs via TF/ONNX sessions, implemented natively."""
 
+from .aed import AedModel
 from .conformer import ConformerCtc, ConformerEncoder
+from .transducer import TransducerModel, rnnt_loss, transducer_greedy
 
-__all__ = ["ConformerCtc", "ConformerEncoder"]
+__all__ = ["AedModel", "ConformerCtc", "ConformerEncoder",
+           "TransducerModel", "rnnt_loss", "transducer_greedy"]

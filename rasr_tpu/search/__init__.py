@@ -15,12 +15,17 @@ from .hmm_timesync import HmmPrefixTree, WordConditionedTreeSearch
 from .lexiconfree_labelsync import LexiconfreeLabelsyncBeamSearch
 from .lexiconfree_timesync import (Hypothesis, LexiconfreeTimesyncBeamSearch,
                                    TracebackItem)
-from .tree_timesync import PrefixTree, TreeTimesyncBeamSearch
+from .transducer_beam import TransducerBeamSearch
+from .tree_labelsync import TreeLabelsyncBeamSearch
+from .tree_timesync import LmLookahead, PrefixTree, TreeTimesyncBeamSearch
+from .wfst import WfstDecoder, build_decoding_graph
 
 __all__ = [
     "Aligner", "PackedGraph", "ctc_greedy", "ctc_prefix_beam",
     "HmmPrefixTree", "WordConditionedTreeSearch",
     "LexiconfreeLabelsyncBeamSearch", "Hypothesis",
     "LexiconfreeTimesyncBeamSearch", "TracebackItem", "PrefixTree",
-    "TreeTimesyncBeamSearch",
+    "TreeTimesyncBeamSearch", "TransducerBeamSearch",
+    "TreeLabelsyncBeamSearch", "LmLookahead", "WfstDecoder",
+    "build_decoding_graph",
 ]
