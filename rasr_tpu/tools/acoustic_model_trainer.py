@@ -92,6 +92,7 @@ class AcousticModelTrainerApp(Application):
         # packed-density emission -> packed density index of best density:
         # with single-density mixtures the emission index IS the density idx
         n_aligned = 0
+        soft = (tc.get("accumulation") or "viterbi") == "baum-welch"
         for seg in segments:
             try:
                 feats, _, _ = cache.read(seg.full_name)
@@ -102,11 +103,29 @@ class AcousticModelTrainerApp(Application):
             aligner = Aligner(graph)
             if flat_start:
                 em_path = aligner.linear_alignment(len(feats))
+                dens_path = scorer.assign_densities(feats, em_path)
+                est.accumulate_segment(feats, dens_path.astype(np.int32))
+            elif soft:
+                # Baum-Welch: state posteriors weight every (frame, state)
+                # pair; frames accumulate fractionally into all states
+                # (reference accumulate with weights / full-sum EM)
+                scores = np.asarray(scorer.score(feats))
+                gamma, _ = aligner.posteriors(scores)      # (T, N)
+                emissions = np.asarray(graph.emissions)
+                T, N = gamma.shape
+                # flatten (frame, state) pairs above a mass floor
+                keep = gamma > 1e-4
+                t_idx, s_idx = np.nonzero(keep)
+                em_states = emissions[s_idx]
+                dens = scorer.assign_densities(feats[t_idx],
+                                               em_states.astype(np.int32))
+                est.accumulate_segment(feats[t_idx], dens.astype(np.int32),
+                                       weights=gamma[t_idx, s_idx])
             else:
                 scores = np.asarray(scorer.score(feats))
                 em_path = aligner.emission_path(scores)
-            dens_path = scorer.assign_densities(feats, em_path)
-            est.accumulate_segment(feats, dens_path.astype(np.int32))
+                dens_path = scorer.assign_densities(feats, em_path)
+                est.accumulate_segment(feats, dens_path.astype(np.int32))
             n_aligned += 1
         out = tc.get("new-accumulator-file") or "am.acc"
         est.acc.write(out)

@@ -242,3 +242,34 @@ class TestCartWorkflow:
         cls_b = am.state_tying.emission_index(Allophone(b_id), 0)
         assert 0 <= cls_a < n and 0 <= cls_b < n
         assert cls_a != cls_b  # strongly separated synthetic classes
+
+
+class TestBaumWelchAccumulation:
+    def test_soft_em_improves_means(self, setup):
+        tmp_path, config, class_means = setup
+        # flat start + estimate
+        amt_main([f"--config={config}",
+                  "--*.action=accumulate-mixture-set-text-dependent",
+                  f"--*.mixture-set-trainer.new-accumulator-file={tmp_path}/bw0.acc"])
+        amt_main([f"--config={config}", "--*.action=estimate-mixture-set",
+                  f"--*.mixture-set-trainer.accumulator-file={tmp_path}/bw0.acc",
+                  f"--*.mixture-set-trainer.new-mixture-set-file={tmp_path}/bw0.pms"])
+        # soft EM iterations
+        prev = f"{tmp_path}/bw0.pms"
+        for it in range(3):
+            status = amt_main([
+                f"--config={config}",
+                "--*.action=accumulate-mixture-set-text-dependent",
+                "--*.mixture-set-trainer.accumulation=baum-welch",
+                f"--*.mixture-set-trainer.old-mixture-set-file={prev}",
+                f"--*.mixture-set-trainer.new-accumulator-file={tmp_path}/bw{it+1}.acc"])
+            assert status == 0
+            amt_main([
+                f"--config={config}", "--*.action=estimate-mixture-set",
+                f"--*.mixture-set-trainer.accumulator-file={tmp_path}/bw{it+1}.acc",
+                f"--*.mixture-set-trainer.new-mixture-set-file={tmp_path}/bw{it+1}.pms",
+                "--*.mixture-set-trainer.minimum-observation-weight=0.5"])
+            prev = f"{tmp_path}/bw{it+1}.pms"
+        ms = MixtureSet.read_pms(prev)
+        err = np.abs(ms.means[:N_USED] - class_means).mean()
+        assert err < 1.0, f"soft-EM mean recovery error {err}"
