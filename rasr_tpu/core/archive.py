@@ -74,6 +74,8 @@ class FileArchive(Archive):
         self.path = path
         self.mode = mode
         self._items: Dict[str, _Item] = {}
+        # empty (removed) slots: (position-of-sizes-field, data size)
+        self._empty: List[Tuple[int, int]] = []
         self._dirty = False
         if mode == "r":
             self._fh = open(path, "rb")
@@ -120,6 +122,12 @@ class FileArchive(Archive):
             name = self._fh.read(nlen).decode("utf-8")
             pos, unc, comp = struct.unpack("<QII", self._fh.read(16))
             self._items[name] = _Item(name, pos, unc, comp)
+        # empty-slot table (reference: empty file info blocks)
+        self._fh.seek(empty_table_pos)
+        (n_empty,) = struct.unpack("<I", self._fh.read(4))
+        for _ in range(n_empty):
+            pos, size = struct.unpack("<QI", self._fh.read(12))
+            self._empty.append((pos, size))
         self._end_of_data = file_table_pos
 
     def _scan_items(self) -> None:
@@ -164,26 +172,65 @@ class FileArchive(Archive):
 
     # -- writing ------------------------------------------------------------
 
-    def write(self, name: str, data: bytes, compress: bool = True) -> None:
+    def remove(self, name: str) -> None:
+        """Mark an item's slot empty for reuse (reference FileArchive
+        remove: the data block stays, a zero-length name marks it)."""
+        item = self._items.pop(name, None)
+        if item is None:
+            raise KeyError(f"{name} not in archive {self.path}")
+        size = item.compressed or item.uncompressed
+        self._empty.append((item.position, size))
+        self._dirty = True
+
+    def write(self, name: str, data: bytes, compress: bool = True,
+              allow_overwrite: bool = True) -> None:
         if self.mode == "r":
             raise ArchiveError("archive opened read-only")
+        if name in self._items:
+            if not allow_overwrite:
+                raise ArchiveError(f"{name} exists and overwrite disabled")
+            self.remove(name)
         payload = data
         comp_size = 0
         if compress:
             z = zlib.compress(data, 6)
             if len(z) < len(data):
                 payload, comp_size = z, len(z)
-        self._fh.seek(self._end_of_data)
         nb = name.encode("utf-8")
-        self._fh.write(struct.pack("<I", _START_TAG))
-        self._fh.write(struct.pack("<I", len(nb)))
-        self._fh.write(nb)
-        pos = self._fh.tell()
+        # reuse an exactly-fitting empty slot (reference write(): equal
+        # payload+name size; we match on payload size at the same position
+        # layout, so require identical name+payload footprint)
+        slot = None
+        for i, (pos, size) in enumerate(self._empty):
+            if size == len(payload) and pos - 4 - len(nb) >= 9:
+                # the name sits directly before the sizes field; in-place
+                # reuse requires an identical name length
+                self._fh.seek(pos - len(nb) - 4)
+                try:
+                    (old_nlen,) = struct.unpack("<I", self._fh.read(4))
+                except struct.error:
+                    continue
+                if old_nlen == len(nb):
+                    slot = i
+                    break
+        if slot is not None:
+            pos, size = self._empty.pop(slot)
+            self._fh.seek(pos - 4 - len(nb))
+            self._fh.write(nb)
+            write_pos = pos
+            self._fh.seek(pos)
+        else:
+            self._fh.seek(self._end_of_data)
+            self._fh.write(struct.pack("<I", _START_TAG))
+            self._fh.write(struct.pack("<I", len(nb)))
+            self._fh.write(nb)
+            write_pos = self._fh.tell()
         self._fh.write(struct.pack("<III", len(data), comp_size, 0))
         self._fh.write(payload)
         self._fh.write(struct.pack("<I", _END_TAG))
-        self._end_of_data = self._fh.tell()
-        self._items[name] = _Item(name, pos, len(data), comp_size)
+        if slot is None:
+            self._end_of_data = self._fh.tell()
+        self._items[name] = _Item(name, write_pos, len(data), comp_size)
         self._dirty = True
 
     def _write_info_table(self) -> None:
@@ -197,7 +244,9 @@ class FileArchive(Archive):
             self._fh.write(struct.pack("<QII", item.position,
                                        item.uncompressed, item.compressed))
         empty_table_pos = self._fh.tell()
-        self._fh.write(struct.pack("<I", 0))  # no empty files
+        self._fh.write(struct.pack("<I", len(self._empty)))
+        for pos, size in self._empty:
+            self._fh.write(struct.pack("<QI", pos, size))
         self._fh.write(struct.pack("<QQ", empty_table_pos, file_table_pos))
         end = self._fh.tell()
         self._fh.seek(8)

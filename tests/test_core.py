@@ -229,3 +229,40 @@ class TestArchives:
         with open_archive(str(bundle)) as ar:
             assert ar.read("seg1") == b"one"
             assert ar.read("seg2") == b"two"
+
+
+class TestArchiveOverwrite:
+    def test_remove_and_reuse_slot(self, tmp_path):
+        p = str(tmp_path / "c.archive")
+        data_a = os.urandom(500)  # incompressible: stored raw
+        data_b = os.urandom(500)
+        with FileArchive(p, "w") as ar:
+            ar.write("a", data_a, compress=False)
+            ar.write("keep", b"other")
+        size_after_first = os.path.getsize(p)
+        with FileArchive(p, "a") as ar:
+            ar.remove("a")
+            assert "a" not in ar.keys()
+            # same name length + same payload size -> slot reused in place
+            ar.write("b", data_b, compress=False)
+        assert os.path.getsize(p) <= size_after_first + 64
+        with FileArchive(p, "r") as ar:
+            assert ar.read("b") == data_b
+            assert ar.read("keep") == b"other"
+            assert "a" not in ar.keys()
+
+    def test_overwrite_replaces(self, tmp_path):
+        p = str(tmp_path / "c.archive")
+        with FileArchive(p, "w") as ar:
+            ar.write("x", b"one")
+            ar.write("x", b"two-longer-payload")
+        with FileArchive(p, "r") as ar:
+            assert ar.read("x") == b"two-longer-payload"
+
+    def test_overwrite_disabled(self, tmp_path):
+        from rasr_tpu.core.archive import ArchiveError
+        p = str(tmp_path / "c.archive")
+        with FileArchive(p, "w") as ar:
+            ar.write("x", b"one")
+            with pytest.raises(ArchiveError):
+                ar.write("x", b"again", allow_overwrite=False)
