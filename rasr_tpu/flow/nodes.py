@@ -528,6 +528,22 @@ class AutoregressionToCepstrum(Node):
 
 
 @register
+class VoicednessNode(Node):
+    """signal-cross-correlation voicedness: normalized autocorrelation peak
+    over the pitch range (reference CrossCorrelation + PeakDetection)."""
+    filter_name = "signal-voicedness"
+
+    def apply(self, inputs):
+        s = inputs[""]
+        sr = s.meta.get("audio_sample_rate", s.sample_rate)
+        min_lag = self.attr("min-lag", int(round(sr / 500.0)),
+                            lambda v: int(float(v)))
+        max_lag = self.attr("max-lag", int(round(sr / 50.0)),
+                            lambda v: int(float(v)))
+        return {"": s.with_data(dsp.voicedness(s.data, min_lag, max_lag))}
+
+
+@register
 class GammatoneNode(Node):
     """signal-gammatone: gammatone critical-band energies from the
     amplitude spectrum (frequency-domain realization of

@@ -410,6 +410,33 @@ def sliding_normalization(x: jnp.ndarray, length: int, right: int,
 
 
 # ---------------------------------------------------------------------------
+# voicedness (reference: src/Signal/CrossCorrelation.hh + PeakDetection.hh:
+# normalized autocorrelation peak in the pitch lag range)
+# ---------------------------------------------------------------------------
+
+
+def voicedness(frames: jnp.ndarray, min_lag: int = 32,
+               max_lag: int = 320) -> jnp.ndarray:
+    """(T, L) windowed sample frames -> (T, 1) voicedness in [0, 1]:
+    the maximum normalized autocorrelation over the pitch lag range
+    (~50-500 Hz at 16 kHz).  Batched matmul-free formulation via FFT-style
+    shifts is unnecessary at these sizes; the lag loop unrolls."""
+    x = frames.astype(jnp.float32)
+    L = x.shape[-1]
+    max_lag = min(max_lag, L - 1)
+    energy = jnp.sum(x * x, axis=-1) + 1e-10
+    peaks = jnp.zeros(x.shape[:-1], dtype=jnp.float32)
+    for lag in range(min_lag, max_lag + 1, 4):  # stride-4 lag grid
+        a = x[..., :L - lag]
+        b = x[..., lag:]
+        corr = jnp.sum(a * b, axis=-1)
+        norm = jnp.sqrt(jnp.sum(a * a, axis=-1)
+                        * jnp.sum(b * b, axis=-1)) + 1e-10
+        peaks = jnp.maximum(peaks, corr / norm)
+    return jnp.clip(peaks, 0.0, 1.0)[..., None]
+
+
+# ---------------------------------------------------------------------------
 # MRASTA temporal filtering (reference: src/Signal/Mrasta.hh — multi-
 # resolution RASTA: Gaussian-derivative filters over a temporal context of
 # critical-band energies)

@@ -294,3 +294,19 @@ class TestHistogramNormalization:
         ys = np.asarray(apply_histogram_normalization(
             np.stack([xs] * 3, 1), qv, tg))[:, 0]
         assert (np.diff(ys) >= -1e-6).all()
+
+
+class TestVoicedness:
+    def test_periodic_vs_noise(self):
+        from rasr_tpu.signal.dsp import voicedness, frame_signal, n_frames
+        sr = 16000
+        t = np.arange(sr // 2) / sr
+        periodic = np.sin(2 * np.pi * 200 * t).astype(np.float32)
+        noise = rng().standard_normal(sr // 2).astype(np.float32)
+        T = n_frames(sr // 2, 400, 160)
+        vf = np.asarray(voicedness(frame_signal(periodic, 400, 160, T)))
+        nf = np.asarray(voicedness(frame_signal(noise, 400, 160, T)))
+        # interior frames: periodic ~1.0, noise well below
+        assert vf[2:-2].mean() > 0.9
+        assert nf[2:-2].mean() < 0.6
+        assert vf.shape == (T, 1)
