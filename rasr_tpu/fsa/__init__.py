@@ -3,9 +3,10 @@
 from .automaton import (EPS, INF, LOG, TROPICAL, Arc, Automaton, LogSemiring,
                         Semiring, TropicalSemiring, best_path, compose,
                         connect, determinize, linear_automaton, logadd,
-                        n_best, prune, remove_epsilons, sssp)
+                        minimize, n_best, prune, remove_epsilons, reverse,
+                        sssp)
 
 __all__ = ["EPS", "INF", "LOG", "TROPICAL", "Arc", "Automaton", "LogSemiring",
            "Semiring", "TropicalSemiring", "best_path", "compose", "connect",
-           "determinize", "linear_automaton", "logadd", "n_best", "prune",
-           "remove_epsilons", "sssp"]
+           "determinize", "linear_automaton", "logadd", "minimize", "n_best",
+           "prune", "remove_epsilons", "reverse", "sssp"]

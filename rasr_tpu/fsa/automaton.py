@@ -443,6 +443,35 @@ def determinize(fsa: Automaton) -> Automaton:
     return out
 
 
+def reverse(fsa: Automaton) -> Automaton:
+    """Reversed automaton: arcs flipped, finals become initial (via a super
+    initial state with epsilon arcs), initial becomes final."""
+    out = Automaton(semiring=fsa.semiring,
+                    input_alphabet=fsa.input_alphabet,
+                    output_alphabet=fsa.output_alphabet)
+    for _ in range(fsa.n_states + 1):
+        out.add_state()
+    super_init = fsa.n_states
+    out.initial = super_init
+    for s in range(fsa.n_states):
+        for arc in fsa.arcs[s]:
+            out.add_arc(arc.target, s, arc.ilabel, arc.olabel, arc.weight)
+    for s, w in fsa.final.items():
+        out.add_arc(super_init, s, EPS, EPS, w)
+    out.set_final(fsa.initial, 0.0)
+    return out
+
+
+def minimize(fsa: Automaton) -> Automaton:
+    """Brzozowski minimization for (weighted) acceptors:
+    determinize(reverse(determinize(reverse(A)))) — yields the minimal
+    deterministic acceptor; weights stay path-equivalent under the
+    tropical pushing done by determinization (reference tMinimize)."""
+    step1 = determinize(remove_epsilons(reverse(fsa)))
+    step2 = determinize(remove_epsilons(reverse(step1)))
+    return connect(step2)
+
+
 def compose(a: Automaton, b: Automaton) -> Automaton:
     """Transducer composition a∘b (match a's output to b's input) with
     naive epsilon handling (suitable for the lattice/grammar use cases;

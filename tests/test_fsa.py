@@ -125,3 +125,37 @@ class TestTransforms:
         ilabels, olabels, score = best_path(c)
         assert ilabels == [1] and olabels == [100]
         assert abs(score - 0.75) < 1e-9
+
+
+class TestMinimize:
+    def test_merges_equivalent_states(self):
+        from rasr_tpu.fsa import minimize
+        # two redundant parallel chains accepting the same string
+        f = Automaton()
+        for _ in range(5):
+            f.add_state()
+        f.add_arc(0, 1, 5, weight=1.0)
+        f.add_arc(0, 2, 5, weight=1.0)
+        f.add_arc(1, 3, 6, weight=0.5)
+        f.add_arc(2, 4, 6, weight=0.5)
+        f.set_final(3)
+        f.set_final(4)
+        m = minimize(f)
+        assert m.n_states < f.n_states
+        assert abs(m.accepts([5, 6]) - 1.5) < 1e-9
+        assert m.accepts([6, 5]) == INF
+
+    def test_preserves_language_and_weights(self):
+        from rasr_tpu.fsa import minimize
+        f = diamond()
+        m = minimize(f)
+        for seq in ([1, 3], [2, 3]):
+            assert abs(m.accepts(seq) - f.accepts(seq)) < 1e-9
+        assert m.accepts([1, 2]) == INF
+
+    def test_reverse(self):
+        from rasr_tpu.fsa import reverse
+        f = linear_automaton([7, 8, 9], [0.1, 0.2, 0.3])
+        r = reverse(f)
+        assert abs(r.accepts([9, 8, 7]) - 0.6) < 1e-9
+        assert r.accepts([7, 8, 9]) == INF
