@@ -266,3 +266,35 @@ class TestArchiveOverwrite:
             ar.write("x", b"one")
             with pytest.raises(ArchiveError):
                 ar.write("x", b"again", allow_overwrite=False)
+
+
+class TestMisc:
+    def test_progress_indicator(self, capsys):
+        import io
+        from rasr_tpu.core.misc import ProgressIndicator
+        buf = io.StringIO()
+        with ProgressIndicator("test", total=10, stream=buf,
+                               min_interval=0.0) as p:
+            for i in range(10):
+                p.notify()
+        out = buf.getvalue()
+        assert "10/10" in out and "test: 10 items in" in out
+
+    def test_dependency_set(self, tmp_path):
+        from rasr_tpu.core.misc import DependencySet
+        f = tmp_path / "input.txt"
+        f.write_text("content")
+        deps = DependencySet()
+        deps.add_value("version", 3)
+        deps.add_file("corpus", str(f))
+        p = str(tmp_path / "artifact.deps")
+        deps.write(p)
+        current = DependencySet()
+        current.add_value("version", 3)
+        current.add_file("corpus", str(f))
+        assert current.satisfies(DependencySet.read(p))
+        f.write_text("changed")
+        stale = DependencySet()
+        stale.add_value("version", 3)
+        stale.add_file("corpus", str(f))
+        assert not stale.satisfies(DependencySet.read(p))
