@@ -31,10 +31,12 @@ class DecoderBlock(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, y, enc, enc_mask, self_mask, deterministic=True):
+    def __call__(self, y, enc, enc_mask, self_mask, deterministic=True,
+                 decode=False):
         h = nn.LayerNorm(dtype=jnp.float32, name="ln1")(y).astype(self.dtype)
         h = nn.MultiHeadDotProductAttention(
-            num_heads=self.n_heads, dtype=self.dtype, name="self_attn")(
+            num_heads=self.n_heads, dtype=self.dtype, decode=decode,
+            name="self_attn")(
                 h, h, mask=self_mask, deterministic=deterministic)
         y = y + nn.Dropout(self.dropout)(h, deterministic=deterministic)
         h = nn.LayerNorm(dtype=jnp.float32, name="ln2")(y).astype(self.dtype)
@@ -85,6 +87,18 @@ class AedModel(nn.Module):
         for block in self.blocks:
             y = block(y, enc, cross, causal, deterministic)
         return self.out(self.out_ln(y))
+
+    def decode_step(self, enc, enc_mask, y_t, position):
+        """One autoregressive step with KV caching (flax decode mode):
+        y_t (B, 1) int32 token, position (B,) current index; requires
+        apply(..., mutable=['cache']).  Returns logits (B, V)."""
+        y = self.embed(y_t).astype(self.dtype)
+        pos_table = jnp.asarray(_sinusoidal(512, self.d_model), dtype=y.dtype)
+        y = y + pos_table[position][:, None, :]
+        cross = enc_mask[:, None, None, :]
+        for block in self.blocks:
+            y = block(y, enc, cross, None, deterministic=True, decode=True)
+        return self.out(self.out_ln(y))[:, 0]
 
     def __call__(self, features, feat_lengths, labels, deterministic=True):
         enc, enc_mask = self.encode(features, feat_lengths, deterministic)

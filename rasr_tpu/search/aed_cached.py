@@ -1,0 +1,148 @@
+"""KV-cached AED decoding.
+
+The generic label-sync search re-scores full prefixes per step (O(L^2)
+decoder work); this decoder keeps flax attention KV caches per hypothesis
+and advances one token per device call — O(L) — managing cache gathers on
+beam reordering itself (the stateful-scorer pattern the reference realizes
+with per-hypothesis ONNX hidden states).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclass
+class CachedAedResult:
+    labels: List[int]
+    score: float
+
+
+class CachedAedDecoder:
+    """Greedy / beam decoding with per-step KV caches.
+
+    model: AedModel; params: trained parameters; beams reorder the cache
+    with a batched gather per step.
+    """
+
+    def __init__(self, model, params, beam_size: int = 4,
+                 max_labels: int = 200, eos: int = 0,
+                 length_norm_scale: float = 1.0):
+        self.model = model
+        self.params = params
+        self.beam_size = beam_size
+        self.max_labels = max_labels
+        self.eos = eos
+        self.length_norm = length_norm_scale
+
+        self._encode = jax.jit(
+            lambda f, l: model.apply({"params": params}, f, l,
+                                     method=model.encode))
+
+        def step(cache, enc, enc_mask, tokens, position):
+            logits, vars_out = model.apply(
+                {"params": params, "cache": cache}, enc, enc_mask,
+                tokens, position, method=model.decode_step,
+                mutable=["cache"])
+            return jax.nn.log_softmax(logits, -1), vars_out["cache"]
+
+        self._step = jax.jit(step)
+
+        def reorder(cache, idx):
+            return jax.tree_util.tree_map(
+                lambda x: x[idx] if x.ndim >= 1 and x.shape[0] == idx.shape[0]
+                else x, cache)
+
+        self._reorder = jax.jit(reorder)
+
+    def decode(self, features: np.ndarray, feat_len: int
+               ) -> List[CachedAedResult]:
+        enc, enc_mask = self._encode(jnp.asarray(features)[None],
+                                     jnp.asarray([feat_len], jnp.int32))
+        B = self.beam_size
+        enc_b = jnp.repeat(enc, B, axis=0)
+        mask_b = jnp.repeat(enc_mask, B, axis=0)
+
+        # prime the cache: flax sizes KV buffers to the call length, so
+        # run one init-mode decode pass over a max_labels token block
+        def prime(model, enc, enc_mask, tokens):
+            y = model.embed(tokens).astype(model.dtype)
+            cross = enc_mask[:, None, None, :]
+            for block in model.blocks:
+                y = block(y, enc, cross, None, deterministic=True,
+                          decode=True)
+            return y
+
+        variables = self.model.init(
+            jax.random.PRNGKey(0), enc_b, mask_b,
+            jnp.zeros((B, self.max_labels), jnp.int32),
+            method=prime)
+        cache = variables["cache"]
+        # reset cache indices to 0 (init consumed max_labels steps)
+        cache = jax.tree_util.tree_map(
+            lambda x: jnp.zeros_like(x) if x.ndim == 0 or x.dtype == jnp.int32
+            else jnp.zeros_like(x), cache)
+
+        scores = np.full((B,), np.inf, dtype=np.float64)
+        scores[0] = 0.0
+        labels = [[] for _ in range(B)]
+        finished = [False] * B
+        tokens = jnp.zeros((B, 1), jnp.int32)  # BOS
+        position = jnp.zeros((B,), jnp.int32)
+
+        for t in range(self.max_labels):
+            lp, cache = self._step(cache, enc_b, mask_b, tokens, position)
+            lp = np.asarray(lp)  # (B, V)
+            # candidates
+            cands = []
+            for b in range(B):
+                if finished[b]:
+                    cands.append((scores[b], b, None))
+                    continue
+                if not np.isfinite(scores[b]):
+                    continue
+                row = scores[b] - lp[b]
+                for v in np.argsort(row)[:self.beam_size]:
+                    cands.append((float(row[int(v)]), b, int(v)))
+            # rank by length-normalized score
+            def norm(c):
+                s, b, v = c
+                n = len(labels[b]) + (0 if v in (None, self.eos) else 1)
+                return s / max(n, 1) ** self.length_norm
+            cands.sort(key=norm)
+            cands = cands[:B]
+            new_scores = np.full((B,), np.inf)
+            new_labels: List[list] = [[] for _ in range(B)]
+            new_finished = [True] * B
+            src = np.zeros((B,), dtype=np.int32)
+            next_tokens = np.zeros((B, 1), dtype=np.int32)
+            any_active = False
+            for slot, (s, b, v) in enumerate(cands):
+                new_scores[slot] = s
+                src[slot] = b
+                if v is None or v == self.eos:
+                    new_labels[slot] = list(labels[b])
+                    new_finished[slot] = True
+                else:
+                    new_labels[slot] = labels[b] + [v]
+                    new_finished[slot] = False
+                    next_tokens[slot, 0] = v
+                    any_active = True
+            cache = self._reorder(cache, jnp.asarray(src))
+            scores, labels, finished = new_scores, new_labels, new_finished
+            tokens = jnp.asarray(next_tokens)
+            position = position + 1
+            if not any_active:
+                break
+        order = np.argsort([s / max(len(l), 1) ** self.length_norm
+                            for s, l in zip(scores, labels)])
+        return [CachedAedResult(labels[i], float(scores[i]))
+                for i in order if np.isfinite(scores[i])]
+
+    def recognize(self, features: np.ndarray, feat_len: int) -> List[int]:
+        return self.decode(features, feat_len)[0].labels

@@ -114,3 +114,54 @@ class TestAed:
         nb = search.n_best(4)
         scores = [h.normalized_score(1.0) for h in nb]
         assert scores == sorted(scores)
+
+
+class TestCachedDecoder:
+    def test_cached_matches_uncached(self, trained):
+        """KV-cached O(L) decoding finds the same transcripts as the
+        O(L^2) label-sync search (and the references)."""
+        from rasr_tpu.search.aed_cached import CachedAedDecoder
+        model, params, feats, feat_lens, labels, _ = trained
+        dec = CachedAedDecoder(model, params, beam_size=4, max_labels=8)
+        for b in range(B):
+            got = dec.recognize(feats[b], int(feat_lens[b]))
+            assert got == labels[b].tolist(), f"utt {b}: {got}"
+
+    def test_step_scores_match_full_decode(self, trained):
+        """Per-step cached logits equal the full-prefix decoder's last
+        position (the cache is exact, not an approximation)."""
+        from rasr_tpu.search.aed_cached import CachedAedDecoder
+        import jax
+        model, params, feats, feat_lens, labels, _ = trained
+        dec = CachedAedDecoder(model, params, beam_size=1, max_labels=8)
+        enc, enc_mask = dec._encode(jnp.asarray(feats[:1]),
+                                    jnp.asarray(feat_lens[:1], jnp.int32))
+
+        # cached: step through BOS, l0, l1
+        def prime(model, enc, enc_mask, tokens):
+            y = model.embed(tokens).astype(model.dtype)
+            cross = enc_mask[:, None, None, :]
+            for block in model.blocks:
+                y = block(y, enc, cross, None, deterministic=True,
+                          decode=True)
+            return y
+
+        variables = model.init(jax.random.PRNGKey(0), enc, enc_mask,
+                               jnp.zeros((1, 8), jnp.int32), method=prime)
+        cache = jax.tree_util.tree_map(jnp.zeros_like, variables["cache"])
+        seq = [0, int(labels[0][0]), int(labels[0][1])]
+        cached_rows = []
+        position = jnp.zeros((1,), jnp.int32)
+        for tok in seq:
+            lp, cache = dec._step(cache, enc, enc_mask,
+                                  jnp.asarray([[tok]], jnp.int32), position)
+            cached_rows.append(np.asarray(lp[0]))
+            position = position + 1
+        # uncached: full prefix decode, take the last position each time
+        for i in range(len(seq)):
+            prefix = jnp.asarray([seq[:i + 1]], jnp.int32)
+            logits = model.apply({"params": params}, enc, enc_mask, prefix,
+                                 method=model.decode)
+            full = np.asarray(jax.nn.log_softmax(logits[0, -1], -1))
+            np.testing.assert_allclose(cached_rows[i], full, atol=2e-4,
+                                       err_msg=f"step {i}")
