@@ -56,21 +56,19 @@ def ctc_greedy(log_probs: jnp.ndarray, lengths: jnp.ndarray,
     return labels, jnp.sum(emit, axis=1).astype(jnp.int32)
 
 
-def _segment_logsumexp_rows(scores: jnp.ndarray, run_id: jnp.ndarray,
-                            num_segments: int) -> jnp.ndarray:
-    """Row-wise (vmapped) segment-logsumexp: combine scores within runs.
-    Returns per-element combined score of its run."""
+def _masked_logsumexp(eq: jnp.ndarray, scores: jnp.ndarray) -> jnp.ndarray:
+    """Per-candidate logsumexp over its hash-equality class.
 
-    def per_row(s, rid):
-        m = jax.ops.segment_max(s, rid, num_segments=num_segments)
-        safe_m = jnp.where(jnp.isfinite(m), m, 0.0)
-        e = jnp.exp(s - safe_m[rid])
-        tot = jax.ops.segment_sum(e, rid, num_segments=num_segments)
-        comb = jnp.where(tot > 0, jnp.log(jnp.maximum(tot, 1e-37)) + safe_m,
-                         NEG_INF)
-        return comb[rid]
-
-    return jax.vmap(per_row)(scores, run_id)
+    eq (B, K, K) bool pairwise-equality matrix, scores (B, K).  Uses a
+    per-row global max shift: classes more than ~80 nats below the row
+    max underflow to NEG_INF, which cannot affect top-`beam` selection.
+    Dense elementwise + reduction (no sorts/scatters) — the fast path on
+    TPU for the small K = beam*(topk+1) pools used here.
+    """
+    c = jnp.max(scores, axis=1, keepdims=True)                  # (B, 1)
+    e = jnp.exp(scores - c)                                     # (B, K)
+    s = jnp.sum(jnp.where(eq, e[:, None, :], 0.0), axis=2)      # (B, K)
+    return jnp.where(s > 0, jnp.log(s) + c, NEG_INF)
 
 
 @partial(jax.jit, static_argnames=("beam", "topk", "blank"))
@@ -146,32 +144,22 @@ def ctc_prefix_beam(log_probs: jnp.ndarray, lengths: jnp.ndarray,
         # NOTE: merging a dead (NEG_INF) candidate into a live run is
         # harmless (adds exp(NEG_INF) = 0), so no dead-marking needed.
 
-        # ---- exact recombination: merge pb/pnb within equal-hash runs -----
-        # lexicographic sort by (h1, h2): stable sort by h2 then by h1
-        order2 = jnp.argsort(cand_h2, axis=1, stable=True)
-        h1_o2 = jnp.take_along_axis(cand_h1, order2, axis=1)
-        order1 = jnp.argsort(h1_o2, axis=1, stable=True)
-        order = jnp.take_along_axis(order2, order1, axis=1)
-        sh1 = jnp.take_along_axis(cand_h1, order, axis=1)
-        sh2 = jnp.take_along_axis(cand_h2, order, axis=1)
-        s_pb = jnp.take_along_axis(cand_pb, order, axis=1)
-        s_pnb = jnp.take_along_axis(cand_pnb, order, axis=1)
-        new_run = jnp.concatenate(
-            [jnp.ones((B, 1), bool),
-             (sh1[:, 1:] != sh1[:, :-1]) | (sh2[:, 1:] != sh2[:, :-1])],
-            axis=1)
-        run_id = jnp.cumsum(new_run, axis=1) - 1                    # (B, K)
-        m_pb = _segment_logsumexp_rows(s_pb, run_id, K)
-        m_pnb = _segment_logsumexp_rows(s_pnb, run_id, K)
+        # ---- exact recombination: dense pairwise hash-equality merge ------
+        # K = beam*(topk+1) is small, so an O(K^2) mask-merge is pure
+        # VPU work and beats argsorts + vmapped segment scatters on TPU
+        eq = ((cand_h1[:, :, None] == cand_h1[:, None, :]) &
+              (cand_h2[:, :, None] == cand_h2[:, None, :]))         # (B,K,K)
+        m_pb = _masked_logsumexp(eq, cand_pb)
+        m_pnb = _masked_logsumexp(eq, cand_pnb)
         m_total = jnp.logaddexp(m_pb, m_pnb)
-        # only the first candidate of each run survives
-        m_total = jnp.where(new_run, m_total, NEG_INF)
+        # only the first member of each equality class survives
+        first = jnp.argmax(eq, axis=2) == jnp.arange(K)[None, :]
+        m_total = jnp.where(first, m_total, NEG_INF)
 
         # ---- prune to beam ---------------------------------------------------
-        top_score, top_pos = jax.lax.top_k(m_total, beam)           # (B, beam)
-        sel = jnp.take_along_axis(order, top_pos, axis=1)           # cand idx
-        sel_pb = jnp.take_along_axis(m_pb, top_pos, axis=1)
-        sel_pnb = jnp.take_along_axis(m_pnb, top_pos, axis=1)
+        top_score, sel = jax.lax.top_k(m_total, beam)               # (B, beam)
+        sel_pb = jnp.take_along_axis(m_pb, sel, axis=1)
+        sel_pnb = jnp.take_along_axis(m_pnb, sel, axis=1)
         sel_src = jnp.take_along_axis(src_beam, sel, axis=1)
         sel_ext = jnp.take_along_axis(is_extend, sel, axis=1)
         sel_lab = jnp.take_along_axis(new_label, sel, axis=1)
