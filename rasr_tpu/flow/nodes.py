@@ -606,18 +606,70 @@ class WarpTimeNode(Node):
 
 @register
 class CutterNode(Node):
-    """generic-cutter: keep a [start, end) frame range."""
+    """generic-cutter: keep a frame range, by index (``start``/``end``)
+    or by time (``start-time``/``end-time`` in seconds, matching the
+    reference src/Flow/Cutter.cc:24-26 parameter names: the first frame
+    emitted is the first with start >= start-time, the last has
+    start <= end-time)."""
     filter_name = "generic-cutter"
 
     def apply(self, inputs):
         s = inputs[""]
-        start = self.attr("start", 0, lambda v: int(float(v)))
-        end = self.attr("end", 0, lambda v: int(float(v)))
         T = int(s.data.shape[-2])
-        end = end if end > 0 else T
+        if "start-time" in self.attrs or "end-time" in self.attrs:
+            t0 = self.attr("start-time", 0.0, float)
+            t1 = self.attr("end-time", None, float)
+            start = max(0, int(math.ceil((t0 - s.start_time) / s.shift
+                                         - 1e-9)))
+            if t1 is None:
+                end = T
+            else:  # inclusive: frames whose start <= end-time
+                end = min(T, int(math.floor((t1 - s.start_time) / s.shift
+                                            + 1e-9)) + 1)
+        else:
+            start = self.attr("start", 0, lambda v: int(float(v)))
+            end = self.attr("end", 0, lambda v: int(float(v)))
+            end = end if end > 0 else T
         return {"": s.with_data(
             s.data[..., start:end, :],
             start_time=s.start_time + start * s.shift)}
+
+
+@register
+class SynchronizationNode(Node):
+    """generic-synchronization (src/Flow/Synchronization.hh:23): drop
+    input elements whose start-times do not occur in the ``target``
+    stream, so the output matches the target's frame count and times.
+    With this framework's uniform-timestamp streams the overlap is a
+    contiguous frame range."""
+    filter_name = "generic-synchronization"
+    in_ports = ("", "target")
+    out_ports = ("", "target")
+
+    def apply(self, inputs):
+        s = inputs[""]
+        tgt = inputs["target"]
+        offset = int(round((tgt.start_time - s.start_time) / s.shift))
+        n = int(tgt.data.shape[-2])
+        start = max(0, offset)
+        out = s.data[..., start:start + n, :]
+        return {"": s.with_data(out, start_time=tgt.start_time),
+                "target": tgt}
+
+
+@register
+class TimestampCopyNode(Node):
+    """timestamp-copy (src/Flow/Synchronization.hh:60): keep the input
+    data but stamp it with the target stream's times."""
+    filter_name = "timestamp-copy"
+    in_ports = ("", "target")
+
+    def apply(self, inputs):
+        s = inputs[""]
+        tgt = inputs["target"]
+        return {"": s.with_data(s.data, start_time=tgt.start_time,
+                                frame_shift=tgt.frame_shift,
+                                sample_rate=tgt.sample_rate)}
 
 
 @register

@@ -180,6 +180,40 @@ class TestUtilityNodes:
         out = rep.apply({"": s})[""]
         assert out.data.shape == (30, 4)
 
+    def test_cutter_by_time(self):
+        from rasr_tpu.flow import Stream
+        from rasr_tpu.flow.nodes import Registry
+        feats = np.arange(40, dtype=np.float32).reshape(10, 4)
+        s = Stream(feats, sample_rate=100.0, frame_shift=0.01,
+                   start_time=1.0)
+        # frames start at 1.00, 1.01, ..., 1.09
+        cut = Registry["generic-cutter"](
+            "c", {"start-time": "1.025", "end-time": "1.06"})
+        out = cut.apply({"": s})[""]
+        # first frame with start >= 1.025 is index 3; last with <= 1.06 is 6
+        assert out.data.shape == (4, 4)
+        assert abs(out.start_time - 1.03) < 1e-9
+        np.testing.assert_array_equal(np.asarray(out.data[0]), feats[3])
+
+    def test_synchronization_and_timestamp_copy(self):
+        from rasr_tpu.flow import Stream
+        from rasr_tpu.flow.nodes import Registry
+        feats = np.arange(40, dtype=np.float32).reshape(10, 4)
+        s = Stream(feats, sample_rate=100.0, frame_shift=0.01,
+                   start_time=0.0)
+        tgt = Stream(np.zeros((5, 2), np.float32), sample_rate=100.0,
+                     frame_shift=0.01, start_time=0.03)
+        sync = Registry["generic-synchronization"]("s", {})
+        out = sync.apply({"": s, "target": tgt})
+        assert out[""].data.shape == (5, 4)
+        assert abs(out[""].start_time - 0.03) < 1e-9
+        np.testing.assert_array_equal(np.asarray(out[""].data[0]), feats[3])
+        assert out["target"] is tgt
+        tc = Registry["timestamp-copy"]("t", {})
+        out = tc.apply({"": s, "target": tgt})[""]
+        assert abs(out.start_time - 0.03) < 1e-9
+        assert out.data.shape == (10, 4)  # data untouched
+
 
 class TestDistributedHelpers:
     def test_single_process_noop_and_partition(self):
