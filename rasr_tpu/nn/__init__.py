@@ -13,3 +13,7 @@ __all__ = [
     "ScaledLabelScorer", "ScoringContext", "StepScoringContext",
     "TransitionType", "create_label_scorer", "register_label_scorer_type",
 ]
+from .sequence_training import (SequenceErrorSignal, expectation_posteriors,
+                                frame_accuracies, minimum_error_signal,
+                                mmi_error_signal, occupancies,
+                                povey_arc_accuracies, surrogate_loss)
