@@ -161,3 +161,76 @@ def mbr_decode(lattice: WordLattice, am_scale: float = 1.0,
     """Minimum-Bayes-risk (slot-wise) decode via the CN."""
     cn = build_confusion_network(lattice, am_scale, lm_scale)
     return cn.decode()
+
+
+def build_confusion_network_arc_cluster(lattice: WordLattice,
+                                        am_scale: float = 1.0,
+                                        lm_scale: float = 1.0
+                                        ) -> ConfusionNetwork:
+    """Arc-cluster (consensus, Mangu-style) CN construction — the
+    forward-backward clustering alternative to the pivot builder
+    (reference StateClusterConfusionNetworkBuilder.cc /
+    ConfusionNetwork.cc cluster algorithms):
+
+    1. intra-word: agglomerate same-word arcs whose time spans overlap,
+       posterior-weighted,
+    2. inter-word: merge clusters of different words by maximal overlap
+       until no two clusters overlap in time,
+    3. order clusters by posterior-weighted mean time -> slots.
+
+    Ordering constraints are enforced through time spans (word
+    boundaries are reliable in lattices from time-synchronous search).
+    """
+    post = lattice.arc_posteriors(am_scale, lm_scale)
+
+    # collect word arcs: [start, end, posterior, word]
+    clusters: List[Dict] = []
+    for s in range(lattice.n_states):
+        for ai, arc in enumerate(lattice.arcs[s]):
+            if arc.word == EPS or post[s][ai] <= 1e-8:
+                continue
+            clusters.append({
+                "t0": float(lattice.boundaries[s]),
+                "t1": float(lattice.boundaries[arc.target]),
+                "mass": {arc.word: post[s][ai]},
+                "p": post[s][ai],
+            })
+
+    def overlap(a, b) -> float:
+        return max(0.0, min(a["t1"], b["t1"]) - max(a["t0"], b["t0"]))
+
+    def merge(a, b) -> Dict:
+        mass = dict(a["mass"])
+        for w, p in b["mass"].items():
+            mass[w] = mass.get(w, 0.0) + p
+        return {"t0": min(a["t0"], b["t0"]), "t1": max(a["t1"], b["t1"]),
+                "mass": mass, "p": a["p"] + b["p"]}
+
+    def agglomerate(same_word: bool) -> None:
+        while True:
+            best, bi, bj = 0.0, -1, -1
+            for i in range(len(clusters)):
+                for j in range(i + 1, len(clusters)):
+                    a, b = clusters[i], clusters[j]
+                    if same_word and set(a["mass"]) != set(b["mass"]):
+                        continue
+                    ov = overlap(a, b)
+                    if ov > best:
+                        best, bi, bj = ov, i, j
+            if bi < 0:
+                return
+            merged = merge(clusters[bi], clusters[bj])
+            clusters[bj:bj + 1] = []
+            clusters[bi] = merged
+
+    agglomerate(same_word=True)
+    agglomerate(same_word=False)
+    clusters.sort(key=lambda c: (c["t0"] + c["t1"]) / 2.0)
+    slots = []
+    for c in clusters:
+        slot = Slot(c["t0"], c["t1"])
+        for w, p in c["mass"].items():
+            slot.add(w, p)
+        slots.append(slot)
+    return ConfusionNetwork([s.normalized() for s in slots],
+                            words=lattice.words)
