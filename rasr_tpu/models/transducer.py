@@ -29,12 +29,29 @@ class PredictionNetwork(nn.Module):
     embed_dim: int = 128
     hidden_dim: int = 256
 
-    @nn.compact
+    def setup(self):
+        self.embed = nn.Embed(self.vocab_size, self.embed_dim)
+        self.cell = nn.OptimizedLSTMCell(self.hidden_dim)
+
+    def initial_carry(self, batch: int):
+        return self.cell.initialize_carry(jax.random.PRNGKey(0),
+                                          (batch, self.embed_dim))
+
     def __call__(self, labels: jnp.ndarray) -> jnp.ndarray:
         """labels (B, U) with leading blank/BOS -> (B, U, H)."""
-        x = nn.Embed(self.vocab_size, self.embed_dim, name="embed")(labels)
-        x = nn.RNN(nn.OptimizedLSTMCell(self.hidden_dim), name="lstm")(x)
-        return x
+        x = self.embed(labels)
+        scanned = nn.scan(
+            lambda cell, carry, xt: cell(carry, xt),
+            variable_broadcast="params", split_rngs={"params": False},
+            in_axes=1, out_axes=1)
+        _, y = scanned(self.cell, self.initial_carry(x.shape[0]), x)
+        return y
+
+    def step(self, carry, y_t: jnp.ndarray):
+        """One recurrent step: y_t (B,) int32 -> (carry', out (B, H)).
+        The carry is the per-hypothesis decoder state the reference keeps
+        in StatefulOnnxLabelScorer hidden states."""
+        return self.cell(carry, self.embed(y_t))
 
 
 class Joint(nn.Module):
@@ -76,8 +93,21 @@ class TransducerModel(nn.Module):
     def predict(self, labels):
         return self.prediction(labels)
 
+    def predict_init(self, batch: int):
+        return self.prediction.initial_carry(batch)
+
+    def predict_step(self, carry, y_t):
+        """One prediction-network step (KV/state-cached decoding)."""
+        return self.prediction.step(carry, y_t)
+
     def joint_logits(self, enc, pred):
         return self.joint(enc, pred)
+
+    def joint_frame(self, enc_t, pred):
+        """Single-frame joint: enc_t (E,), pred (B, P) -> logits (B, V)."""
+        B = pred.shape[0]
+        e = jnp.broadcast_to(enc_t[None, :], (B, enc_t.shape[-1]))
+        return self.joint(e[:, None, :], pred[:, None, :])[:, 0, 0]
 
     def __call__(self, features, feat_lengths, labels, deterministic=True):
         """labels (B, U) WITHOUT blank prefix -> logits (B, T, U+1, V)."""

@@ -1,0 +1,106 @@
+"""State-cached transducer decoding.
+
+The generic TransducerBeamSearch re-runs the prediction network over the
+full label prefix per expansion (O(U^2) recurrent work per utterance);
+this decoder carries the LSTM state per hypothesis — one
+prediction-network step per emitted label, the stateful-scorer pattern
+the reference realizes with per-hypothesis ONNX hidden states
+(src/Nn/LabelScorer/StatefulOnnxLabelScorer.hh:92).
+
+Hypotheses' states live in a host cache keyed by label prefix; all
+missing prefixes of a beam step are advanced in ONE batched device call.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .transducer_beam import TransducerBeamSearch, TransducerHypothesis
+
+
+class CachedTransducerDecoder(TransducerBeamSearch):
+    """Beam decoding with per-hypothesis prediction-network state."""
+
+    def __init__(self, model, params, blank: int = 0, beam_size: int = 8,
+                 max_symbols_per_frame: int = 3, expansion_topk: int = 4):
+        self.model = model
+        self.params = params
+
+        self._encode = jax.jit(
+            lambda f, l: model.apply({"params": params}, f, l,
+                                     method=model.encode))
+
+        def pred_step(carry, tokens):
+            return model.apply({"params": params}, carry, tokens,
+                               method=model.predict_step)
+
+        self._pred_step = jax.jit(pred_step)
+
+        def joint(enc_t, pred):
+            logits = model.apply({"params": params}, enc_t, pred,
+                                 method=model.joint_frame)
+            return jax.nn.log_softmax(logits.astype(jnp.float32), -1)
+
+        joint_jit = jax.jit(joint)
+
+        def joint_fn(enc_t, pred):
+            # the search expects log-probs: row = score - lp
+            return np.asarray(joint_jit(jnp.asarray(enc_t),
+                                        jnp.asarray(pred)))
+
+        super().__init__(pred_fn=None, joint_fn=joint_fn, blank=blank,
+                         beam_size=beam_size,
+                         max_symbols_per_frame=max_symbols_per_frame,
+                         expansion_topk=expansion_topk)
+        # prefix -> (carry_c, carry_h, pred_out) host arrays
+        self._state_cache: Dict[Tuple[int, ...],
+                                Tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+
+    def _seed_cache(self) -> None:
+        self._state_cache.clear()
+        carry = self.model.apply({"params": self.params}, 1,
+                                 method=self.model.predict_init)
+        carry, out = self._pred_step(carry,
+                                     jnp.asarray([self.blank], jnp.int32))
+        self._state_cache[()] = (np.asarray(carry[0][0]),
+                                 np.asarray(carry[1][0]),
+                                 np.asarray(out[0]))
+
+    def _pred_batch(self, hyps: Sequence[TransducerHypothesis]) -> np.ndarray:
+        if () not in self._state_cache:
+            self._seed_cache()
+        missing = [h.labels for h in hyps
+                   if h.labels not in self._state_cache]
+        missing = sorted(set(missing), key=len)
+        if missing:
+            # every parent prefix is cached (hypotheses grow one label
+            # at a time), so one batched step fills all gaps
+            cs = np.stack([self._state_cache[m[:-1]][0] for m in missing])
+            hs = np.stack([self._state_cache[m[:-1]][1] for m in missing])
+            toks = np.asarray([m[-1] for m in missing], np.int32)
+            carry, out = self._pred_step((jnp.asarray(cs), jnp.asarray(hs)),
+                                         jnp.asarray(toks))
+            c_np, h_np, o_np = (np.asarray(carry[0]), np.asarray(carry[1]),
+                                np.asarray(out))
+            for i, m in enumerate(missing):
+                self._state_cache[m] = (c_np[i], h_np[i], o_np[i])
+        return np.stack([self._state_cache[h.labels][2] for h in hyps])
+
+    def decode(self, enc: np.ndarray, enc_len: int
+               ) -> List[TransducerHypothesis]:
+        self._seed_cache()
+        try:
+            return super().decode(enc, enc_len)
+        finally:
+            self._state_cache.clear()
+
+    def recognize_features(self, features: np.ndarray, feat_len: int
+                           ) -> List[int]:
+        """Full pipeline: raw features -> encoder -> cached beam."""
+        enc, out_lens = self._encode(jnp.asarray(features)[None],
+                                     jnp.asarray([feat_len], jnp.int32))
+        return self.recognize(np.asarray(enc[0]), int(out_lens[0]))

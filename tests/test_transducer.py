@@ -196,3 +196,36 @@ class TestTransducerBeam:
                                    jnp.asarray(feat_lens[b:b + 1]))
             got = search.recognize(np.asarray(enc[0]), int(out_lens[0]))
             assert got == labels[b].tolist(), f"utt {b}: {got}"
+
+
+class TestCachedDecoder:
+    def test_cached_matches_uncached(self, trained):
+        """State-cached beam reproduces the prefix-rescoring beam (and the
+        training transcripts): one prediction step per emitted label."""
+        from rasr_tpu.search.transducer_cached import CachedTransducerDecoder
+        model, params, feats, feat_lens, labels, _ = trained
+        dec = CachedTransducerDecoder(model, params, beam_size=4,
+                                      max_symbols_per_frame=2,
+                                      expansion_topk=3)
+        for b in range(B):
+            got = dec.recognize_features(feats[b], int(feat_lens[b]))
+            assert got == labels[b].tolist(), f"utt {b}: {got}"
+
+    def test_step_equals_full_prefix(self, trained):
+        """Stepped LSTM state equals the full-sequence scan at each
+        position (the cache is exact)."""
+        from rasr_tpu.search.transducer_cached import CachedTransducerDecoder
+        model, params, feats, feat_lens, labels, _ = trained
+        seq = [0] + labels[0].tolist()
+        full = model.apply({"params": params},
+                           jnp.asarray([seq], jnp.int32),
+                           method=model.predict)   # (1, U+1, P)
+        carry = model.apply({"params": params}, 1,
+                            method=model.predict_init)
+        for u, tok in enumerate(seq):
+            carry, out = model.apply({"params": params}, carry,
+                                     jnp.asarray([tok], jnp.int32),
+                                     method=model.predict_step)
+            np.testing.assert_allclose(np.asarray(out[0]),
+                                       np.asarray(full[0, u]), atol=1e-5,
+                                       err_msg=f"step {u}")
