@@ -9,10 +9,11 @@ from .estimator import (MixtureAccumulator, MixtureSetEstimator,
                         make_accumulate_fn, psum_accumulator)
 from .mixture_set import Mixture, MixtureSet
 from .module import create_feature_scorer
-from .scorer import GmmScorer
+from .scorer import CombinedScorer, GmmScorer
 
 __all__ = [
-    "Mixture", "MixtureSet", "GmmScorer", "create_feature_scorer",
+    "Mixture", "MixtureSet", "GmmScorer", "CombinedScorer",
+    "create_feature_scorer",
     "MixtureAccumulator", "MixtureSetEstimator", "make_accumulate_fn",
     "psum_accumulator", "ebw_update",
     "AdaptationAccumulator", "apply_feature_transform",

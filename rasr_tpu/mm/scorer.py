@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import math
 from functools import partial
-from typing import Optional, Tuple
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -141,3 +141,45 @@ def _segment_logsumexp_lastaxis(values: jnp.ndarray, segment_ids: jnp.ndarray,
     exp = jnp.exp(moved - seg_max[segment_ids])
     seg_sum = jax.ops.segment_sum(exp, segment_ids, num_segments=num_segments)
     return jnp.moveaxis(jnp.log(seg_sum) + seg_max, 0, -1)
+
+
+class CombinedScorer:
+    """Multi-stream emission scoring (reference Mm::CombinedFeatureScorer,
+    src/Mm/CombinedFeatureScorer.hh:24): emission e over feature streams
+    x_1..x_M scores
+
+        score(e) = sum_i scale_i * scorer_i(x_i)[mixture_index_table[e, i]]
+
+    Each scorer sees its own stream (multi-stream acoustic front-ends via
+    Flow aggregation); the table maps combined emissions to per-model
+    mixture indices.
+    """
+
+    def __init__(self, scorers: Sequence, mixture_index_table,
+                 scales: Optional[Sequence[float]] = None):
+        self.scorers = list(scorers)
+        self.table = np.asarray(mixture_index_table, dtype=np.int32)
+        if self.table.ndim != 2 or self.table.shape[1] != len(self.scorers):
+            raise ValueError("mixture index table must be (E, n_models)")
+        self.scales = list(scales) if scales is not None \
+            else [1.0] * len(self.scorers)
+        for i, sc in enumerate(self.scorers):
+            if self.table[:, i].max() >= sc.n_mixtures:
+                raise ValueError(f"table column {i} exceeds model size")
+
+    @property
+    def n_mixtures(self) -> int:
+        return self.table.shape[0]
+
+    def score(self, streams: Sequence) -> jnp.ndarray:
+        """streams: one (T, D_i) array per model -> (T, E) scores."""
+        if len(streams) != len(self.scorers):
+            raise ValueError("one feature stream per scorer required")
+        out = None
+        for i, (sc, x) in enumerate(zip(self.scorers, streams)):
+            part = self.scales[i] * sc.score(x)[..., self.table[:, i]]
+            out = part if out is None else out + part
+        return out
+
+    def __call__(self, streams) -> jnp.ndarray:
+        return self.score(streams)

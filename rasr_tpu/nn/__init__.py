@@ -17,3 +17,4 @@ from .sequence_training import (SequenceErrorSignal, expectation_posteriors,
                                 frame_accuracies, minimum_error_signal,
                                 mmi_error_signal, occupancies,
                                 povey_arc_accuracies, surrogate_loss)
+from .optim import RpropState, rprop
