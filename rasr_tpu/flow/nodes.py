@@ -579,13 +579,28 @@ class EnergyNode(Node):
 
 @register
 class DcDetection(Node):
-    """signal-dc-detection: drop constant (DC) sample blocks.  The batched
-    rebuild treats it as pass-through (segments from corpora are speech);
-    kept for .flow compatibility (src/Signal/DcDetection.hh)."""
+    """signal-dc-detection: drop constant (DC) sample stretches
+    (src/Signal/DcDetection.hh:26).  Sequential over samples, so this
+    node runs on host (outside the fused XLA program); attributes
+    max-dc-increment, min-dc-length (seconds), min-non-dc-segment-length
+    (seconds) mirror the reference parameters."""
     filter_name = "signal-dc-detection"
+    host_only = True
 
     def apply(self, inputs):
-        return {"": inputs[""]}
+        from ..signal.analysis import dc_detection
+        s = inputs[""]
+        sr = s.sample_rate
+        max_inc = self.attr("max-dc-increment", 1.0 / 32768.0, float)
+        min_dc = self.attr("min-dc-length", 0.01, float)
+        min_non_dc = self.attr("min-non-dc-segment-length", 0.0, float)
+        x = np.asarray(s.data)
+        if x.ndim != 1:
+            return {"": s}  # batched/framed data: applied upstream
+        cleaned, _ = dc_detection(x, max_inc,
+                                  max(int(round(min_dc * sr)), 1),
+                                  int(round(min_non_dc * sr)))
+        return {"": s.with_data(jnp.asarray(cleaned))}
 
 
 @register
