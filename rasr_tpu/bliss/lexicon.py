@@ -204,6 +204,8 @@ class Lexicon:
     def new_lemma(self, name: str = "", special: str = "") -> Lemma:
         lemma = Lemma(id=len(self.lemmas), name=name, special=special)
         self.lemmas.append(lemma)
+        if special:
+            self._special[special] = lemma
         return lemma
 
     def add_pronunciation(self, lemma: Lemma, phoneme_symbols: Sequence[str],
