@@ -112,6 +112,10 @@ class WordConditionedTreeSearch:
         self.reset()
 
     def reset(self) -> None:
+        if not hasattr(self, "statistics"):
+            from .statistics import SearchSpaceStatistics
+            self.statistics = SearchSpaceStatistics()
+        self.statistics.reset()
         h0 = HmmHypothesis(
             node=self.tree.root, state=-1,
             lm_history=self.lm.initial_history() if self.lm else ())
@@ -196,11 +200,19 @@ class WordConditionedTreeSearch:
 
         # pruning
         hyps = sorted(new.values(), key=lambda h: h.score)
+        stats = self.statistics
+        stats.add("states before pruning", len(hyps))
         if hyps:
             best = hyps[0].score
             hyps = [h for h in hyps if h.score <= best + self.score_threshold]
             self._hyps = {(h.node, h.state, h.lm_history, h.words): h
                           for h in hyps[:self.beam_size]}
+            stats.add("states after pruning", len(self._hyps))
+            # a "tree" is one LM-history copy of the prefix tree
+            stats.add("trees after pruning",
+                      len({h.lm_history for h in self._hyps.values()}))
+            stats.add("ending words after recombi",
+                      len({h.words for h in self._hyps.values()}))
         self._t += 1
 
     # -- segment api --------------------------------------------------------------

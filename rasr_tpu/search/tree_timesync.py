@@ -181,6 +181,8 @@ class TreeTimesyncBeamSearch:
         self.sentence_end_fallback = sentence_end_fallback
         self._orth_of_lemma = {l.id: l.preferred_orth
                                for l in lexicon.lemmas}
+        from .statistics import SearchSpaceStatistics
+        self.statistics = SearchSpaceStatistics()
         self.enter_segment()
 
     # -- segment control ------------------------------------------------------
@@ -193,6 +195,7 @@ class TreeTimesyncBeamSearch:
             lm_history=self.lm.initial_history() if self.lm else ())
         self._beam: List[TreeHypothesis] = [h0]
         self._step = 0
+        self.statistics.reset()
 
     def put_feature(self, feature) -> None:
         self.scorer.add_input(np.asarray(feature, dtype=np.float32))
@@ -290,14 +293,22 @@ class TreeTimesyncBeamSearch:
         hyps = sorted(candidates.values(), key=prospect)
         if not hyps:
             return False
+        stats = self.statistics
+        stats.add("states before pruning", len(hyps))
         best = prospect(hyps[0])
         hyps = [h for h in hyps if prospect(h) <= best + self.score_threshold]
         # separate beams for within-word and word-end hypotheses
         word_end = [h for h in hyps if h.node == self.tree.root]
         in_word = [h for h in hyps if h.node != self.tree.root]
+        stats.add("ending words before pruning", len(word_end))
         self._beam = sorted(word_end[:self.word_end_beam]
                             + in_word[:self.beam_size],
                             key=prospect)
+        stats.add("states after pruning", len(self._beam))
+        stats.add("ending words after pruning",
+                  min(len(word_end), self.word_end_beam))
+        stats.add("lm histories",
+                  len({h.lm_history for h in self._beam}))
         if self.lookahead is not None:
             self.lookahead.cleanup({h.lm_history for h in self._beam})
         self._step += 1

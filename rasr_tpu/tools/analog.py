@@ -59,6 +59,21 @@ def analyze(records: List[Dict]) -> Dict:
             "overall-rtf": round(float(times.sum() / max(durations.sum(), 1e-9)),
                                  5),
         })
+    # search-space statistics section (reference analog
+    # stats/searchSpace.py: min/avg/max of the per-segment series)
+    space: Dict[str, Dict[str, List[float]]] = {}
+    for r in records:
+        for name, s in (r.get("search-space-statistics") or {}).items():
+            agg = space.setdefault(name, {"min": [], "avg": [], "max": []})
+            for k in ("min", "avg", "max"):
+                if s.get(k) is not None:
+                    agg[k].append(s[k])
+    if space:
+        out["search-space"] = {
+            name: {"min": round(float(np.min(v["min"])), 1) if v["min"] else None,
+                   "avg": round(float(np.mean(v["avg"])), 1) if v["avg"] else None,
+                   "max": round(float(np.max(v["max"])), 1) if v["max"] else None}
+            for name, v in space.items()}
     return out
 
 

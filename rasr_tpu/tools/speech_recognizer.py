@@ -111,12 +111,18 @@ class SpeechRecognizerApp(Application):
             rtf_values.append(rtf)
             counts = evaluator.evaluate(seg.orth, hyp) if seg.orth else None
             # per-segment log line (analog-parseable)
-            self.log(json.dumps({
+            record = {
                 "segment": seg.full_name, "hyp": hyp, "ref": seg.orth,
                 "time": round(elapsed, 4), "duration": round(duration, 3),
                 "rtf": round(rtf, 5),
                 "errors": counts.errors if counts else None,
-                "ref-len": counts.ref_len if counts else None}))
+                "ref-len": counts.ref_len if counts else None}
+            stats = getattr(algo, "statistics", None)
+            if stats is not None and stats.summary():
+                record["search-space-statistics"] = {
+                    k: {kk: round(vv, 2) for kk, vv in v.items()}
+                    for k, v in stats.summary().items()}
+            self.log(json.dumps(record))
             if ctm_channel.is_open():
                 for i, word in enumerate(hyp.split()):
                     ctm_channel.write(

@@ -214,3 +214,26 @@ class TestConfusionNetwork:
         words, conf = mbr_decode(lat)
         # slot 2: p(B) = p(path2)+p(path3) > p(C) = p(path1)
         assert words[-1] == 4
+
+
+class TestSearchSpaceStatistics:
+    def test_tree_search_records_stats(self, lexicon):
+        scorer = NoOpLabelScorer(n_labels=4)
+        search = TreeTimesyncBeamSearch(scorer, lexicon, beam_size=16,
+                                        blank_index=0)
+        lp = posteriors_for([1, 2])
+        search.enter_segment()
+        search.put_features(lp)
+        search.finish_segment()
+        stats = search.statistics.summary()
+        assert "states before pruning" in stats
+        assert "states after pruning" in stats
+        assert "ending words before pruning" in stats
+        for v in stats.values():
+            assert v["min"] <= v["avg"] <= v["max"]
+        # pruning can only shrink
+        assert (stats["states after pruning"]["avg"]
+                <= stats["states before pruning"]["avg"])
+        # fresh segment resets
+        search.enter_segment()
+        assert search.statistics.summary() == {}
