@@ -169,3 +169,110 @@ class TestFsaLm:
         succ = dict(lm.get_history_successors(h))
         assert abs(succ[2] - 0.25) < 1e-9          # world direct
         assert abs(succ[3] - 0.5) < 1e-9           # there via eps
+
+
+class TestReverseArpa:
+    ARPA = """\\
+\\data\\
+ngram 1=5
+ngram 2=6
+
+\\1-grams:
+-0.8\t</s>
+-99\t<s>\t-0.30103
+-0.5\tA\t-0.4
+-0.7\tB\t-0.3
+-1.2\t<unk>
+
+\\2-grams:
+-0.2\t<s> A
+-0.9\t<s> B
+-0.4\tA B
+-0.6\tA </s>
+-0.3\tB </s>
+-1.0\tB A
+
+\\end\\
+"""
+
+    @pytest.fixture()
+    def fwd(self, tmp_path):
+        from rasr_tpu.lm import ArpaLm
+        p = tmp_path / "f.arpa"
+        p.write_text(self.ARPA.replace("\\\\\n", ""))
+        return ArpaLm(str(p))
+
+    def test_sentence_probability_preserved(self, fwd):
+        from rasr_tpu.lm.reverse_arpa import reverse_arpa
+        rev = reverse_arpa(fwd)
+        # sentences fully covered by explicit n-grams
+        for sent in (["A", "B"], ["B"], ["A"]):
+            f = fwd.sequence_score(sent)
+            r = rev.sequence_score(list(reversed(sent)))
+            assert abs(f - r) < 1e-6, (sent, f, r)
+
+    def test_backoff_sentence_close(self, fwd):
+        # "B B" has no explicit forward bigram: both directions back
+        # off, scores agree approximately (backing-off is direction-
+        # dependent; exactness holds for fully explicit paths)
+        from rasr_tpu.lm.reverse_arpa import reverse_arpa
+        rev = reverse_arpa(fwd)
+        f = fwd.sequence_score(["B", "B"])
+        r = rev.sequence_score(["B", "B"])
+        assert abs(f - r) < 1.0 and f < 50 and r < 50
+
+    def test_file_roundtrip(self, fwd, tmp_path):
+        from rasr_tpu.lm import ArpaLm
+        from rasr_tpu.lm.reverse_arpa import reverse_arpa, write_arpa
+        rev = reverse_arpa(fwd)
+        p = tmp_path / "rev.arpa"
+        write_arpa(rev, str(p))
+        back = ArpaLm(str(p))
+        for sent in (["B", "A"], ["A"]):
+            assert abs(back.sequence_score(sent)
+                       - rev.sequence_score(sent)) < 1e-4
+
+
+class TestCheatingSegmentLm:
+    @pytest.fixture()
+    def lexicon(self):
+        from rasr_tpu.bliss.lexicon import Lexicon
+        lex = Lexicon()
+        for w in ("hello", "world", "foo"):
+            lemma = lex.new_lemma(name=w)
+            lemma.orths.append(w)
+        return lex
+
+    def test_only_transcription_allowed(self, lexicon):
+        from rasr_tpu.lm.cheating import CheatingSegmentLm
+        lm = CheatingSegmentLm(lexicon)
+        lm.set_segment("hello world")
+        h = lm.initial_history()
+        assert lm.score(h, "hello") < lm.infinity_score
+        assert lm.score(h, "world") == lm.infinity_score
+        h = lm.extended_history(h, "hello")
+        assert lm.score(h, "world") < lm.infinity_score
+        h2 = lm.extended_history(h, "world")
+        assert lm.sentence_end_score(h2) < lm.infinity_score
+        assert lm.sentence_end_score(h) == lm.infinity_score
+
+    def test_segment_swap(self, lexicon):
+        from rasr_tpu.lm.cheating import CheatingSegmentLm
+        lm = CheatingSegmentLm(lexicon)
+        lm.set_segment("hello")
+        lm.set_segment("foo")
+        h = lm.initial_history()
+        assert lm.score(h, "foo") < lm.infinity_score
+        assert lm.score(h, "hello") == lm.infinity_score
+
+
+class TestSimpleHistoryLm:
+    def test_full_history_zero_score(self):
+        from rasr_tpu.lm.cheating import SimpleHistoryLm
+        lm = SimpleHistoryLm()
+        h = lm.initial_history()
+        for w in ("a", "b", "c"):
+            assert lm.score(h, w) == 0.0
+            h = lm.extended_history(h, w)
+        assert h == ("a", "b", "c")
+        assert lm.reduced_history(h, 2) == ("b", "c")
