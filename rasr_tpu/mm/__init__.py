@@ -1,7 +1,8 @@
 """Mm layer: Gaussian mixture acoustic models — batched XLA scoring,
 estimation, discriminative training, adaptation (reference: src/Mm)."""
 
-from .adaptation import (AdaptationAccumulator, apply_feature_transform,
+from .adaptation import (AdaptationAccumulator, AdaptationTree,
+                         TreeMllrEstimator, apply_feature_transform,
                          apply_mllr_mean_transform, estimate_cmllr_transform,
                          estimate_mllr_mean_transform)
 from .discriminative import ebw_update

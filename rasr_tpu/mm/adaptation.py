@@ -151,3 +151,162 @@ def estimate_cmllr_transform(acc: AdaptationAccumulator,
 def apply_feature_transform(features: np.ndarray, W: np.ndarray) -> np.ndarray:
     """x' = A x + b for (T, D) features with W = [b | A]."""
     return features @ W[:, 1:].T + W[:, 0]
+
+
+# ---------------------------------------------------------------------------
+# regression-class trees (Am::AdaptationTree + MllrAdaptation propagate)
+# ---------------------------------------------------------------------------
+
+class AdaptationTree:
+    """Binary regression-class tree over mixtures (src/Am/AdaptationTree.hh:
+    n base classes as leaves, silence separated; src/Mm/MllrAdaptation.cc:671
+    estimateWMatrices propagates leaf statistics to every node and keeps
+    transforms only where enough observations accumulated).
+
+    The reference derives the tree from the phonetic decision tree; here it
+    is built by top-down binary 2-means splitting of the mixtures' mean
+    centroids — same structure (a binary tree whose leaves partition the
+    mixtures), data-driven instead of phonetically tied.
+    """
+
+    def __init__(self, mixture_set: MixtureSet, n_base_classes: int = 8,
+                 silence_mixtures: Tuple[int, ...] = ()):
+        n_mix = mixture_set.n_mixtures
+        mean, _, _, mix_of = mixture_set.packed()
+        centroid = np.zeros((n_mix, mixture_set.dim))
+        for m in range(n_mix):
+            rows = mean[mix_of == m]
+            centroid[m] = rows.mean(axis=0) if len(rows) else 0.0
+        silence = set(silence_mixtures)
+        speech = [m for m in range(n_mix) if m not in silence]
+
+        # node arrays; node 0 = root
+        self.left: List[int] = [-1]
+        self.right: List[int] = [-1]
+        self.parent: List[int] = [-1]
+        self.leaf_of_mixture = np.zeros(n_mix, dtype=np.int32)
+
+        def new_node(parent: int) -> int:
+            self.left.append(-1)
+            self.right.append(-1)
+            self.parent.append(parent)
+            return len(self.left) - 1
+
+        def split(node: int, members: List[int], leaves_left: int) -> None:
+            if leaves_left <= 1 or len(members) <= 1:
+                for m in members:
+                    self.leaf_of_mixture[m] = node
+                return
+            pts = centroid[members]
+            # 2-means split (deterministic seeding: extremes of first PC)
+            d = pts - pts.mean(0)
+            u, s, vt = np.linalg.svd(d, full_matrices=False)
+            proj = d @ vt[0]
+            order = np.argsort(proj)
+            half = len(members) // 2
+            a = [members[i] for i in order[:half]]
+            b = [members[i] for i in order[half:]]
+            la = new_node(node)
+            lb = new_node(node)
+            self.left[node], self.right[node] = la, lb
+            split(la, a, leaves_left // 2)
+            split(lb, b, leaves_left - leaves_left // 2)
+
+        if silence:
+            # root splits silence | speech (reference separates silence)
+            sil_node = new_node(0)
+            speech_node = new_node(0)
+            self.left[0], self.right[0] = sil_node, speech_node
+            for m in silence:
+                self.leaf_of_mixture[m] = sil_node
+            split(speech_node, speech, max(n_base_classes - 1, 1))
+        else:
+            split(0, speech, n_base_classes)
+        self.n_nodes = len(self.left)
+
+    def path_to_root(self, mixture: int) -> List[int]:
+        node = int(self.leaf_of_mixture[mixture])
+        out = [node]
+        while self.parent[node] >= 0:
+            node = self.parent[node]
+            out.append(node)
+        return out
+
+    def leaves(self) -> List[int]:
+        return sorted(set(int(l) for l in self.leaf_of_mixture))
+
+
+class TreeMllrEstimator:
+    """Regression-class MLLR: leaf accumulators, propagated node sums,
+    per-node transforms where occupancy suffices, deepest-available
+    transform per mixture (FullAdaptorViterbiEstimator semantics)."""
+
+    def __init__(self, tree: AdaptationTree, mixture_set: MixtureSet,
+                 min_observations: float = 100.0):
+        self.tree = tree
+        self.mixture_set = mixture_set
+        self.min_observations = min_observations
+        n_dens = len(mixture_set.packed()[0])
+        self._accs: Dict[int, AdaptationAccumulator] = {
+            leaf: AdaptationAccumulator.zeros(mixture_set.dim, n_dens)
+            for leaf in tree.leaves()}
+
+    def accumulate(self, features: np.ndarray, density_path: np.ndarray,
+                   mixture_path: np.ndarray,
+                   weights: Optional[np.ndarray] = None) -> None:
+        """Route frames to their mixture's leaf accumulator."""
+        mix = np.asarray(mixture_path)
+        for leaf, acc in self._accs.items():
+            sel = (self.tree.leaf_of_mixture[np.maximum(mix, 0)] == leaf) \
+                & (mix >= 0)
+            if not sel.any():
+                continue
+            dp = np.where(sel, np.asarray(density_path), -1)
+            acc.accumulate(features, dp, weights)
+
+    def estimate(self) -> Dict[int, np.ndarray]:
+        """node id -> W (D, D+1) for nodes with enough observations."""
+        # propagate leaf stats to every ancestor
+        node_acc: Dict[int, AdaptationAccumulator] = {}
+        n_dens = len(self.mixture_set.packed()[0])
+        for leaf, acc in self._accs.items():
+            node = leaf
+            while node >= 0:
+                na = node_acc.get(node)
+                if na is None:
+                    na = AdaptationAccumulator.zeros(self.mixture_set.dim,
+                                                     n_dens)
+                    node_acc[node] = na
+                na.gamma += acc.gamma
+                na.sum_x += acc.sum_x
+                na.sum_x2 += acc.sum_x2
+                node = self.tree.parent[node]
+        out: Dict[int, np.ndarray] = {}
+        for node, acc in node_acc.items():
+            if acc.gamma.sum() > self.min_observations:
+                W = estimate_mllr_mean_transform(acc, self.mixture_set,
+                                                 min_occupancy=0.0)
+                if W is not None:
+                    out[node] = W
+        return out
+
+    def apply(self, transforms: Dict[int, np.ndarray]) -> MixtureSet:
+        """Adapted mixture set: each mixture's means transformed by the
+        DEEPEST tree node holding a transform on its root path."""
+        ms = self.mixture_set
+        new_means = ms.means.copy()
+        mean, _, _, mix_of = ms.packed()
+        # density order in packed() follows mixtures; map density->mean row
+        for m in range(ms.n_mixtures):
+            W = None
+            for node in self.tree.path_to_root(m):
+                if node in transforms:
+                    W = transforms[node]
+                    break
+            if W is None:
+                continue
+            for di in ms.mixtures[m].density_indices:
+                mi = ms.densities[di, 0]
+                new_means[mi] = W[:, 0] + W[:, 1:] @ ms.means[mi]
+        return MixtureSet(ms.dim, new_means, ms.covariances.copy(),
+                          ms.densities.copy(), [m for m in ms.mixtures])

@@ -117,3 +117,80 @@ class TestCombinedScorer:
         ms1 = tiny_mixture_set(3, 2, 0)
         with pytest.raises(ValueError):
             CombinedScorer([GmmScorer(ms1)], np.asarray([[5]]))
+
+
+class TestRegressionTree:
+    def make_setup(self):
+        from rasr_tpu.mm import Mixture
+        rng = np.random.default_rng(7)
+        dim, n_mix = 2, 6
+        # two groups of mixtures with distinct mean regions
+        means = np.concatenate([
+            rng.standard_normal((3, dim)) + 5.0,
+            rng.standard_normal((3, dim)) - 5.0])
+        variances = np.ones((n_mix, dim))
+        table = np.stack([np.arange(n_mix), np.arange(n_mix)], 1).astype(np.int32)
+        mixtures = [Mixture([i], [0.0]) for i in range(n_mix)]
+        return MixtureSet(2, means, variances, table, mixtures)
+
+    def test_tree_partitions_mixtures(self):
+        from rasr_tpu.mm.adaptation import AdaptationTree
+        ms = self.make_setup()
+        tree = AdaptationTree(ms, n_base_classes=2)
+        leaves = tree.leaves()
+        assert len(leaves) == 2
+        # the two mean groups land in different leaves
+        l0 = {int(tree.leaf_of_mixture[m]) for m in range(3)}
+        l1 = {int(tree.leaf_of_mixture[m]) for m in range(3, 6)}
+        assert l0 != l1 and len(l0) == 1 and len(l1) == 1
+
+    def test_silence_separated(self):
+        from rasr_tpu.mm.adaptation import AdaptationTree
+        ms = self.make_setup()
+        tree = AdaptationTree(ms, n_base_classes=2, silence_mixtures=(0,))
+        sil_leaf = int(tree.leaf_of_mixture[0])
+        assert all(int(tree.leaf_of_mixture[m]) != sil_leaf
+                   for m in range(1, 6))
+
+    def test_per_class_transforms_recovered(self):
+        from rasr_tpu.mm.adaptation import AdaptationTree, TreeMllrEstimator
+        ms = self.make_setup()
+        tree = AdaptationTree(ms, n_base_classes=2)
+        est = TreeMllrEstimator(tree, ms, min_observations=10.0)
+        rng = np.random.default_rng(8)
+        # group 0 shifted +2, group 1 shifted -3: enough frames per leaf
+        feats, dens, mixp = [], [], []
+        for m in range(6):
+            shift = 2.0 if m < 3 else -3.0
+            x = ms.means[m] + shift + 0.01 * rng.standard_normal((200, 2))
+            feats.append(x)
+            dens.append(np.full(200, m))
+            mixp.append(np.full(200, m))
+        est.accumulate(np.concatenate(feats), np.concatenate(dens),
+                       np.concatenate(mixp))
+        transforms = est.estimate()
+        assert transforms  # at least the root
+        adapted = est.apply(transforms)
+        # adapted means close to the shifted data means
+        for m in range(6):
+            shift = 2.0 if m < 3 else -3.0
+            np.testing.assert_allclose(adapted.means[m], ms.means[m] + shift,
+                                       atol=0.1)
+
+    def test_insufficient_data_falls_back_to_ancestor(self):
+        from rasr_tpu.mm.adaptation import AdaptationTree, TreeMllrEstimator
+        ms = self.make_setup()
+        tree = AdaptationTree(ms, n_base_classes=2)
+        est = TreeMllrEstimator(tree, ms, min_observations=150.0)
+        rng = np.random.default_rng(9)
+        # only 100 frames per leaf: leaves below threshold, root (200) above
+        feats, dens, mixp = [], [], []
+        for m in (0, 3):
+            x = ms.means[m] + 1.0 + 0.01 * rng.standard_normal((100, 2))
+            feats.append(x); dens.append(np.full(100, m))
+            mixp.append(np.full(100, m))
+        est.accumulate(np.concatenate(feats), np.concatenate(dens),
+                       np.concatenate(mixp))
+        transforms = est.estimate()
+        assert 0 in transforms            # root estimated
+        assert len(transforms) == 1       # leaves skipped
