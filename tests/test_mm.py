@@ -184,3 +184,55 @@ class TestEstimator:
         np.testing.assert_allclose(np.asarray(mw)[0], np.asarray(w).sum(0))
         np.testing.assert_allclose(np.asarray(msx)[0], 4 * np.ones((2, 3)))
         np.testing.assert_allclose(np.asarray(msx2)[0], 8 * np.ones((2, 3)))
+
+
+class TestLegacyAccumulatorIO:
+    def make_legacy(self):
+        from rasr_tpu.mm.legacy_io import LegacyAccumulatorFile
+        rng = np.random.default_rng(11)
+        dim, n_dens = 3, 4
+        mean_sums = rng.standard_normal((n_dens, dim)) * 10
+        mean_w = rng.uniform(5, 20, n_dens)
+        covar_sums = rng.uniform(1, 50, (2, dim))   # two shared covariances
+        covar_w = np.asarray([mean_w[0] + mean_w[1], mean_w[2] + mean_w[3]])
+        densities = np.asarray([[0, 0], [1, 0], [2, 1], [3, 1]], np.uint32)
+        mixtures = [[(0, float(mean_w[0])), (1, float(mean_w[1]))],
+                    [(2, float(mean_w[2])), (3, float(mean_w[3]))]]
+        return LegacyAccumulatorFile(dim, mean_sums, mean_w, covar_sums,
+                                     covar_w, densities, mixtures)
+
+    def test_roundtrip(self, tmp_path):
+        from rasr_tpu.mm.legacy_io import (read_legacy_accumulator,
+                                           write_legacy_accumulator)
+        acc = self.make_legacy()
+        p = tmp_path / "acc.mix"
+        write_legacy_accumulator(acc, str(p))
+        data = p.read_bytes()
+        assert data[:6] == b"MIXSET"
+        back = read_legacy_accumulator(str(p))
+        assert back.dim == acc.dim
+        np.testing.assert_allclose(back.mean_sums, acc.mean_sums)
+        np.testing.assert_allclose(back.covar_weights, acc.covar_weights)
+        np.testing.assert_array_equal(back.densities, acc.densities)
+        assert back.mixtures == acc.mixtures
+
+    def test_convert_to_native(self):
+        from rasr_tpu.mm.legacy_io import to_mixture_accumulator
+        legacy = self.make_legacy()
+        acc = to_mixture_accumulator(legacy)
+        assert acc.n_densities == 4
+        np.testing.assert_array_equal(acc.mixture_of, [0, 0, 1, 1])
+        np.testing.assert_allclose(acc.weight, legacy.mean_weights)
+        np.testing.assert_allclose(acc.sum_x, legacy.mean_sums)
+        # shared covariance mass split proportionally, totals preserved
+        np.testing.assert_allclose(acc.sum_x2[0] + acc.sum_x2[1],
+                                   legacy.covar_sums[0])
+        np.testing.assert_allclose(acc.sum_x2[2] + acc.sum_x2[3],
+                                   legacy.covar_sums[1])
+
+    def test_bad_magic_rejected(self, tmp_path):
+        from rasr_tpu.mm.legacy_io import read_legacy_accumulator
+        p = tmp_path / "bad.mix"
+        p.write_bytes(b"NOTMIX\x00\x00" + b"\x00" * 32)
+        with pytest.raises(ValueError):
+            read_legacy_accumulator(str(p))
