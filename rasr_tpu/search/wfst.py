@@ -119,12 +119,95 @@ def arpa_to_automaton(lm: ArpaLm, lexicon: Lexicon,
 
 def build_decoding_graph(lexicon: Lexicon, lm: Optional[ArpaLm] = None,
                          lm_scale: float = 1.0,
-                         token_of_phoneme=None) -> Automaton:
+                         token_of_phoneme=None,
+                         minimize: bool = False,
+                         cache_path: Optional[str] = None,
+                         dependencies: Optional[dict] = None) -> Automaton:
+    """Compose (and optionally minimize) the static decoding graph.
+
+    minimize applies weighted minimization to shrink the composed graph
+    (big lexica).  cache_path enables the graph-image cache (reference
+    Search::PersistentStateTree image): the built graph serializes next
+    to a DependencySet of `dependencies` (e.g. lexicon/LM file hashes +
+    scales); a matching cache loads instead of rebuilding.
+    """
+    if cache_path is not None:
+        cached = _load_graph_cache(cache_path, dependencies)
+        if cached is not None:
+            return cached
     L = lexicon_to_transducer(lexicon, token_of_phoneme)
     if lm is None:
-        return L
-    G = arpa_to_automaton(lm, lexicon, scale=lm_scale)
-    return connect(compose(L, G))
+        graph = L
+    else:
+        G = arpa_to_automaton(lm, lexicon, scale=lm_scale)
+        graph = connect(compose(L, G))
+    if minimize:
+        from ..fsa.automaton import minimize as fsa_minimize
+        graph = fsa_minimize(graph)
+    if cache_path is not None:
+        _save_graph_cache(cache_path, graph, dependencies)
+    return graph
+
+
+def _graph_to_bytes(graph: Automaton) -> bytes:
+    import io
+    import pickle
+    buf = io.BytesIO()
+    pickle.dump({
+        "n_states": graph.n_states,
+        "initial": graph.initial,
+        "final": dict(graph.final),
+        "arcs": [[(a.target, a.ilabel, a.olabel, a.weight)
+                  for a in graph.arcs[s]] for s in range(graph.n_states)],
+    }, buf, protocol=4)
+    return buf.getvalue()
+
+
+def _graph_from_bytes(data: bytes) -> Automaton:
+    import io
+    import pickle
+    d = pickle.load(io.BytesIO(data))
+    g = Automaton()
+    for _ in range(d["n_states"]):
+        g.add_state()
+    g.initial = d["initial"]
+    for s, arcs in enumerate(d["arcs"]):
+        for (t, i, o, w) in arcs:
+            g.add_arc(s, t, i, o, w)
+    for s, w in d["final"].items():
+        g.set_final(s, w)
+    return g
+
+
+def _load_graph_cache(path: str, dependencies: Optional[dict]) -> \
+        Optional[Automaton]:
+    import os
+    from ..core.misc import DependencySet
+    if not os.path.exists(path):
+        return None
+    if dependencies is not None:
+        dep_path = path + ".deps"
+        if not os.path.exists(dep_path):
+            return None
+        stored = DependencySet.read(dep_path)
+        current = DependencySet({k: str(v) for k, v in dependencies.items()})
+        if not stored.satisfies(current) or not current.satisfies(stored):
+            return None  # stale image: inputs changed
+    with open(path, "rb") as fh:
+        return _graph_from_bytes(fh.read())
+
+
+def _save_graph_cache(path: str, graph: Automaton,
+                      dependencies: Optional[dict]) -> None:
+    import os
+    from ..core.misc import DependencySet
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as fh:
+        fh.write(_graph_to_bytes(graph))
+    os.replace(tmp, path)
+    if dependencies is not None:
+        DependencySet({k: str(v) for k, v in dependencies.items()}).write(
+            path + ".deps")
 
 
 @dataclass

@@ -116,3 +116,39 @@ class TestWfstDecoding:
                 beam_size=32, blank_index=0)
             tree_words = tree.recognize_segment(lp)
             assert got == expected == tree_words, (seq, got, tree_words)
+
+
+@pytest.fixture
+def lm(tmp_path):
+    arpa = tmp_path / "lm_fixture.arpa"
+    arpa.write_text(ARPA)
+    return ArpaLm(str(arpa))
+
+
+class TestGraphImageCache:
+    def test_cache_roundtrip_and_staleness(self, lexicon, lm, tmp_path):
+        path = str(tmp_path / "graph.image")
+        deps = {"lexicon": "v1", "lm-scale": 1.0}
+        g1 = build_decoding_graph(lexicon, lm, cache_path=path,
+                                  dependencies=deps)
+        assert (tmp_path / "graph.image").exists()
+        # second build loads the image (mutate nothing -> same language)
+        g2 = build_decoding_graph(lexicon, lm, cache_path=path,
+                                  dependencies=deps)
+        assert g2.n_states == g1.n_states
+        assert g2.n_arcs == g1.n_arcs
+        from rasr_tpu.fsa.automaton import best_path
+        assert best_path(g2)[2] == pytest.approx(best_path(g1)[2])
+        # changed dependencies invalidate the image
+        g3 = build_decoding_graph(lexicon, lm, lm_scale=2.0,
+                                  cache_path=path,
+                                  dependencies={"lexicon": "v1",
+                                                "lm-scale": 2.0})
+        assert g3.n_states == g1.n_states  # rebuilt, same topology
+
+    def test_minimize_option_preserves_best(self, lexicon, lm):
+        g = build_decoding_graph(lexicon, lm)
+        gm = build_decoding_graph(lexicon, lm, minimize=True)
+        from rasr_tpu.fsa.automaton import best_path
+        assert gm.n_states <= g.n_states
+        assert best_path(gm)[2] == pytest.approx(best_path(g)[2], abs=1e-6)
