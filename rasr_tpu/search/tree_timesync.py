@@ -116,24 +116,41 @@ class LmLookahead:
                 self._lemma_ids.append(lemma.id)
                 self._tokens.append(toks[0])
         self._lemma_pos = {l: i for i, l in enumerate(self._lemma_ids)}
+        # tree compression (reference lookahead network compression):
+        # nodes with the same reachable-lemma set share one lookahead
+        # class — single-word tails collapse, tables shrink from
+        # n_nodes to n_classes entries
+        sig: Dict[frozenset, int] = {}
+        self._class_of = np.zeros(len(self._reachable), dtype=np.int32)
+        self._class_idx: List[np.ndarray] = []
+        for node, lemmas in enumerate(self._reachable):
+            key = frozenset(int(l) for l in lemmas)
+            cid = sig.get(key)
+            if cid is None:
+                cid = len(self._class_idx)
+                sig[key] = cid
+                self._class_idx.append(np.asarray(
+                    [self._lemma_pos[l] for l in sorted(key)
+                     if l in self._lemma_pos], dtype=np.int32))
+            self._class_of[node] = cid
+        self.n_classes = len(self._class_idx)
         self._cache: Dict[tuple, np.ndarray] = {}
 
     def table(self, history: tuple) -> np.ndarray:
+        """Per-class lookahead scores (n_classes,) for one LM history."""
         t = self._cache.get(history)
         if t is None:
             scores = self.lm_scale * self.lm.score_batch(
                 [history], self._tokens)[0]                 # (n_lemmas,)
-            t = np.zeros(len(self._reachable), dtype=np.float32)
-            for node, lemmas in enumerate(self._reachable):
-                if len(lemmas):
-                    idx = [self._lemma_pos[l] for l in lemmas
-                           if l in self._lemma_pos]
-                    t[node] = float(np.min(scores[idx])) if idx else 0.0
+            t = np.zeros(self.n_classes, dtype=np.float32)
+            for cid, idx in enumerate(self._class_idx):
+                if len(idx):
+                    t[cid] = float(np.min(scores[idx]))
             self._cache[history] = t
         return t
 
     def score(self, node: int, history: tuple) -> float:
-        return float(self.table(history)[node])
+        return float(self.table(history)[self._class_of[node]])
 
     def cleanup(self, keep_histories) -> None:
         keep = set(keep_histories)

@@ -60,14 +60,27 @@ class TestLookaheadTable:
         tree = PrefixTree(lex)
         la = LmLookahead(tree, lm, lm_scale=1.0, lexicon=lex)
         h = lm.initial_history()
-        t = la.table(h)
         # node after 'x' can only reach XA; after 'y' only YB
         n_x = tree.successors(tree.root)[1]
         n_y = tree.successors(tree.root)[2]
-        assert abs(t[n_x] - lm.score(h, "XA")) < 1e-5
-        assert abs(t[n_y] - lm.score(h, "YB")) < 1e-5
+        assert abs(la.score(n_x, h) - lm.score(h, "XA")) < 1e-5
+        assert abs(la.score(n_y, h) - lm.score(h, "YB")) < 1e-5
         # root anticipates the best of both
-        assert abs(t[tree.root] - min(t[n_x], t[n_y])) < 1e-6
+        assert abs(la.score(tree.root, h)
+                   - min(la.score(n_x, h), la.score(n_y, h))) < 1e-6
+
+    def test_tree_compression(self, env):
+        lex, lm = env
+        tree = PrefixTree(lex)
+        la = LmLookahead(tree, lm, 1.0, lex)
+        # nodes along a single-word tail share one lookahead class,
+        # so the compressed table is smaller than the node count
+        n_nodes = len(tree.reachable_word_ends())
+        assert la.n_classes < n_nodes
+        assert len(la.table(lm.initial_history())) == la.n_classes
+        # every node still scores via its class
+        for node in range(n_nodes):
+            la.score(node, lm.initial_history())
 
     def test_tables_cached_per_history(self, env):
         lex, lm = env
