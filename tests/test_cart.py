@@ -75,3 +75,26 @@ class TestTraining:
             [Question("central", values={"a"})], min_examples=50)
         tree = trainer.train(examples)
         assert tree.n_classes == 1  # no split possible
+
+
+class TestCartViewer:
+    def test_show_dot_classify(self, tmp_path, capsys):
+        from rasr_tpu.cart.decision_tree import (DecisionTree, Question,
+                                                 TreeNode)
+        from rasr_tpu.tools import cart_viewer
+        tree = DecisionTree(TreeNode(
+            question=Question("phone", values={"a", "b"}),
+            yes=TreeNode(class_index=0),
+            no=TreeNode(class_index=1)))
+        p = tmp_path / "t.xml"
+        tree.write_xml(str(p))
+        assert cart_viewer.main(["show", str(p)]) == 0
+        out = capsys.readouterr().out
+        assert "phone in" in out and "leaf 0" in out
+        dot = tmp_path / "t.dot"
+        assert cart_viewer.main(["dot", str(p), str(dot)]) == 0
+        assert "digraph" in dot.read_text()
+        assert cart_viewer.main(["classify", str(p), "phone=a"]) == 0
+        assert capsys.readouterr().out.strip() == "0"
+        assert cart_viewer.main(["classify", str(p), "phone=z"]) == 0
+        assert capsys.readouterr().out.strip() == "1"
