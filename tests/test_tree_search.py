@@ -237,3 +237,36 @@ class TestSearchSpaceStatistics:
         # fresh segment resets
         search.enter_segment()
         assert search.statistics.summary() == {}
+
+
+class TestAsyncScorerIntegration:
+    def test_async_chunked_scorer_drives_tree_search(self, lexicon):
+        """Double-buffered decoding: the encoder chunks run on a worker
+        thread while the tree search consumes scored frames."""
+        from rasr_tpu.nn.async_scorer import AsyncChunkedEncoderScorer
+        lp = posteriors_for([1, 2, 3, 1])  # a b | c a
+        scorer = AsyncChunkedEncoderScorer(lambda x: x, n_labels=4,
+                                           chunk_frames=4, chunk_history=2)
+        search = TreeTimesyncBeamSearch(scorer, lexicon, beam_size=16,
+                                        blank_index=0)
+        search.enter_segment()
+        search.put_features(lp)
+        search.finish_segment()
+        assert search.get_current_best_words() == ["AB", "CA"]
+
+    def test_async_streaming_feed(self, lexicon):
+        """Frame-by-frame feeding with interleaved decode steps (the
+        streaming pattern): same result."""
+        from rasr_tpu.nn.async_scorer import AsyncChunkedEncoderScorer
+        lp = posteriors_for([1, 2])
+        scorer = AsyncChunkedEncoderScorer(lambda x: x, n_labels=4,
+                                           chunk_frames=3, chunk_history=1)
+        search = TreeTimesyncBeamSearch(scorer, lexicon, beam_size=16,
+                                        blank_index=0)
+        search.enter_segment()
+        for t in range(len(lp)):
+            search.put_feature(lp[t])
+            while scorer.max_ready_step() > search._step:
+                search.decode_step()
+        search.finish_segment()
+        assert search.get_current_best_words() == ["AB"]
