@@ -198,3 +198,93 @@ class Aligner:
             jnp.asarray(p.n_states), self._succ, self._succ_score,
             p.initial_score, p.final_score, jnp.asarray(scores))
         return np.exp(-np.asarray(gamma)), float(total)
+
+
+# ---------------------------------------------------------------------------
+# batched alignment (many segments per device dispatch)
+# ---------------------------------------------------------------------------
+
+@jax.jit
+def _viterbi_batch(pred, pred_score, emissions, init_score, final_score,
+                   em, valid):
+    """All inputs batched: pred (B,N,K), em (B,T,N), valid (B,T) —
+    frames past a segment's length freeze the recursion (backpointer
+    sentinel -1 = stay)."""
+
+    def one(pred, pred_score, em, init, fin, valid):
+        def step(alpha, inp):
+            em_t, v = inp
+            cand = alpha[pred] + pred_score          # (N, K)
+            best = jnp.min(cand, axis=1)
+            back = jnp.argmin(cand, axis=1).astype(jnp.int32)
+            alpha = jnp.where(v, best + em_t, alpha)
+            back = jnp.where(v, back, -1)
+            return alpha, back
+
+        alpha0 = init + em[0]
+        alpha_last, backs = jax.lax.scan(step, alpha0,
+                                         (em[1:], valid[1:]))
+        total = jnp.min(alpha_last + fin)
+        last = jnp.argmin(alpha_last + fin).astype(jnp.int32)
+
+        def back_step(state, back_t):
+            k = back_t[state]
+            prev = jnp.where(k < 0, state,
+                             pred[state, jnp.maximum(k, 0)])
+            return prev, state
+
+        first, rest = jax.lax.scan(back_step, last, backs, reverse=True)
+        return jnp.concatenate([first[None], rest]), total
+
+    return jax.vmap(one)(pred, pred_score, em, init_score, final_score,
+                         valid)
+
+
+def pack_graph_batch(graphs):
+    """Pad a list of StateGraphs to common (N, K) stacked device arrays.
+    Padding states are unreachable (BIG scores everywhere)."""
+    packs = [PackedGraph.from_graph(g) for g in graphs]
+    N = max(p.n_states for p in packs)
+    K = max(p.pred.shape[1] for p in packs)
+    B = len(packs)
+    pred = np.zeros((B, N, K), np.int32)
+    score = np.full((B, N, K), BIG, np.float32)
+    emis = np.zeros((B, N), np.int32)
+    labels = np.full((B, N), -1, np.int32)
+    init = np.full((B, N), BIG, np.float32)
+    fin = np.full((B, N), BIG, np.float32)
+    for b, p in enumerate(packs):
+        n, k = p.pred.shape
+        pred[b, :n, :k] = np.asarray(p.pred)
+        score[b, :n, :k] = np.asarray(p.pred_score)
+        emis[b, :n] = np.asarray(p.emissions)
+        labels[b, :n] = np.asarray(p.labels)
+        init[b, :n] = np.asarray(p.initial_score)
+        fin[b, :n] = np.asarray(p.final_score)
+    return (jnp.asarray(pred), jnp.asarray(score), jnp.asarray(emis),
+            jnp.asarray(labels), jnp.asarray(init), jnp.asarray(fin))
+
+
+def align_batch(graphs, scores, lengths):
+    """Batched forced alignment: one device dispatch for MANY segments
+    (training throughput; the per-segment Aligner loop round-trips to the
+    device once per utterance).
+
+    graphs: list of B StateGraphs; scores (B, T, E) padded emission
+    scores; lengths (B,).  Returns [(state_path, label_path, total)]
+    per segment, paths cut to their lengths.
+    """
+    pred, score, emis, labels, init, fin = pack_graph_batch(graphs)
+    scores = jnp.asarray(scores)
+    B, T, E = scores.shape
+    em = jnp.take_along_axis(scores, emis[:, None, :].repeat(T, 1), axis=2)
+    valid = jnp.arange(T)[None, :] < jnp.asarray(lengths)[:, None]
+    paths, totals = _viterbi_batch(pred, score, emis, init, fin, em, valid)
+    paths = np.asarray(paths)
+    labels_np = np.asarray(labels)
+    out = []
+    for b in range(B):
+        L = int(lengths[b])
+        sp = paths[b, :L]
+        out.append((sp, labels_np[b][sp], float(totals[b])))
+    return out

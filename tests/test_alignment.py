@@ -146,3 +146,26 @@ class TestBaumWelch:
         _, _, vit = aligner.align(scores)
         _, fs = aligner.posteriors(scores)
         assert fs <= vit + 1e-4
+
+
+class TestBatchedAlignment:
+    def test_matches_single_segment_aligner(self, am):
+        from rasr_tpu.search.aligner import align_batch
+        rng = np.random.default_rng(3)
+        orths = ["AB", "BA", "AB BA"]
+        graphs = [StateGraphBuilder(am).build(o) for o in orths]
+        lengths = [14, 20, 26]
+        T, E = max(lengths), 7
+        scores = np.zeros((len(orths), T, E), np.float32)
+        singles = []
+        for b, (g, L) in enumerate(zip(graphs, lengths)):
+            s = rng.uniform(0, 10, size=(L, E)).astype(np.float32)
+            scores[b, :L] = s
+            singles.append(Aligner(g).align(s))
+        batched = align_batch(graphs, scores, lengths)
+        for b in range(len(orths)):
+            sp, lp, total = batched[b]
+            ref_sp, ref_lp, ref_total = singles[b]
+            assert abs(total - ref_total) < 1e-2, b
+            np.testing.assert_array_equal(sp, ref_sp)
+            np.testing.assert_array_equal(lp, ref_lp)
