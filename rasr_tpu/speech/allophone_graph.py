@@ -42,6 +42,7 @@ class StateGraph:
     initial_score: np.ndarray        # (I,) float32
     final: np.ndarray                # (F,) int32 exit states
     final_score: np.ndarray          # (F,) float32
+    word_of: Optional[np.ndarray] = None  # (N,) word index per state, -1=sil
 
 
 class StateGraphBuilder:
@@ -75,6 +76,8 @@ class StateGraphBuilder:
         am = self.am
         states_em: List[int] = []
         states_label: List[int] = []
+        states_word: List[int] = []
+        current_word = [-1]  # -1 = silence / non-word
         arcs: List[Tuple[int, int, float]] = []
 
         def add_phone_states(allo: Allophone) -> Tuple[int, int, List[int]]:
@@ -89,6 +92,7 @@ class StateGraphBuilder:
                 hmm_state = s // am.topology.state_repetitions
                 states_em.append(am.state_tying.emission_index(allo, hmm_state))
                 states_label.append(am.alphabet.state_id(allo_idx, hmm_state))
+                states_word.append(current_word[0])
             last = len(states_em) - 1
             for s in range(first, last + 1):
                 if tdp.loop < INFINITY:
@@ -104,7 +108,10 @@ class StateGraphBuilder:
             if sil is None or not sil.pronunciations:
                 return -1, -1
             pid = sil.pronunciations[0].pronunciation.phonemes[0]
+            saved = current_word[0]
+            current_word[0] = -1
             f, l, _ = add_phone_states(Allophone(pid, 0, 0, 3))
+            current_word[0] = saved
             return f, l
 
         tdp_exit = am.transitions.tdp_for(False).exit
@@ -114,7 +121,8 @@ class StateGraphBuilder:
         # per word: (entry state, exit state, pron score)
         word_spans: List[Tuple[List[Tuple[int, int, float]]]] = []
         word_variants: List[List[Tuple[int, int, float]]] = []
-        for lemma in lemmas:
+        for word_index, lemma in enumerate(lemmas):
+            current_word[0] = word_index
             variants: List[Tuple[int, int, float]] = []
             for lp in lemma.pronunciations:
                 phones = list(lp.pronunciation.phonemes)
@@ -136,6 +144,7 @@ class StateGraphBuilder:
                 raise ValueError(f"lemma {lemma.preferred_orth!r} has no "
                                  "non-empty pronunciation")
             word_variants.append(variants)
+        current_word[0] = -1
 
         initial: List[Tuple[int, float]] = []
         finals: List[Tuple[int, float]] = []
@@ -186,4 +195,5 @@ class StateGraphBuilder:
             initial=np.asarray([i for i, _ in initial], dtype=np.int32),
             initial_score=np.asarray([s for _, s in initial], dtype=np.float32),
             final=np.asarray([i for i, _ in finals], dtype=np.int32),
-            final_score=np.asarray([s for _, s in finals], dtype=np.float32))
+            final_score=np.asarray([s for _, s in finals], dtype=np.float32),
+            word_of=np.asarray(states_word, dtype=np.int32))

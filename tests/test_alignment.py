@@ -169,3 +169,32 @@ class TestBatchedAlignment:
             assert abs(total - ref_total) < 1e-2, b
             np.testing.assert_array_equal(sp, ref_sp)
             np.testing.assert_array_equal(lp, ref_lp)
+
+
+class TestLinearSearch:
+    def test_word_boundaries(self, am):
+        """Emission scores drive each word's states in its own time span;
+        the linear search recovers the word boundaries."""
+        from rasr_tpu.search.linear import LinearSearch
+        # monophone tying: a->0..2, b->3..5, si->6; "AB" = a b ; "BA" = b a
+        T, E = 24, 7
+        scores = np.full((T, E), 8.0, np.float32)
+        # si(0:4), a(4:10), b(10:16), then b(16:20), a(20:24)?? "AB BA"
+        spans = [(0, 4, [6]), (4, 8, [0, 1, 2]), (8, 12, [3, 4, 5]),
+                 (12, 14, [6]), (14, 18, [3, 4, 5]), (18, 22, [0, 1, 2]),
+                 (22, 24, [6])]
+        for (t0, t1, classes) in spans:
+            for t in range(t0, t1):
+                for c in classes:
+                    scores[t, c] = 0.5
+        search = LinearSearch(am)
+        bounds, path, total = search.recognize("AB BA", scores)
+        assert [b.word for b in bounds] == ["AB", "BA"]
+        ab, ba = bounds
+        assert ab.lemma_index == 0 and ba.lemma_index == 1
+        # boundaries near the constructed spans
+        assert abs(ab.start_frame - 4) <= 1
+        assert abs(ab.end_frame - 12) <= 2
+        assert abs(ba.start_frame - 14) <= 2
+        assert ba.end_frame <= 23
+        assert bounds[0].end_frame <= bounds[1].start_frame
