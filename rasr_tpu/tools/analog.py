@@ -77,15 +77,51 @@ def analyze(records: List[Dict]) -> Dict:
     return out
 
 
+def compare(paths: List[str]) -> Dict:
+    """Per-log comparison table (reference analog multi-log overview):
+    one summary per log file + a combined section."""
+    per_log = {}
+    combined: List[Dict] = []
+    for path in paths:
+        recs = parse_log(path)
+        per_log[path] = analyze(recs)
+        combined.extend(recs)
+    return {"logs": per_log, "combined": analyze(combined)}
+
+
+def format_table(result: Dict) -> str:
+    """Fixed-width comparison table over logs (wer / rtf / segments)."""
+    cols = ["segments", "wer", "mean-rtf", "overall-rtf", "total-audio-s"]
+    header = f"{'log':<32}" + "".join(f"{c:>14}" for c in cols)
+    lines = [header, "-" * len(header)]
+    entries = list(result["logs"].items()) + [("COMBINED",
+                                               result["combined"])]
+    for name, summary in entries:
+        short = name if len(name) <= 31 else "..." + name[-28:]
+        row = f"{short:<32}"
+        for c in cols:
+            v = summary.get(c)
+            row += f"{v if v is not None else '-':>14}"
+        lines.append(row)
+    return "\n".join(lines)
+
+
 def main(argv=None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
+    table = "--table" in argv
+    if table:
+        argv.remove("--table")
     if not argv:
         print(__doc__)
         return 1
-    records: List[Dict] = []
-    for path in argv:
-        records.extend(parse_log(path))
-    print(json.dumps(analyze(records), indent=2))
+    if table or len(argv) > 1:
+        result = compare(argv)
+        if table:
+            print(format_table(result))
+        else:
+            print(json.dumps(result, indent=2))
+        return 0
+    print(json.dumps(analyze(parse_log(argv[0])), indent=2))
     return 0
 
 
