@@ -90,6 +90,10 @@ class HmmHypothesis:
     words: Tuple[int, ...] = ()
     score: float = 0.0
     traceback: Tuple[TracebackItem, ...] = ()
+    # word-boundary bookkeeping for lattice generation (not part of the
+    # recombination key): frame and total score at the last word end
+    last_boundary: int = 0
+    boundary_score: float = 0.0
 
 
 class WordConditionedTreeSearch:
@@ -122,6 +126,9 @@ class WordConditionedTreeSearch:
         self._hyps: Dict[Tuple, HmmHypothesis] = {
             (h0.node, h0.state, h0.lm_history): h0}
         self._t = 0
+        # word-end trace for lattice construction:
+        # (prefix_before, start_frame, end_frame, lemma, am_delta, lm_score)
+        self._word_trace: List[Tuple] = []
 
     # -- per-frame expansion ---------------------------------------------------
 
@@ -140,19 +147,20 @@ class WordConditionedTreeSearch:
         tree = self.tree
         new: Dict[Tuple, HmmHypothesis] = {}
 
-        def offer(node, state, hist, words, score, tb):
+        def offer(node, state, hist, words, score, tb, lb=0, bs=0.0):
             em = tree.nodes[node].emissions[state]
             total = score + float(frame_scores[em])
             key = (node, state, hist, words)
             prev = new.get(key)
             if prev is None or total < prev.score:
-                new[key] = HmmHypothesis(node, state, hist, words, total, tb)
+                new[key] = HmmHypothesis(node, state, hist, words, total,
+                                         tb, lb, bs)
 
-        def enter_node(node, hist, words, score, tb, via_skip=False):
-            """Enter a node's first state (or second via skip)."""
-            offer(node, 0, hist, words, score, tb)
+        def enter_node(node, hist, words, score, tb, lb=0, bs=0.0):
+            """Enter a node's first state."""
+            offer(node, 0, hist, words, score, tb, lb, bs)
 
-        def word_end(hyp_words, node, hist, score, tb):
+        def word_end(hyp_words, node, hist, score, tb, lb=0, bs=0.0):
             """Apply word ends at a completed node: LM + back to root
             children (new word can start next frame via enter)."""
             for lemma_id, pron_score in tree.nodes[node].word_ends:
@@ -161,10 +169,16 @@ class WordConditionedTreeSearch:
                 we_score = score + pron_score + lm_s
                 we_tb = tb + (TracebackItem(lemma_id, we_score,
                                             self._t, self._t + 1),)
+                # lattice trace: the word spans [lb, t+1), am part =
+                # acoustic+pron delta since the last boundary
+                self._word_trace.append(
+                    (hyp_words, lb, self._t + 1, lemma_id,
+                     we_score - lm_s - bs, lm_s))
                 # word-end hypothesis: positioned at root; next frame it
                 # enters first states of new words
                 for pid, child in tree.nodes[tree.root].children.items():
-                    enter_node(child, nh, we_words, we_score, we_tb)
+                    enter_node(child, nh, we_words, we_score, we_tb,
+                               lb=self._t + 1, bs=we_score)
 
         for hyp in self._hyps.values():
             node = tree.nodes[hyp.node]
@@ -172,14 +186,16 @@ class WordConditionedTreeSearch:
                 # at root: enter all first phonemes
                 for pid, child in node.children.items():
                     enter_node(child, hyp.lm_history, hyp.words, hyp.score,
-                               hyp.traceback)
+                               hyp.traceback, hyp.last_boundary,
+                               hyp.boundary_score)
                 continue
             tdp = self.am.transitions.tdp_for(node.is_silence)
             n_states = len(node.emissions)
             # loop
             if tdp.loop < INFINITY:
                 offer(hyp.node, hyp.state, hyp.lm_history, hyp.words,
-                      hyp.score + tdp.loop, hyp.traceback)
+                      hyp.score + tdp.loop, hyp.traceback,
+                      hyp.last_boundary, hyp.boundary_score)
             # forward / skip within the node
             for step, penalty in ((1, tdp.forward), (2, tdp.skip)):
                 if penalty >= INFINITY:
@@ -187,16 +203,19 @@ class WordConditionedTreeSearch:
                 nxt = hyp.state + step
                 if nxt < n_states:
                     offer(hyp.node, nxt, hyp.lm_history, hyp.words,
-                          hyp.score + penalty, hyp.traceback)
+                          hyp.score + penalty, hyp.traceback,
+                          hyp.last_boundary, hyp.boundary_score)
                 elif nxt == n_states:
                     # leaving the node: into children or word end
                     exit_score = hyp.score + penalty
                     for pid, child in node.children.items():
                         enter_node(child, hyp.lm_history, hyp.words,
-                                   exit_score, hyp.traceback)
+                                   exit_score, hyp.traceback,
+                                   hyp.last_boundary, hyp.boundary_score)
                     if node.word_ends:
                         word_end(hyp.words, hyp.node, hyp.lm_history,
-                                 exit_score + tdp.exit, hyp.traceback)
+                                 exit_score + tdp.exit, hyp.traceback,
+                                 hyp.last_boundary, hyp.boundary_score)
 
         # pruning
         hyps = sorted(new.values(), key=lambda h: h.score)
@@ -247,3 +266,42 @@ class WordConditionedTreeSearch:
     def best_words(self) -> List[str]:
         return [self._orth[w] for w in self.best().words
                 if not self.am.lexicon.lemmas[w].special]
+
+    def create_lattice(self):
+        """Time-stamped word lattice from the word-end trace
+        (the reference's word-conditioned lattice construction: states =
+        (word prefix, boundary frame), arcs carry the word's acoustic
+        delta and LM score over its [start, end) span — the format
+        lattice-based sequence training consumes)."""
+        from ..lattice.word_lattice import WordLattice
+        lat = WordLattice(words=self._orth)
+        state_of: Dict[Tuple, int] = {}
+
+        def state(prefix: Tuple[int, ...], frame: int) -> int:
+            key = (prefix, frame)
+            if key not in state_of:
+                state_of[key] = lat.add_state(frame)
+            return state_of[key]
+
+        lat.initial = state((), 0)
+        for (prefix, t0, t1, lemma, am, lm_s) in self._word_trace:
+            src = state(prefix, t0)
+            dst = state(prefix + (lemma,), t1)
+            lat.add_arc(src, dst, lemma, am_score=am, lm_score=lm_s)
+        # finals: only word ends AT the segment end are complete paths;
+        # if no hypothesis ended a word exactly at T, close at the latest
+        # boundary reached (the reference forces word ends at segment end)
+        latest = max((h.last_boundary for h in self._hyps.values()),
+                     default=0)
+        for h in self._hyps.values():
+            if h.last_boundary != latest:
+                continue
+            key = (h.words[:len(h.words)], h.last_boundary)
+            # the trace state uses the prefix INCLUDING the ended word
+            if key in state_of:
+                lat.set_final(state_of[key], 0.0)
+        if not lat.final:
+            for (prefix, frame), sid in state_of.items():
+                if frame == latest:
+                    lat.set_final(sid, 0.0)
+        return lat

@@ -108,3 +108,51 @@ class TestHmmSearch:
             am, lm=ArpaLm(str(arpa2)), lm_scale=5.0,
             beam_size=64).recognize(scores)
         assert with_lm2 == ["AB"]
+
+
+class TestWordConditionedLattice:
+    def test_lattice_with_boundaries(self, am, scorer_and_means):
+        scorer, means = scorer_and_means
+        feats = synth_features(means, [0, 1, 2, 3, 4, 5,    # AB
+                                       3, 4, 5, 0, 1, 2])   # BA
+        scores = np.asarray(scorer.score(feats))
+        search = WordConditionedTreeSearch(am, beam_size=128)
+        words = search.recognize(scores)
+        assert words == ["AB", "BA"]
+        lat = search.create_lattice()
+        assert lat.n_states > 0 and lat.n_arcs > 0
+        # best lattice path = search result (ignoring silence lemmas)
+        labels, _ = lat.best(1.0, 1.0)
+        orths = [lat.words[l] for l in labels
+                 if not am.lexicon.lemmas[l].special]
+        assert orths == ["AB", "BA"]
+        # state boundaries are increasing frame indices within the span
+        T = scores.shape[0]
+        assert all(0 <= b <= T for b in lat.boundaries)
+        # the first word's span ends roughly mid-utterance
+        first_arcs = [(s, a) for s in range(lat.n_states)
+                      for a in lat.arcs[s] if lat.words.get(a.word) == "AB"]
+        assert first_arcs
+        s0, a0 = first_arcs[0]
+        assert lat.boundaries[s0] < lat.boundaries[a0.target] <= T
+
+    def test_lattice_feeds_sequence_training(self, am, scorer_and_means):
+        """E2E: word-conditioned lattice -> occupancy accumulation (the
+        lattice-based MMI input path)."""
+        from rasr_tpu.nn.sequence_training import occupancies
+        scorer, means = scorer_and_means
+        feats = synth_features(means, [0, 1, 2, 3, 4, 5])
+        scores = np.asarray(scorer.score(feats))
+        search = WordConditionedTreeSearch(am, beam_size=64)
+        search.recognize(scores)
+        lat = search.create_lattice()
+        # trivial per-arc alignments: constant class per frame span
+        aligns = {}
+        for s in range(lat.n_states):
+            for i, arc in enumerate(lat.arcs[s]):
+                span = lat.boundaries[arc.target] - lat.boundaries[s]
+                aligns[(s, i)] = [0] * span
+        T = scores.shape[0]
+        gamma, total = occupancies(lat, aligns, T, 2)
+        assert np.isfinite(total)
+        assert (gamma >= 0).all() and gamma.sum() > 0
