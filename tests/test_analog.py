@@ -57,3 +57,39 @@ class TestCompare:
         table = format_table(result)
         assert "COMBINED" in table
         assert table.count("\n") >= 4
+
+
+class TestMatrixTool:
+    def test_pipeline(self, tmp_path, capsys):
+        import numpy as np
+        from rasr_tpu.math.matrix_io import read_matrix, write_matrix
+        from rasr_tpu.tools import matrix_tool
+        a = np.arange(6, dtype=np.float32).reshape(2, 3)
+        pa = tmp_path / "a.bin"
+        write_matrix(str(pa), a)
+        out = tmp_path / "out.bin"
+        rc = matrix_tool.main(["read", str(pa), "scale", "2",
+                               "transpose", "write", str(out)])
+        assert rc == 0
+        np.testing.assert_allclose(read_matrix(str(out)), 2 * a.T)
+        rc = matrix_tool.main(["read", str(pa), "l2norm"])
+        assert rc == 0
+        got = float(capsys.readouterr().out.strip())
+        assert got == pytest.approx(float(np.linalg.norm(a)), rel=1e-5)
+
+    def test_expand_submatrix_add(self, tmp_path):
+        import numpy as np
+        from rasr_tpu.math.matrix_io import read_matrix, write_matrix
+        from rasr_tpu.tools import matrix_tool
+        a = np.ones((2, 2), np.float32)
+        pa = tmp_path / "a.bin"
+        write_matrix(str(pa), a)
+        out = tmp_path / "o.bin"
+        assert matrix_tool.main(["read", str(pa), "add", str(pa),
+                                 "expand", "3", "3",
+                                 "write", str(out)]) == 0
+        m = read_matrix(str(out))
+        assert m.shape == (3, 3) and m[0, 0] == 2 and m[2, 2] == 0
+        assert matrix_tool.main(["read", str(out), "submatrix",
+                                 "0", "2", "0", "2", "write", str(out)]) == 0
+        assert read_matrix(str(out)).shape == (2, 2)
