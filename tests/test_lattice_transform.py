@@ -116,3 +116,35 @@ class TestArcClusterCn:
     def test_decode_orth(self):
         cn = build_confusion_network_arc_cluster(two_path_lattice())
         assert cn.decode_orth() == "hello world"
+
+
+class TestLatticeProcessorCli:
+    def test_pipeline(self, tmp_path, capsys):
+        from rasr_tpu.tools import lattice_processor as lp
+        lat = two_path_lattice()
+        src = tmp_path / "in.slf"
+        lat.write_htk_slf(str(src))
+        assert lp.main(["info", str(src)]) == 0
+        out = capsys.readouterr().out
+        assert "states: 4" in out
+        assert lp.main(["best", str(src)]) == 0
+        assert "hello world" in capsys.readouterr().out
+        assert lp.main(["extract-n-best-list", "2", str(src)]) == 0
+        nbest = capsys.readouterr().out.strip().splitlines()
+        assert len(nbest) == 2
+        dst = tmp_path / "tc.slf"
+        assert lp.main(["time-conditioned", str(src), str(dst)]) == 0
+        from rasr_tpu.lattice import WordLattice
+        back = WordLattice.read_htk_slf(str(dst))
+        assert back.n_states == 3
+
+    def test_remove_silences(self, tmp_path):
+        from rasr_tpu.tools import lattice_processor as lp
+        lat = WordLattice(words={1: "hello", 2: "[SILENCE]"})
+        s0, s1, s2 = lat.add_state(0), lat.add_state(5), lat.add_state(9)
+        lat.add_arc(s0, s1, 1, am_score=1.0)
+        lat.add_arc(s1, s2, 2, am_score=0.5)
+        lat.set_final(s2)
+        out = lp.remove_silences(lat)
+        words = [a.word for s in range(out.n_states) for a in out.arcs[s]]
+        assert 2 not in words and 1 in words and 0 in words  # sil -> eps
