@@ -67,7 +67,9 @@ def _masked_logsumexp(eq: jnp.ndarray, scores: jnp.ndarray) -> jnp.ndarray:
     """
     c = jnp.max(scores, axis=1, keepdims=True)                  # (B, 1)
     e = jnp.exp(scores - c)                                     # (B, K)
-    s = jnp.sum(jnp.where(eq, e[:, None, :], 0.0), axis=2)      # (B, K)
+    # batched matvec on the MXU (f32 accumulation; eq is exactly 0/1)
+    s = jnp.einsum("bij,bj->bi", eq.astype(jnp.float32), e,
+                   precision=jax.lax.Precision.HIGHEST)
     return jnp.where(s > 0, jnp.log(s) + c, NEG_INF)
 
 
@@ -101,21 +103,23 @@ def ctc_prefix_beam(log_probs: jnp.ndarray, lengths: jnp.ndarray,
     def step(state, inputs):
         # O(beam) state only — prefixes are reconstructed from per-step
         # backpointers after the scan (a (B, beam, T) label carry would
-        # move ~beam*T*4 bytes of HBM per frame and dominates runtime)
+        # move ~beam*T*4 bytes of HBM per frame and dominates runtime).
+        # The per-frame top-k is PREcomputed over (B, T, V) outside the
+        # scan (a top_k inside the sequential loop serializes badly).
         n, last, pb, pnb, h1, h2 = state
-        lp_t, t_valid = inputs                         # (B, V), (B,)
+        lp_t, lp_blank_t, cand_lp, cand_v, t_valid = inputs
         total = jnp.logaddexp(pb, pnb)                 # (B, beam)
 
         # ---- stay candidates (one per beam): same prefix ------------------
-        lp_blank = lp_t[:, blank][:, None]
+        lp_blank = lp_blank_t[:, None]
         stay_pb = total + lp_blank                                  # blank
-        lp_last = jnp.take_along_axis(lp_t, jnp.maximum(last, 0), axis=1)
+        onehot_last = jax.nn.one_hot(jnp.maximum(last, 0), lp_t.shape[1],
+                                     dtype=lp_t.dtype)      # (B, beam, V)
+        lp_last = jnp.einsum("bkv,bv->bk", onehot_last, lp_t,
+                             precision=jax.lax.Precision.HIGHEST)
         stay_pnb = jnp.where(last >= 0, pnb + lp_last, NEG_INF)     # label loop
 
         # ---- extend candidates (beam x topk): prefix + v -------------------
-        # blank never extends (it is the stay path) — mask it out
-        lp_nonblank = lp_t.at[:, blank].set(NEG_INF)
-        cand_lp, cand_v = jax.lax.top_k(lp_nonblank, topk)    # (B, topk)
         v_eq_last = cand_v[:, None, :] == last[:, :, None]          # (B,bm,tk)
         base = jnp.where(v_eq_last, pb[:, :, None], total[:, :, None])
         ext_pnb = base + cand_lp[:, None, :]                        # (B,bm,tk)
@@ -137,8 +141,10 @@ def ctc_prefix_beam(log_probs: jnp.ndarray, lengths: jnp.ndarray,
             [jnp.full((B, beam), -1, jnp.int32), ext_label], axis=1)
 
         lab_u = new_label.astype(jnp.uint32) + jnp.uint32(1)
-        src_h1 = jnp.take_along_axis(h1, src_beam, axis=1)
-        src_h2 = jnp.take_along_axis(h2, src_beam, axis=1)
+        # src_beam is a STATIC pattern (stays then beam*topk repeats):
+        # build source hashes by repetition, no dynamic gather
+        src_h1 = jnp.concatenate([h1, jnp.repeat(h1, topk, axis=1)], axis=1)
+        src_h2 = jnp.concatenate([h2, jnp.repeat(h2, topk, axis=1)], axis=1)
         cand_h1 = jnp.where(is_extend, (src_h1 * _H1_PRIME) ^ lab_u, src_h1)
         cand_h2 = jnp.where(is_extend, (src_h2 * _H2_PRIME) ^ lab_u, src_h2)
         # NOTE: merging a dead (NEG_INF) candidate into a live run is
@@ -152,23 +158,47 @@ def ctc_prefix_beam(log_probs: jnp.ndarray, lengths: jnp.ndarray,
         m_pb = _masked_logsumexp(eq, cand_pb)
         m_pnb = _masked_logsumexp(eq, cand_pnb)
         m_total = jnp.logaddexp(m_pb, m_pnb)
-        # only the first member of each equality class survives
-        first = jnp.argmax(eq, axis=2) == jnp.arange(K)[None, :]
-        m_total = jnp.where(first, m_total, NEG_INF)
+        # only the first member of each equality class survives:
+        # no earlier j equals i  <=>  sum_j<i eq[i,j] == 0
+        tril = jnp.tril(jnp.ones((K, K), jnp.float32), k=-1)
+        before = jnp.einsum("bij,ij->bi", eq.astype(jnp.float32), tril,
+                            precision=jax.lax.Precision.HIGHEST)
+        m_total = jnp.where(before == 0, m_total, NEG_INF)
 
         # ---- prune to beam ---------------------------------------------------
         top_score, sel = jax.lax.top_k(m_total, beam)               # (B, beam)
-        sel_pb = jnp.take_along_axis(m_pb, sel, axis=1)
-        sel_pnb = jnp.take_along_axis(m_pnb, sel, axis=1)
-        sel_src = jnp.take_along_axis(src_beam, sel, axis=1)
-        sel_ext = jnp.take_along_axis(is_extend, sel, axis=1)
-        sel_lab = jnp.take_along_axis(new_label, sel, axis=1)
-        sel_h1 = jnp.take_along_axis(cand_h1, sel, axis=1)
-        sel_h2 = jnp.take_along_axis(cand_h2, sel, axis=1)
+        # selection via one-hot matmul (dynamic gathers serialize on TPU)
+        oh = jax.nn.one_hot(sel, K, dtype=jnp.float32)              # (B,bm,K)
+        hp = jax.lax.Precision.HIGHEST
+
+        def pick_f(x):
+            return jnp.einsum("bkc,bc->bk", oh, x, precision=hp)
+
+        def pick_i(x):
+            return jnp.einsum("bkc,bc->bk", oh, x.astype(jnp.float32),
+                              precision=hp).astype(jnp.int32)
+
+        sel_pb = pick_f(m_pb)
+        sel_pnb = pick_f(m_pnb)
+        sel_src = pick_i(src_beam)
+        sel_ext = pick_i(is_extend.astype(jnp.int32)).astype(bool)
+        sel_lab = pick_i(new_label)
+        # uint32 hashes exceed f32 precision: split into two 16-bit halves
+        def pick_u32(x):
+            lo = pick_i((x & jnp.uint32(0xFFFF)).astype(jnp.int32))
+            hi = pick_i((x >> jnp.uint32(16)).astype(jnp.int32))
+            return (hi.astype(jnp.uint32) << jnp.uint32(16)) \
+                | lo.astype(jnp.uint32)
+        sel_h1 = pick_u32(cand_h1)
+        sel_h2 = pick_u32(cand_h2)
 
         # ---- rebuild state ----------------------------------------------------
-        new_n = jnp.take_along_axis(n, sel_src, axis=1)
-        new_last = jnp.take_along_axis(last, sel_src, axis=1)
+        oh_src = jax.nn.one_hot(sel_src, beam, dtype=jnp.float32)
+        new_n = jnp.einsum("bkc,bc->bk", oh_src, n.astype(jnp.float32),
+                           precision=hp).astype(jnp.int32)
+        new_last = jnp.einsum("bkc,bc->bk", oh_src,
+                              last.astype(jnp.float32),
+                              precision=hp).astype(jnp.int32)
         new_n = jnp.where(sel_ext, new_n + 1, new_n)
         new_last = jnp.where(sel_ext, sel_lab, new_last)
 
@@ -186,8 +216,17 @@ def ctc_prefix_beam(log_probs: jnp.ndarray, lengths: jnp.ndarray,
         return out, (bp_src.astype(jnp.int32), bp_lab.astype(jnp.int32))
 
     t_valid = (jnp.arange(T)[None, :] < lengths[:, None]).T        # (T, B)
+    # hoist the per-frame top-k out of the sequential scan: one batched
+    # top_k over (B, T, V), blank masked (blank never extends)
+    lp_nonblank = log_probs.at[:, :, blank].set(NEG_INF)
+    cand_lp_all, cand_v_all = jax.lax.top_k(lp_nonblank, topk)  # (B,T,topk)
     state, (bp_src, bp_lab) = jax.lax.scan(
-        step, init_state(), (jnp.moveaxis(log_probs, 0, 1), t_valid))
+        step, init_state(),
+        (jnp.moveaxis(log_probs, 0, 1),
+         jnp.moveaxis(log_probs[:, :, blank], 0, 1),
+         jnp.moveaxis(cand_lp_all, 0, 1),
+         jnp.moveaxis(cand_v_all, 0, 1),
+         t_valid))
     n, last, pb, pnb, h1, h2 = state
     total = jnp.logaddexp(pb, pnb)
     order = jnp.argsort(-total, axis=1)
