@@ -185,3 +185,152 @@ int64_t rasr_cache_unpack(const uint8_t* data, int64_t data_len,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Batched WAV reading (native data-loader front: RIFF parse + PCM->f32,
+// multi-threaded over files).  Matches the Python audio.reader value
+// conventions: 16-bit keeps integer range, 8-bit recentered *256,
+// 32-bit /65536 (reference sample convention).
+// ---------------------------------------------------------------------------
+
+#include <thread>
+
+namespace {
+
+struct WavData {
+    std::vector<float> samples;  // selected track
+    uint32_t sample_rate = 0;
+    bool ok = false;
+};
+
+bool parse_wav(const char* path, int track, WavData* out) {
+    FILE* f = fopen(path, "rb");
+    if (!f) return false;
+    char riff[4], wave_tag[4];
+    uint32_t riff_size = 0;
+    if (!read_exact(f, riff, 4) || memcmp(riff, "RIFF", 4) != 0 ||
+        !read_pod(f, &riff_size) || !read_exact(f, wave_tag, 4) ||
+        memcmp(wave_tag, "WAVE", 4) != 0) {
+        fclose(f);
+        return false;
+    }
+    uint16_t format = 0, channels = 0, bits = 0;
+    uint32_t rate = 0;
+    std::vector<unsigned char> data;
+    while (true) {
+        char id[4];
+        uint32_t size = 0;
+        if (!read_exact(f, id, 4) || !read_pod(f, &size)) break;
+        if (memcmp(id, "fmt ", 4) == 0) {
+            uint16_t block_align = 0;
+            uint32_t byte_rate = 0;
+            read_pod(f, &format);
+            read_pod(f, &channels);
+            read_pod(f, &rate);
+            read_pod(f, &byte_rate);
+            read_pod(f, &block_align);
+            read_pod(f, &bits);
+            if (size > 16) fseek(f, size - 16, SEEK_CUR);
+        } else if (memcmp(id, "data", 4) == 0) {
+            data.resize(size);
+            if (!read_exact(f, data.data(), size)) {
+                fclose(f);
+                return false;
+            }
+        } else {
+            fseek(f, size + (size & 1), SEEK_CUR);
+        }
+        if (!data.empty() && rate) break;
+    }
+    fclose(f);
+    if (data.empty() || channels == 0 || rate == 0) return false;
+    if (format != 1 && format != 3) return false;  // PCM / IEEE float
+    size_t bytes_per = bits / 8;
+    size_t n_frames = data.size() / (bytes_per * channels);
+    if (track >= channels) track = 0;
+    out->samples.resize(n_frames);
+    const unsigned char* p = data.data() + track * bytes_per;
+    size_t stride = bytes_per * channels;
+    if (format == 3 && bits == 32) {
+        for (size_t i = 0; i < n_frames; ++i, p += stride) {
+            float v;
+            memcpy(&v, p, 4);
+            out->samples[i] = v;
+        }
+    } else if (bits == 16) {
+        for (size_t i = 0; i < n_frames; ++i, p += stride) {
+            int16_t v;
+            memcpy(&v, p, 2);
+            out->samples[i] = static_cast<float>(v);
+        }
+    } else if (bits == 8) {
+        for (size_t i = 0; i < n_frames; ++i, p += stride)
+            out->samples[i] = (static_cast<float>(*p) - 128.0f) * 256.0f;
+    } else if (bits == 32) {
+        for (size_t i = 0; i < n_frames; ++i, p += stride) {
+            int32_t v;
+            memcpy(&v, p, 4);
+            out->samples[i] = static_cast<float>(v) / 65536.0f;
+        }
+    } else {
+        return false;
+    }
+    out->sample_rate = rate;
+    out->ok = true;
+    return true;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Reads one WAV; returns sample count or -1.  Caller passes a buffer of
+// `capacity` floats; sample_rate_out receives the rate.
+int64_t rasr_wav_read(const char* path, int track, float* buffer,
+                      int64_t capacity, uint32_t* sample_rate_out) {
+    WavData w;
+    if (!parse_wav(path, track, &w)) return -1;
+    int64_t n = static_cast<int64_t>(w.samples.size());
+    if (sample_rate_out) *sample_rate_out = w.sample_rate;
+    if (buffer && capacity >= n)
+        memcpy(buffer, w.samples.data(), n * sizeof(float));
+    else if (buffer)
+        memcpy(buffer, w.samples.data(), capacity * sizeof(float));
+    return n;
+}
+
+// Batched multi-threaded read: n files into one padded (n, max_len)
+// row-major buffer; lengths_out[i] = samples in row i (-1 = failed).
+// Returns 0 on success (individual failures flagged in lengths_out).
+int rasr_wav_read_batch(const char** paths, int n, int track,
+                        float* buffer, int64_t max_len,
+                        int64_t* lengths_out, uint32_t* rates_out,
+                        int n_threads) {
+    if (n_threads <= 0) n_threads = 4;
+    std::vector<std::thread> workers;
+    int per = (n + n_threads - 1) / n_threads;
+    for (int w = 0; w < n_threads; ++w) {
+        int lo = w * per, hi = lo + per < n ? lo + per : n;
+        if (lo >= hi) break;
+        workers.emplace_back([=]() {
+            for (int i = lo; i < hi; ++i) {
+                WavData wd;
+                if (!parse_wav(paths[i], track, &wd)) {
+                    lengths_out[i] = -1;
+                    if (rates_out) rates_out[i] = 0;
+                    continue;
+                }
+                int64_t len = static_cast<int64_t>(wd.samples.size());
+                if (len > max_len) len = max_len;
+                memcpy(buffer + i * max_len, wd.samples.data(),
+                       len * sizeof(float));
+                lengths_out[i] = len;
+                if (rates_out) rates_out[i] = wd.sample_rate;
+            }
+        });
+    }
+    for (auto& t : workers) t.join();
+    return 0;
+}
+
+}  // extern "C"

@@ -135,3 +135,62 @@ def open_feature_cache(path: str):
     except Exception:
         from .feature_cache import FeatureCacheReader
         return FeatureCacheReader(path)
+
+
+def _bind_wav(lib: ctypes.CDLL) -> None:
+    if getattr(lib, "_wav_bound", False):
+        return
+    lib.rasr_wav_read.restype = ctypes.c_int64
+    lib.rasr_wav_read.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_void_p, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_uint32)]
+    lib.rasr_wav_read_batch.restype = ctypes.c_int
+    lib.rasr_wav_read_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_int]
+    lib._wav_bound = True
+
+
+def native_read_wav(path: str, track: int = 0
+                    ) -> Optional[Tuple[np.ndarray, float]]:
+    """Native single-file WAV read; None when the library is unavailable
+    or the file can't be parsed (callers fall back to audio.reader)."""
+    lib = _ensure_built()
+    if lib is None:
+        return None
+    _bind_wav(lib)
+    rate = ctypes.c_uint32(0)
+    n = lib.rasr_wav_read(path.encode(), track, None, 0,
+                          ctypes.byref(rate))
+    if n < 0:
+        return None
+    buf = np.zeros(int(n), dtype=np.float32)
+    lib.rasr_wav_read(path.encode(), track,
+                      buf.ctypes.data_as(ctypes.c_void_p), n,
+                      ctypes.byref(rate))
+    return buf, float(rate.value)
+
+
+def native_read_wav_batch(paths: List[str], max_len: int, track: int = 0,
+                          n_threads: int = 4
+                          ) -> Optional[Tuple[np.ndarray, np.ndarray,
+                                              np.ndarray]]:
+    """Multi-threaded batched WAV decode into one padded (N, max_len)
+    float32 array: (samples, lengths, sample_rates); failed rows get
+    length -1.  The native front of the training data loader
+    (reference: C++ audio input nodes, src/Audio/Wav*)."""
+    lib = _ensure_built()
+    if lib is None:
+        return None
+    _bind_wav(lib)
+    n = len(paths)
+    buf = np.zeros((n, max_len), dtype=np.float32)
+    lengths = np.zeros(n, dtype=np.int64)
+    rates = np.zeros(n, dtype=np.uint32)
+    arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    lib.rasr_wav_read_batch(
+        arr, n, track, buf.ctypes.data_as(ctypes.c_void_p), max_len,
+        lengths.ctypes.data_as(ctypes.c_void_p),
+        rates.ctypes.data_as(ctypes.c_void_p), n_threads)
+    return buf, lengths, rates
