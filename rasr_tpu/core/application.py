@@ -50,6 +50,14 @@ class Application(Component):
     def run(self) -> int:
         raise NotImplementedError
 
+    def log_resource_usage(self) -> None:
+        """Peak RSS + CPU time at exit (Application::logResourceUsage,
+        src/Core/Application.hh:102-104)."""
+        from .resources import format_resource_usage
+        elapsed = time.time() - self._start_time
+        self.log("resource usage: %s elapsed %.1fs",
+                 format_resource_usage(), elapsed)
+
     def main(self) -> int:
         try:
             status = self.run() or 0
@@ -57,6 +65,9 @@ class Application(Component):
             traceback.print_exc()
             status = 1
         finally:
+            if self.config.get("log-resource-usage", "") in ("true", "yes",
+                                                             "1", "on"):
+                self.log_resource_usage()
             ChannelManager.instance().flush_all()
         return status
 

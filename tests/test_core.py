@@ -298,3 +298,26 @@ class TestMisc:
         stale.add_value("version", 3)
         stale.add_file("corpus", str(f))
         assert not stale.satisfies(DependencySet.read(p))
+
+
+class TestResources:
+    def test_memory_and_usage(self):
+        from rasr_tpu.core.resources import (format_resource_usage,
+                                             memory_info, resource_usage)
+        m = memory_info()
+        assert m.get("vmrss", m.get("vmhwm", 0)) > 0
+        u = resource_usage()
+        assert u["peak-rss-bytes"] > 0 and u["user-cpu-s"] >= 0
+        assert "rss" in format_resource_usage()
+
+    def test_assertions(self):
+        from rasr_tpu.core.resources import (AssertionFailure, defect,
+                                             require, verify)
+        require(True)
+        verify(1 == 1)
+        with pytest.raises(AssertionFailure, match="require"):
+            require(False, "precondition")
+        with pytest.raises(AssertionFailure, match="verify"):
+            verify(False)
+        with pytest.raises(AssertionFailure, match="defect"):
+            defect()
