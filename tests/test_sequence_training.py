@@ -208,3 +208,150 @@ class TestSurrogate:
         want = E - jnp.exp(lsm) * jnp.sum(E, -1, keepdims=True)
         np.testing.assert_allclose(np.asarray(g), np.asarray(want),
                                    atol=1e-5)
+
+
+class TestE2eMmiPipeline:
+    """Full lattice-based MMI pipeline: hybrid NN emissions -> word-
+    conditioned decoding -> time-stamped denominator lattice -> per-arc
+    forced alignments -> MMI error signal -> surrogate-loss gradient
+    steps increase the MMI objective."""
+
+    def setup_am(self, tmp_path):
+        import textwrap
+        from rasr_tpu.am.acoustic_model import (AcousticModel, HmmTopology,
+                                                MonophoneStateTying, Tdp,
+                                                TransitionModel)
+        from rasr_tpu.am.allophone import AllophoneAlphabet
+        from rasr_tpu.bliss.lexicon import Lexicon
+        p = tmp_path / "lex.xml"
+        p.write_text(textwrap.dedent("""\
+            <lexicon>
+              <phoneme-inventory>
+                <phoneme><symbol>a</symbol></phoneme>
+                <phoneme><symbol>b</symbol></phoneme>
+                <phoneme><symbol>si</symbol><variation>none</variation></phoneme>
+              </phoneme-inventory>
+              <lemma special="silence"><orth>[SILENCE]</orth><phon>si</phon></lemma>
+              <lemma><orth>AB</orth><phon>a b</phon></lemma>
+              <lemma><orth>BA</orth><phon>b a</phon></lemma>
+            </lexicon>
+        """))
+        lex = Lexicon()
+        lex.load(str(p))
+        return AcousticModel(
+            lex, AllophoneAlphabet(lex.phoneme_inventory, 1),
+            HmmTopology(3, 1, 1), MonophoneStateTying(3, 3),
+            TransitionModel(Tdp(2.0, 0.0, 20.0, 0.0),
+                            Tdp(0.0, 2.0, float("inf"), 4.0)))
+
+    def arc_alignment(self, am, lat, scores_np):
+        """Forced per-arc alignments over each arc's frame span."""
+        from rasr_tpu.search.aligner import Aligner
+        from rasr_tpu.speech.allophone_graph import StateGraphBuilder
+        builder = StateGraphBuilder(am, silence_at_boundaries=False,
+                                    silence_between_words=False)
+        aligns = {}
+        for s in range(lat.n_states):
+            for i, arc in enumerate(lat.arcs[s]):
+                t0, t1 = lat.boundaries[s], lat.boundaries[arc.target]
+                if t1 <= t0:
+                    continue
+                orth = lat.words[arc.word]
+                if am.lexicon.lemmas[arc.word].special:
+                    aligns[(s, i)] = [6] * (t1 - t0)  # silence class
+                    continue
+                g = builder.build(orth)
+                _, _, _ = 0, 0, 0
+                path, _, _tot = Aligner(g).align(scores_np[t0:t1])
+                aligns[(s, i)] = list(np.asarray(g.emissions)[path])
+        return aligns
+
+    def test_mmi_improves_objective(self, tmp_path):
+        import optax
+        from rasr_tpu.nn.sequence_training import (mmi_error_signal,
+                                                   surrogate_loss)
+        from rasr_tpu.search.hmm_timesync import WordConditionedTreeSearch
+        from rasr_tpu.search.linear import LinearSearch
+        from rasr_tpu.lattice.word_lattice import WordLattice
+        am = self.setup_am(tmp_path)
+        S, D, T = 9, 4, 12
+        rng = np.random.default_rng(0)
+        class_means = rng.standard_normal((7, D)) * 3.0
+        truth_classes = [0, 1, 2, 3, 4, 5, 3, 4, 5, 0, 1, 2]  # AB BA
+        feats = np.stack([class_means[c % 7]
+                          + 0.4 * rng.standard_normal(D)
+                          for c in truth_classes]).astype(np.float32)
+
+        # tiny hybrid NN emission model
+        w = jnp.asarray(0.1 * rng.standard_normal((D, S)), jnp.float32)
+        b = jnp.zeros((S,), jnp.float32)
+
+        def log_post(params, x):
+            return jax.nn.log_softmax(x @ params["w"] + params["b"], -1)
+
+        params = {"w": w, "b": b}
+
+        def emission_scores(params):
+            return -np.asarray(log_post(params, jnp.asarray(feats)))
+
+        scores = emission_scores(params)
+        # denominator: decode + lattice
+        search = WordConditionedTreeSearch(am, beam_size=128)
+        search.recognize(scores)
+        den_lat = search.create_lattice()
+        den_al = self.arc_alignment(am, den_lat, scores)
+        # numerator: forced alignment of the truth
+        lin = LinearSearch(am, silence_between_words=False)
+        bounds, path, _ = lin.recognize("AB BA", scores)
+        g = lin.builder.build("AB BA")
+        num_align = list(np.asarray(g.emissions)[path])
+        num_lat = WordLattice(words=dict(den_lat.words))
+        s0 = num_lat.add_state(0)
+        s1 = num_lat.add_state(T)
+        am_num = float(sum(scores[t, c] for t, c in enumerate(num_align)))
+        ab = am.lexicon.lemma_by_orth("AB").id
+        num_lat.add_arc(s0, s1, ab, am_score=am_num, lm_score=0.0)
+        num_lat.set_final(s1)
+        num_al = {(s0, 0): num_align}
+
+        def signal(params):
+            sc = emission_scores(params)
+            # recompute lattice arc am scores from the (fixed) alignments
+            def rescored(lat, aligns):
+                out = WordLattice(words=dict(lat.words or {}))
+                for s in range(lat.n_states):
+                    out.add_state(lat.boundaries[s])
+                out.initial = lat.initial
+                for s in range(lat.n_states):
+                    for i, arc in enumerate(lat.arcs[s]):
+                        states = aligns.get((s, i), [])
+                        t0 = lat.boundaries[s]
+                        am_s = float(sum(sc[t0 + dt, c]
+                                         for dt, c in enumerate(states)))
+                        out.add_arc(s, arc.target, arc.word, am_s,
+                                    arc.lm_score)
+                out.final = dict(lat.final)
+                return out
+            dl = rescored(den_lat, den_al)
+            nl = rescored(num_lat, num_al)
+            return mmi_error_signal(dl, den_al, nl, num_al, T, S)
+
+        sig0 = signal(params)
+        opt = optax.adam(0.1)
+        opt_state = opt.init(params)
+
+        for _ in range(8):
+            sig = signal(params)
+
+            def loss(p):
+                return surrogate_loss(log_post(p, jnp.asarray(feats)),
+                                      sig.error, sig.weights)
+
+            grads = jax.grad(loss)(params)
+            updates, opt_state = opt.update(grads, opt_state)
+            params = optax.apply_updates(params, updates)
+
+        sig1 = signal(params)
+        # MMI objective = ln p(num)/p(den) must increase
+        assert sig1.objective > sig0.objective + 0.1, \
+            (sig0.objective, sig1.objective)
