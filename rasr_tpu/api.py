@@ -161,6 +161,13 @@ class SearchAlgorithm:
     def get_current_n_best_list(self, n: int):
         return self._search.n_best(n)
 
+    def get_common_prefix(self) -> List[TracebackItem]:
+        """Stable (beam-agreed) prefix mid-stream
+        (SearchAlgorithmV2::getCommonPrefix, doc/search_v2.rst)."""
+        if hasattr(self._search, "get_common_prefix"):
+            return self._search.get_common_prefix()
+        return self._search.get_current_best_traceback()
+
     def _labels_to_string(self, labels: Sequence[int]) -> str:
         lex = self.model_combination.lexicon
         if isinstance(self._search, TreeTimesyncBeamSearch):
