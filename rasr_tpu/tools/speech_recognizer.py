@@ -84,9 +84,51 @@ class SpeechRecognizerApp(Application):
             return EncoderOnlyLabelScorer(encode, n_labels=vocab)
         raise ValueError(f"unknown label-scorer type {typ!r}")
 
+    def _make_gmm_word_recognizer(self):
+        """Classic GMM-HMM word recognition (config-3 style): mixture-set
+        scorer + word-conditioned tree search (the reference's
+        AdvancedTreeSearch workflow)."""
+        import numpy as np
+        from ..am.acoustic_model import AcousticModel
+        from ..bliss.lexicon import Lexicon
+        from ..lm import ArpaLm
+        from ..mm import GmmScorer, MixtureSet
+        from ..search.hmm_timesync import WordConditionedTreeSearch
+        lexicon = Lexicon(self.config.sub("lexicon"))
+        am = AcousticModel.create(self.config.sub("acoustic-model"), lexicon)
+        ms_path = self.config.sub("mixture-set").get("file")
+        if not ms_path:
+            raise ValueError("mixture-set.file required for "
+                             "word-conditioned-tree-search")
+        gmm = GmmScorer(MixtureSet.read_pms(ms_path),
+                        mode=self.config.sub("mixture-set").get("mode")
+                        or "max")
+        sa = self.config.sub("search-algorithm")
+        lm_file = self.config.sub("lm").get("file")
+        lm = ArpaLm(lm_file) if lm_file else None
+        lm_scale = float(self.config.sub("lm").get("scale") or 1.0)
+        search = WordConditionedTreeSearch(
+            am, lm=lm, lm_scale=lm_scale,
+            beam_size=int(sa.get("max-beam-size") or sa.get("beam-size")
+                          or 64))
+
+        class _Adapter:
+            statistics = search.statistics
+
+            def recognize_segment(self, feats):
+                scores = np.asarray(gmm.score(np.asarray(feats)))
+                return " ".join(search.recognize(scores))
+
+        return _Adapter()
+
     def run(self) -> int:
         corpus = CorpusDescription(self.config.sub("corpus"))
-        algo = SearchAlgorithm(self.config, self._make_label_scorer())
+        search_type = self.config.sub("search-algorithm").get("type") or ""
+        if search_type in ("word-conditioned-tree-search",
+                           "advanced-tree-search"):
+            algo = self._make_gmm_word_recognizer()
+        else:
+            algo = SearchAlgorithm(self.config, self._make_label_scorer())
         cache_path = self.config.sub("feature-cache").get("path")
         if not cache_path:
             raise ValueError("feature-cache.path required")
