@@ -4,7 +4,9 @@ reference runs via TF/ONNX sessions, implemented natively."""
 
 from .aed import AedModel
 from .conformer import ConformerCtc, ConformerEncoder
+from .presets import CONFORMER_PRESETS, aed, conformer_ctc, transducer
 from .transducer import TransducerModel, rnnt_loss, transducer_greedy
 
 __all__ = ["AedModel", "ConformerCtc", "ConformerEncoder",
-           "TransducerModel", "rnnt_loss", "transducer_greedy"]
+           "TransducerModel", "rnnt_loss", "transducer_greedy",
+           "CONFORMER_PRESETS", "aed", "conformer_ctc", "transducer"]
