@@ -14,6 +14,9 @@ explicit successor mass:
              / (1 - sum_{w in S(c)} p_rev(w | backoff(c)))
 
 which normalizes every context without enumerating the vocabulary.
+
+The construction works over plain per-order dicts and assembles the
+trie-backed ArpaLm at the end (ArpaLm.from_ngram_dicts).
 """
 
 from __future__ import annotations
@@ -54,11 +57,10 @@ def _joint(lm: ArpaLm, tokens: Tuple[str, ...]) -> float:
 
 def reverse_arpa(lm: ArpaLm) -> ArpaLm:
     """Build the reversed backing-off model from a loaded forward model."""
-    rev = ArpaLm()
-    rev._ngrams = [dict() for _ in range(lm.order)]
+    tables: NgramTable = [dict() for _ in range(lm.order)]
     # conditionals from joint ratios
     for order in range(1, lm.order + 1):
-        for tokens in lm._ngrams[order - 1]:
+        for tokens, _s, _b in lm.iter_ngrams(order):
             r = tuple(_swap_bos_eos(t) for t in reversed(tokens))
             joint = _joint(lm, tokens)
             ctx_joint = _joint(lm, tokens[1:]) if order > 1 else 0.0
@@ -67,48 +69,46 @@ def reverse_arpa(lm: ArpaLm) -> ArpaLm:
             # context-only token, probability bookkeeping 0 like forward <s>
             if order == 1 and r[0] == SENTENCE_BEGIN:
                 cond = 99 * LN10
-            rev._ngrams[order - 1][r] = (cond, 0.0)
-    rev.order = lm.order
-    rev.vocabulary = [t[0] for t in rev._ngrams[0]]
-    rev.unknown = lm.unknown
+            tables[order - 1][r] = (cond, 0.0)
 
     # exact back-off weights, low orders first (bow(c) uses the
     # already-final lower-order conditionals)
     for order in range(1, lm.order):
         # successors per context of length `order`
         succ: Dict[Tuple[str, ...], List[str]] = {}
-        for tokens in rev._ngrams[order]:
+        for tokens in tables[order]:
             succ.setdefault(tokens[:-1], []).append(tokens[-1])
         for ctx, words in succ.items():
             explicit = 0.0
             backed = 0.0
             for w in words:
-                explicit += math.exp(-rev._ngrams[order][ctx + (w,)][0])
-                backed += math.exp(-_rev_score(rev, ctx[1:], w))
+                explicit += math.exp(-tables[order][ctx + (w,)][0])
+                backed += math.exp(-_table_score(tables, ctx[1:], w))
             num = max(1.0 - explicit, 1e-12)
             den = max(1.0 - backed, 1e-12)
             bow = -math.log(num / den)
-            p, _ = rev._ngrams[order - 1].get(ctx, (None, 0.0))
+            p, _ = tables[order - 1].get(ctx, (None, 0.0))
             if p is None:
                 # context exists only as a context: give it a floor prob
-                rev._ngrams[order - 1][ctx] = (99 * LN10, bow)
+                tables[order - 1][ctx] = (99 * LN10, bow)
             else:
-                rev._ngrams[order - 1][ctx] = (p, bow)
-    return rev
+                tables[order - 1][ctx] = (p, bow)
+    return ArpaLm.from_ngram_dicts(tables, unknown_token=lm.unknown)
 
 
-def _rev_score(rev: ArpaLm, history: Tuple[str, ...], token: str) -> float:
-    """Backing-off score within the partially built reversed model."""
+def _table_score(tables: NgramTable, history: Tuple[str, ...],
+                 token: str) -> float:
+    """Backing-off score within the partially built reversed tables."""
     h = history
     total = 0.0
     while True:
-        entry = rev._ngrams[len(h)].get(h + (token,)) \
-            if len(h) < len(rev._ngrams) else None
+        entry = tables[len(h)].get(h + (token,)) \
+            if len(h) < len(tables) else None
         if entry is not None:
             return total + entry[0]
         if not h:
             return 1e30
-        ctx = rev._ngrams[len(h) - 1].get(h)
+        ctx = tables[len(h) - 1].get(h)
         if ctx is not None:
             total += ctx[1]
         h = h[1:]
@@ -119,15 +119,14 @@ def write_arpa(lm: ArpaLm, path: str) -> None:
     with open(path, "w", encoding="utf-8") as fh:
         fh.write("\\data\\\n")
         for order in range(1, lm.order + 1):
-            fh.write(f"ngram {order}={len(lm._ngrams[order - 1])}\n")
+            fh.write(f"ngram {order}={lm.ngram_count(order)}\n")
         for order in range(1, lm.order + 1):
             fh.write(f"\n\\{order}-grams:\n")
-            for tokens, (score, backoff) in sorted(
-                    lm._ngrams[order - 1].items()):
+            for tokens, score, bow in sorted(lm.iter_ngrams(order)):
                 log10p = -score / LN10
-                line = f"{log10p:.6f}\t{' '.join(tokens)}"
-                if order < lm.order and backoff != 0.0:
-                    line += f"\t{-backoff / LN10:.6f}"
+                line = f"{log10p:.7f}\t{' '.join(tokens)}"
+                if order < lm.order and bow != 0.0:
+                    line += f"\t{-bow / LN10:.7f}"
                 fh.write(line + "\n")
         fh.write("\n\\end\\\n")
 

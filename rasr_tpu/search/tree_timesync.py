@@ -134,18 +134,30 @@ class LmLookahead:
                      if l in self._lemma_pos], dtype=np.int32))
             self._class_of[node] = cid
         self.n_classes = len(self._class_idx)
+        # flattened per-class member lists for one-shot reduceat fills
+        nonempty = [cid for cid, idx in enumerate(self._class_idx)
+                    if len(idx)]
+        self._ne_classes = np.asarray(nonempty, dtype=np.int64)
+        self._ne_perm = (np.concatenate(
+            [self._class_idx[c] for c in nonempty])
+            if nonempty else np.zeros(0, np.int64))
+        sizes = [len(self._class_idx[c]) for c in nonempty]
+        self._ne_starts = np.cumsum([0] + sizes[:-1]).astype(np.int64) \
+            if nonempty else np.zeros(0, np.int64)
         self._cache: Dict[tuple, np.ndarray] = {}
 
     def table(self, history: tuple) -> np.ndarray:
-        """Per-class lookahead scores (n_classes,) for one LM history."""
+        """Per-class lookahead scores (n_classes,) for one LM history —
+        one vectorized LM query + one segmented min (reference: cached
+        table fill, src/Search/LanguageModelLookahead.cc)."""
         t = self._cache.get(history)
         if t is None:
             scores = self.lm_scale * self.lm.score_batch(
                 [history], self._tokens)[0]                 # (n_lemmas,)
             t = np.zeros(self.n_classes, dtype=np.float32)
-            for cid, idx in enumerate(self._class_idx):
-                if len(idx):
-                    t[cid] = float(np.min(scores[idx]))
+            if len(self._ne_perm):
+                t[self._ne_classes] = np.minimum.reduceat(
+                    scores[self._ne_perm], self._ne_starts)
             self._cache[history] = t
         return t
 

@@ -69,8 +69,8 @@ def arpa_to_automaton(lm: ArpaLm, lexicon: Lexicon,
 
     # histories = all contexts of order < n
     contexts = [()]
-    for order_grams in lm._ngrams[:-1] if lm.order > 1 else []:
-        contexts.extend(order_grams.keys())
+    if lm.order > 1:
+        contexts.extend(lm.contexts())
     contexts = list(dict.fromkeys(contexts))
     for h in contexts:
         state(h)

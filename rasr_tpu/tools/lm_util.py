@@ -32,7 +32,7 @@ class LmUtilApp(Application):
         action = self.config.get("action") or "info"
         lm = self._load_lm()
         if action == "info":
-            counts = [len(g) for g in lm._ngrams]
+            counts = [lm.ngram_count(k) for k in range(1, lm.order + 1)]
             print(f"order={lm.order} " +
                   " ".join(f"{i + 1}-grams={c}" for i, c in enumerate(counts)))
             return 0
@@ -49,7 +49,8 @@ class LmUtilApp(Application):
                     total_tokens += len(tokens) + 1  # + sentence end
                     n_sent += 1
                     self.log("score %.4f : %s", score, " ".join(tokens))
-            ppl = math.exp(total_score / max(total_tokens, 1))
+            avg = total_score / max(total_tokens, 1)
+            ppl = math.exp(avg) if avg < 700 else math.inf
             print(f"sentences={n_sent} tokens={total_tokens} "
                   f"total-score={total_score:.4f} perplexity={ppl:.4f}")
             return 0
