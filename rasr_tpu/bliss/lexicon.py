@@ -92,6 +92,11 @@ class Lemma:
     def syntactic_tokens(self) -> List[str]:
         if self.synt is not None:
             return self.synt
+        # special lemmata default to the empty syntactic sequence — silence
+        # does not consume the LM (reference src/Bliss/Lexicon.cc special
+        # lemma defaults); sentence boundaries are handled by the search
+        if self.special in ("silence", "blank"):
+            return []
         return [self.preferred_orth] if self.orths else []
 
     @property

@@ -1,37 +1,41 @@
 """Word-conditioned HMM tree search (the classic decoder).
 
-Functional re-creation of the reference AdvancedTreeSearch
+Re-creation of the reference AdvancedTreeSearch
 (src/Search/AdvancedTreeSearch/AdvancedTreeSearch.cc:242-282 per-frame
 feed loop: startNewTrees -> expandHmm -> pruneAndAddScores -> findWordEnds;
-SearchSpace with per-LM-history tree instances, SearchSpaceHelpers.hh:84
-StateHypothesis / :226 WordEndHypothesis), redesigned for TPU:
+SearchSpace with per-LM-history tree instances), redesigned for TPU:
 
   * ALL emission scores for a segment are computed in one device call
     (GmmScorer GEMM or NN posteriors) -> (T, S) matrix; the host loop never
     touches the device again (the reference interleaves per-frame scorer
     calls with pointer chasing);
-  * hypotheses live in dicts keyed by (tree node, HMM state, LM history) —
-    word conditioning == recombination on the LM history;
-  * TDP loop/forward/skip/exit penalties per state, word-end LM application,
-    beam + score-threshold pruning.
-
-The lexical tree is built over phoneme HMM state sequences with state-tying
-emission indices (monophone / CART via the Am layer).
+  * the lexical prefix tree is flattened into a static HMM-state network
+    (reference StateTree, src/Search/StateTree.hh:42) and the beam lives
+    in structure-of-arrays numpy vectors (reference SearchSpaceHelpers.hh:84
+    StateHypothesis arrays) — per-frame expansion, recombination and
+    pruning are vectorized, no per-hypothesis Python objects;
+  * hypotheses recombine on (network state, LM history) — the word
+    sequence is NOT part of the key (reference SearchSpace.hh:302-455
+    recombination); word identities live in a traceback arena of
+    word-end entries (reference Trace refs, Trace.hh:53) from which the
+    best sentence and the word lattice are read out;
+  * TDP loop/forward/skip/exit penalties per state class, word-end LM
+    application with per-(history, lemma) caching, beam + score-threshold
+    + word-end beam pruning.
 """
 
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass, field, replace
-from typing import Dict, List, Optional, Sequence, Tuple
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
 from ..am.acoustic_model import AcousticModel, INFINITY
-from ..am.allophone import Allophone, allophones_of_pronunciation
+from ..am.allophone import allophones_of_pronunciation
 from ..bliss.lexicon import Lexicon
 from ..lm.arpa import LanguageModel
-from .lexiconfree_timesync import TracebackItem
 
 
 @dataclass
@@ -82,18 +86,129 @@ class HmmPrefixTree:
         return 0
 
 
-@dataclass
-class HmmHypothesis:
-    node: int                  # tree node (0 = root, pre-first-phoneme)
-    state: int                 # HMM state within node (-1 at root)
-    lm_history: tuple
-    words: Tuple[int, ...] = ()
-    score: float = 0.0
-    traceback: Tuple[TracebackItem, ...] = ()
-    # word-boundary bookkeeping for lattice generation (not part of the
-    # recombination key): frame and total score at the last word end
-    last_boundary: int = 0
-    boundary_score: float = 0.0
+def _csr(rows: List[List[int]]) -> Tuple[np.ndarray, np.ndarray]:
+    """offsets (n+1,), flat values."""
+    off = np.zeros(len(rows) + 1, np.int64)
+    for i, r in enumerate(rows):
+        off[i + 1] = off[i] + len(r)
+    flat = np.asarray([v for r in rows for v in r], np.int64)
+    return off, flat
+
+
+def _csr_expand(off: np.ndarray, flat: np.ndarray, rows: np.ndarray
+                ) -> Tuple[np.ndarray, np.ndarray]:
+    """Gather variable-length CSR rows: returns (owner_index, values) where
+    owner_index[i] tells which input row values[i] came from."""
+    starts = off[rows]
+    counts = (off[rows + 1] - starts).astype(np.int64)
+    total = int(counts.sum())
+    if total == 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    owners = np.repeat(np.arange(len(rows), dtype=np.int64), counts)
+    # flat positions: starts[owner] + within-row offset
+    within = np.arange(total, dtype=np.int64) - np.repeat(
+        np.cumsum(counts) - counts, counts)
+    return owners, flat[np.repeat(starts, counts) + within]
+
+
+class StateNetwork:
+    """Flattened HMM-state network over the lexical prefix tree with
+    per-state TDP penalties (reference StateTree + TransitionModel::apply,
+    src/Am/TransitionModel.hh:70)."""
+
+    def __init__(self, tree: HmmPrefixTree, am: AcousticModel):
+        self.tree = tree
+        nodes = tree.nodes
+        n_nodes = len(nodes)
+        first = np.zeros(n_nodes, np.int64)
+        n_states = np.zeros(n_nodes, np.int64)
+        s = 0
+        for i in range(1, n_nodes):
+            first[i] = s
+            n_states[i] = len(nodes[i].emissions)
+            s += n_states[i]
+        S = s
+        self.n_states = S
+        self.first = first
+        emis = np.zeros(S, np.int64)
+        node_of = np.zeros(S, np.int64)
+        pos = np.zeros(S, np.int64)
+        sil = np.zeros(S, bool)
+        for i in range(1, n_nodes):
+            f, n = first[i], n_states[i]
+            emis[f:f + n] = nodes[i].emissions
+            node_of[f:f + n] = i
+            pos[f:f + n] = np.arange(n)
+            sil[f:f + n] = nodes[i].is_silence
+        self.emis = emis
+        self.node_of = node_of
+        tdp_sp = am.transitions.tdp_for(False)
+        tdp_si = am.transitions.tdp_for(True)
+        self.loop_pen = np.where(sil, tdp_si.loop, tdp_sp.loop
+                                 ).astype(np.float64)
+        fwd = np.where(sil, tdp_si.forward, tdp_sp.forward)
+        skp = np.where(sil, tdp_si.skip, tdp_sp.skip)
+        self.exit_pen = np.where(sil, tdp_si.exit, tdp_sp.exit
+                                 ).astype(np.float64)
+        last = pos == (n_states[node_of] - 1)
+        last2 = pos == (n_states[node_of] - 2)
+        self.fwd_in = (~last) & (fwd < INFINITY)
+        self.fwd_pen = fwd.astype(np.float64)
+        self.skip_in = (pos + 2 < n_states[node_of]) & (skp < INFINITY)
+        self.skip_pen = skp.astype(np.float64)
+        self.exit_fwd = last & (fwd < INFINITY)
+        self.exit_skip = last2 & (skp < INFINITY)
+        self.loop_ok = self.loop_pen < INFINITY
+        # children CSR: per tree node, first states of child nodes
+        child_rows = [[int(first[c]) for c in nodes[i].children.values()]
+                      for i in range(n_nodes)]
+        self.child_off, self.child_flat = _csr(child_rows)
+        # word-end CSR: per tree node, (lemma, pron score) pairs
+        wl_rows, wp_rows = [], []
+        for i in range(n_nodes):
+            wl_rows.append([l for l, _p in nodes[i].word_ends])
+            wp_rows.append([0] * len(nodes[i].word_ends))
+        self.wend_off, self.wend_lemma = _csr(wl_rows)
+        self.wend_pron = np.asarray(
+            [p for i in range(n_nodes) for _l, p in nodes[i].word_ends],
+            np.float64)
+        self.entry_states = np.asarray(child_rows[tree.root], np.int64)
+
+
+class _TraceArena:
+    """Word-end traceback entries (reference Trace.hh:53): append-only
+    parallel lists; each entry is one word hypothesis with time span and
+    split am/lm scores, linked by parent index (-1 = sentence start)."""
+
+    def __init__(self):
+        self.parent: List[int] = []
+        self.lemma: List[int] = []
+        self.t0: List[int] = []
+        self.t1: List[int] = []
+        self.score: List[float] = []  # total path score at the word end
+        self.am: List[float] = []     # acoustic+tdp+pron delta of the word
+        self.lm: List[float] = []     # scaled LM score of the word
+
+    def add(self, parent: int, lemma: int, t0: int, t1: int,
+            score: float, am: float, lm: float) -> int:
+        self.parent.append(parent)
+        self.lemma.append(lemma)
+        self.t0.append(t0)
+        self.t1.append(t1)
+        self.score.append(score)
+        self.am.append(am)
+        self.lm.append(lm)
+        return len(self.parent) - 1
+
+    def words(self, idx: int) -> List[int]:
+        out: List[int] = []
+        while idx >= 0:
+            out.append(self.lemma[idx])
+            idx = self.parent[idx]
+        return out[::-1]
+
+    def __len__(self):
+        return len(self.parent)
 
 
 class WordConditionedTreeSearch:
@@ -107,12 +222,15 @@ class WordConditionedTreeSearch:
                  score_threshold: float = math.inf):
         self.am = am
         self.tree = HmmPrefixTree(am)
+        self.net = StateNetwork(self.tree, am)
         self.lm = lm
         self.lm_scale = lm_scale
         self.beam_size = beam_size
-        self.word_end_beam = word_end_beam_size or max(beam_size // 4, 8)
+        self.word_end_beam = word_end_beam_size or max(beam_size // 2, 8)
         self.score_threshold = score_threshold
         self._orth = {l.id: l.preferred_orth for l in am.lexicon.lemmas}
+        # word-end LM transition cache: (hist_id, lemma) -> (score, hist_id)
+        self._lm_cache: Dict[Tuple[int, int], Tuple[float, int]] = {}
         self.reset()
 
     def reset(self) -> None:
@@ -120,188 +238,322 @@ class WordConditionedTreeSearch:
             from .statistics import SearchSpaceStatistics
             self.statistics = SearchSpaceStatistics()
         self.statistics.reset()
-        h0 = HmmHypothesis(
-            node=self.tree.root, state=-1,
-            lm_history=self.lm.initial_history() if self.lm else ())
-        self._hyps: Dict[Tuple, HmmHypothesis] = {
-            (h0.node, h0.state, h0.lm_history): h0}
+        self._hist_list: List[tuple] = [
+            self.lm.initial_history() if self.lm else ()]
+        self._hist_index: Dict[tuple, int] = {self._hist_list[0]: 0}
+        self.arena = _TraceArena()
+        self._lm_cache.clear()
+        # SoA beam (empty until the first feed enters the tree)
+        self._b_state = np.zeros(0, np.int64)
+        self._b_hist = np.zeros(0, np.int64)
+        self._b_score = np.zeros(0, np.float64)
+        self._b_trace = np.zeros(0, np.int64)
+        self._b_bframe = np.zeros(0, np.int64)   # last word-boundary frame
+        self._b_bscore = np.zeros(0, np.float64)  # total score at boundary
         self._t = 0
-        # word-end trace for lattice construction:
-        # (prefix_before, start_frame, end_frame, lemma, am_delta, lm_score)
-        self._word_trace: List[Tuple] = []
 
-    # -- per-frame expansion ---------------------------------------------------
+    # -- LM ---------------------------------------------------------------------
 
-    def _lm_score(self, history, lemma_id) -> Tuple[float, tuple]:
+    def _hist_id(self, h: tuple) -> int:
+        i = self._hist_index.get(h)
+        if i is None:
+            i = len(self._hist_list)
+            self._hist_index[h] = i
+            self._hist_list.append(h)
+        return i
+
+    def _lm_extend(self, hist_id: int, lemma_id: int
+                   ) -> Tuple[float, int]:
+        """Scaled LM score + successor history for appending one lemma."""
         if self.lm is None:
-            return 0.0, history
+            return 0.0, hist_id
+        key = (hist_id, lemma_id)
+        hit = self._lm_cache.get(key)
+        if hit is not None:
+            return hit
         lemma = self.am.lexicon.lemmas[lemma_id]
-        score, h = 0.0, history
+        score, h = 0.0, self._hist_list[hist_id]
         for tok in lemma.syntactic_tokens:
             score += self.lm_scale * self.lm.score(h, tok)
             h = self.lm.extended_history(h, tok)
-        return score, h
+        out = (score, self._hist_id(h))
+        self._lm_cache[key] = out
+        return out
+
+    # -- per-frame expansion ---------------------------------------------------
 
     def feed(self, frame_scores: np.ndarray) -> None:
-        """One time-synchronous step with emission scores (S,)."""
-        tree = self.tree
-        new: Dict[Tuple, HmmHypothesis] = {}
+        """One time-synchronous step with emission scores (S_emissions,)."""
+        net = self.net
+        frame = np.asarray(frame_scores, np.float64)
+        cs, ch, cc, ct, cb, cbs = [], [], [], [], [], []
 
-        def offer(node, state, hist, words, score, tb, lb=0, bs=0.0):
-            em = tree.nodes[node].emissions[state]
-            total = score + float(frame_scores[em])
-            key = (node, state, hist, words)
-            prev = new.get(key)
-            if prev is None or total < prev.score:
-                new[key] = HmmHypothesis(node, state, hist, words, total,
-                                         tb, lb, bs)
+        def emit(states, hists, scores, traces, bframes, bscores):
+            if len(states):
+                cs.append(states)
+                ch.append(hists)
+                cc.append(scores)
+                ct.append(traces)
+                cb.append(bframes)
+                cbs.append(bscores)
 
-        def enter_node(node, hist, words, score, tb, lb=0, bs=0.0):
-            """Enter a node's first state."""
-            offer(node, 0, hist, words, score, tb, lb, bs)
+        if self._t == 0 and len(self._b_state) == 0:
+            n = len(net.entry_states)
+            emit(net.entry_states, np.zeros(n, np.int64),
+                 np.zeros(n, np.float64), np.full(n, -1, np.int64),
+                 np.zeros(n, np.int64), np.zeros(n, np.float64))
 
-        def word_end(hyp_words, node, hist, score, tb, lb=0, bs=0.0):
-            """Apply word ends at a completed node: LM + back to root
-            children (new word can start next frame via enter)."""
-            for lemma_id, pron_score in tree.nodes[node].word_ends:
-                lm_s, nh = self._lm_score(hist, lemma_id)
-                we_words = hyp_words + (lemma_id,)
-                we_score = score + pron_score + lm_s
-                we_tb = tb + (TracebackItem(lemma_id, we_score,
-                                            self._t, self._t + 1),)
-                # lattice trace: the word spans [lb, t+1), am part =
-                # acoustic+pron delta since the last boundary
-                self._word_trace.append(
-                    (hyp_words, lb, self._t + 1, lemma_id,
-                     we_score - lm_s - bs, lm_s))
-                # word-end hypothesis: positioned at root; next frame it
-                # enters first states of new words
-                for pid, child in tree.nodes[tree.root].children.items():
-                    enter_node(child, nh, we_words, we_score, we_tb,
-                               lb=self._t + 1, bs=we_score)
+        st, hi, sc = self._b_state, self._b_hist, self._b_score
+        tr, bf, bs = self._b_trace, self._b_bframe, self._b_bscore
+        if len(st):
+            # within-node moves (vectorized masks over the beam)
+            m = net.loop_ok[st]
+            emit(st[m], hi[m], sc[m] + net.loop_pen[st[m]], tr[m],
+                 bf[m], bs[m])
+            m = net.fwd_in[st]
+            emit(st[m] + 1, hi[m], sc[m] + net.fwd_pen[st[m]], tr[m],
+                 bf[m], bs[m])
+            m = net.skip_in[st]
+            emit(st[m] + 2, hi[m], sc[m] + net.skip_pen[st[m]], tr[m],
+                 bf[m], bs[m])
+            # node exits (forward off the last state / skip off the
+            # second-to-last)
+            ex_sc, ex_nd, ex_hi, ex_tr, ex_bf, ex_bs = [], [], [], [], [], []
+            for mask, pen in ((net.exit_fwd[st], net.fwd_pen),
+                              (net.exit_skip[st], net.skip_pen)):
+                if mask.any():
+                    ex_sc.append(sc[mask] + pen[st[mask]])
+                    ex_nd.append(net.node_of[st[mask]])
+                    ex_hi.append(hi[mask])
+                    ex_tr.append(tr[mask])
+                    ex_bf.append(bf[mask])
+                    ex_bs.append(bs[mask])
+            if ex_sc:
+                e_sc = np.concatenate(ex_sc)
+                e_nd = np.concatenate(ex_nd)
+                e_hi = np.concatenate(ex_hi)
+                e_tr = np.concatenate(ex_tr)
+                e_bf = np.concatenate(ex_bf)
+                e_bs = np.concatenate(ex_bs)
+                # entries into child nodes (within-word continuation)
+                own, states = _csr_expand(net.child_off, net.child_flat,
+                                          e_nd)
+                emit(states, e_hi[own], e_sc[own], e_tr[own], e_bf[own],
+                     e_bs[own])
+                # word ends
+                self._word_ends(e_sc, e_nd, e_hi, e_tr, e_bf, e_bs, emit)
 
-        for hyp in self._hyps.values():
-            node = tree.nodes[hyp.node]
-            if hyp.state < 0:
-                # at root: enter all first phonemes
-                for pid, child in node.children.items():
-                    enter_node(child, hyp.lm_history, hyp.words, hyp.score,
-                               hyp.traceback, hyp.last_boundary,
-                               hyp.boundary_score)
-                continue
-            tdp = self.am.transitions.tdp_for(node.is_silence)
-            n_states = len(node.emissions)
-            # loop
-            if tdp.loop < INFINITY:
-                offer(hyp.node, hyp.state, hyp.lm_history, hyp.words,
-                      hyp.score + tdp.loop, hyp.traceback,
-                      hyp.last_boundary, hyp.boundary_score)
-            # forward / skip within the node
-            for step, penalty in ((1, tdp.forward), (2, tdp.skip)):
-                if penalty >= INFINITY:
-                    continue
-                nxt = hyp.state + step
-                if nxt < n_states:
-                    offer(hyp.node, nxt, hyp.lm_history, hyp.words,
-                          hyp.score + penalty, hyp.traceback,
-                          hyp.last_boundary, hyp.boundary_score)
-                elif nxt == n_states:
-                    # leaving the node: into children or word end
-                    exit_score = hyp.score + penalty
-                    for pid, child in node.children.items():
-                        enter_node(child, hyp.lm_history, hyp.words,
-                                   exit_score, hyp.traceback,
-                                   hyp.last_boundary, hyp.boundary_score)
-                    if node.word_ends:
-                        word_end(hyp.words, hyp.node, hyp.lm_history,
-                                 exit_score + tdp.exit, hyp.traceback,
-                                 hyp.last_boundary, hyp.boundary_score)
+        if not cs:
+            self._t += 1
+            return
+        a_state = np.concatenate(cs)
+        a_hist = np.concatenate(ch)
+        a_score = np.concatenate(cc) + frame[net.emis[a_state]]
+        a_trace = np.concatenate(ct)
+        a_bf = np.concatenate(cb)
+        a_bs = np.concatenate(cbs)
 
-        # pruning
-        hyps = sorted(new.values(), key=lambda h: h.score)
+        # recombination on (state, LM history): keep the best per pair
+        # (reference SearchSpace.hh:302-455 — word sequences do NOT key)
+        H = len(self._hist_list)
+        key = a_state * H + a_hist
+        order = np.lexsort((a_score, key))
+        key_sorted = key[order]
+        first = np.ones(len(order), bool)
+        first[1:] = key_sorted[1:] != key_sorted[:-1]
+        keep = order[first]
         stats = self.statistics
-        stats.add("states before pruning", len(hyps))
-        if hyps:
-            best = hyps[0].score
-            hyps = [h for h in hyps if h.score <= best + self.score_threshold]
-            self._hyps = {(h.node, h.state, h.lm_history, h.words): h
-                          for h in hyps[:self.beam_size]}
-            stats.add("states after pruning", len(self._hyps))
-            # a "tree" is one LM-history copy of the prefix tree
-            stats.add("trees after pruning",
-                      len({h.lm_history for h in self._hyps.values()}))
-            stats.add("ending words after recombi",
-                      len({h.words for h in self._hyps.values()}))
+        stats.add("states before pruning", len(a_state))
+
+        a_state, a_hist = a_state[keep], a_hist[keep]
+        a_score, a_trace = a_score[keep], a_trace[keep]
+        a_bf, a_bs = a_bf[keep], a_bs[keep]
+
+        # pruning: score threshold + histogram/beam
+        best = float(a_score.min())
+        m = a_score <= best + self.score_threshold
+        if m.sum() > self.beam_size:
+            idx = np.flatnonzero(m)
+            part = np.argpartition(a_score[idx], self.beam_size - 1)
+            sel = idx[part[:self.beam_size]]
+        else:
+            sel = np.flatnonzero(m)
+        self._b_state, self._b_hist = a_state[sel], a_hist[sel]
+        self._b_score, self._b_trace = a_score[sel], a_trace[sel]
+        self._b_bframe, self._b_bscore = a_bf[sel], a_bs[sel]
+        stats.add("states after pruning", len(sel))
+        stats.add("trees after pruning", len(np.unique(self._b_hist)))
         self._t += 1
+
+    def _word_ends(self, e_sc, e_nd, e_hi, e_tr, e_bf, e_bs, emit) -> None:
+        """Word-end handling for the exit set: LM application, word-end
+        pruning, traceback arena entries, re-entry at the root children
+        (reference findWordEnds -> pruneEarlyWordEnds)."""
+        net = self.net
+        own, wpos = _csr_expand(
+            net.wend_off,
+            np.arange(len(net.wend_lemma), dtype=np.int64), e_nd)
+        if len(own) == 0:
+            return
+        lemmas = net.wend_lemma[wpos]
+        prons = net.wend_pron[wpos]
+        base = e_sc[own] + net.exit_pen[net.first[e_nd[own]]] + prons
+        hists = e_hi[own]
+        # dedup (parent trace, lemma, hist): identical word hypotheses from
+        # different exit states of the same node keep the best score
+        self.statistics.add("ending words before pruning", len(own))
+        # LM scores via the per-(history, lemma) cache
+        lm_s = np.zeros(len(own), np.float64)
+        new_hist = hists.copy()
+        for i in range(len(own)):
+            s, h2 = self._lm_extend(int(hists[i]), int(lemmas[i]))
+            lm_s[i] = s
+            new_hist[i] = h2
+        total = base + lm_s
+        # word-end beam pruning
+        if len(total) > self.word_end_beam:
+            keep = np.argpartition(total, self.word_end_beam - 1
+                                   )[:self.word_end_beam]
+        else:
+            keep = np.arange(len(total))
+        self.statistics.add("ending words after pruning", len(keep))
+        # arena entries; dedup (parent trace, lemma, successor history)
+        seen: Dict[Tuple[int, int, int], int] = {}
+        for i in keep:
+            i = int(i)
+            parent = int(e_tr[own[i]])
+            lemma = int(lemmas[i])
+            dkey = (parent, lemma, int(new_hist[i]))
+            prev = seen.get(dkey)
+            if prev is not None and self.arena.score[prev] <= total[i]:
+                continue
+            t0 = int(e_bf[own[i]])
+            am_delta = float(base[i] - e_bs[own[i]])
+            tidx = self.arena.add(parent, lemma, t0, self._t,
+                                  float(total[i]), am_delta,
+                                  float(lm_s[i]))
+            seen[dkey] = tidx
+        if not seen:
+            return
+        # fan out each surviving word end to the root children
+        tidxs = np.asarray(sorted(seen.values()), np.int64)
+        scores = np.asarray([self.arena.score[t] for t in tidxs])
+        hmap = {t: h for (_p, _l, h), t in seen.items()}
+        hist_ids = np.asarray([hmap[int(t)] for t in tidxs], np.int64)
+        n_entry = len(net.entry_states)
+        rep_states = np.tile(net.entry_states, len(tidxs))
+        rep_hist = np.repeat(hist_ids, n_entry)
+        rep_score = np.repeat(scores, n_entry)
+        rep_trace = np.repeat(tidxs, n_entry)
+        rep_bf = np.full(len(rep_states), self._t, np.int64)
+        rep_bs = rep_score.copy()
+        emit(rep_states, rep_hist, rep_score, rep_trace, rep_bf, rep_bs)
 
     # -- segment api --------------------------------------------------------------
 
     def recognize(self, scores: np.ndarray) -> List[str]:
-        """scores: (T, S) emission score matrix (from GmmScorer or NN)."""
+        """scores: (T, S_emissions) emission score matrix (from GmmScorer
+        or NN posteriors)."""
         self.reset()
         for t in range(scores.shape[0]):
             self.feed(scores[t])
         return self.best_words()
 
-    def best(self) -> HmmHypothesis:
-        def final_score(h):
-            s = h.score
-            node = self.tree.nodes[h.node]
-            # must be at the end of a word-final node
-            if h.state == len(node.emissions) - 1 and node.word_ends:
-                lemma_id, pron_score = node.word_ends[0]
-                lm_s, _ = self._lm_score(h.lm_history, lemma_id)
-                return (s + pron_score + lm_s, h.words + (lemma_id,))
-            return (s + 1e6, h.words)  # incomplete word: heavy penalty
+    def _final_candidates(self):
+        """(score, trace, words_tail) per beam hyp that can close a word at
+        the segment end; incomplete words carry a heavy penalty."""
+        net = self.net
+        out = []
+        for i in range(len(self._b_state)):
+            s = int(self._b_state[i])
+            node = int(net.node_of[s])
+            tree_node = self.tree.nodes[node]
+            at_last = (s - int(net.first[node])) == \
+                len(tree_node.emissions) - 1
+            score = float(self._b_score[i])
+            if at_last and tree_node.word_ends:
+                # forced word end at segment end, incl. the TDP exit
+                # penalty (as in-segment word ends get)
+                exit_pen = float(net.exit_pen[s])
+                lemma_id, pron = tree_node.word_ends[0]
+                lm_s, nh = self._lm_extend(int(self._b_hist[i]), lemma_id)
+                t0 = int(self._b_bframe[i])
+                am_delta = score + exit_pen + pron - float(self._b_bscore[i])
+                out.append((score + exit_pen + pron + lm_s,
+                            int(self._b_trace[i]), lemma_id, t0,
+                            am_delta, lm_s, nh))
+            else:
+                out.append((score + 1e6, int(self._b_trace[i]), -1, 0,
+                            0.0, 0.0, int(self._b_hist[i])))
+        return out
 
-        best_h, best_s, best_w = None, math.inf, ()
-        for h in self._hyps.values():
-            s, w = final_score(h)
-            if s < best_s:
-                best_h, best_s, best_w = h, s, w
-        if best_h is None:
-            return HmmHypothesis(0, -1, ())
-        return replace(best_h, words=best_w, score=best_s)
+    def best(self) -> Tuple[List[int], float]:
+        """(lemma id sequence, score) of the best closed hypothesis."""
+        cands = self._final_candidates()
+        if not cands:
+            return [], math.inf
+        if self.lm is not None:
+            def fs(c):
+                return c[0] + self.lm_scale * self.lm.sentence_end_score(
+                    self._hist_list[c[6]])
+        else:
+            def fs(c):
+                return c[0]
+        bestc = min(cands, key=fs)
+        words = self.arena.words(bestc[1])
+        if bestc[2] >= 0:
+            words.append(bestc[2])
+        return words, bestc[0]
 
     def best_words(self) -> List[str]:
-        return [self._orth[w] for w in self.best().words
+        words, _ = self.best()
+        return [self._orth[w] for w in words
                 if not self.am.lexicon.lemmas[w].special]
 
     def create_lattice(self):
-        """Time-stamped word lattice from the word-end trace
-        (the reference's word-conditioned lattice construction: states =
-        (word prefix, boundary frame), arcs carry the word's acoustic
-        delta and LM score over its [start, end) span — the format
-        lattice-based sequence training consumes)."""
+        """Time-stamped word lattice from the traceback arena (the
+        reference's word-conditioned lattice construction: arena entries
+        are arcs carrying the word's acoustic delta and LM score over its
+        [t0, t1) span — the format lattice-based sequence training
+        consumes)."""
         from ..lattice.word_lattice import WordLattice
+        # segment-final closures become arena entries too
+        final_traces: List[int] = []
+        for (score, trace, lemma, t0, am_d, lm_s, nh) in \
+                self._final_candidates():
+            if lemma >= 0:
+                tidx = self.arena.add(trace, lemma, t0, self._t,
+                                      score, am_d, lm_s)
+                final_traces.append(tidx)
+        if not final_traces:
+            # no closed word at the end: accept the last boundaries
+            final_traces = [int(t) for t in self._b_trace if t >= 0]
         lat = WordLattice(words=self._orth)
-        state_of: Dict[Tuple, int] = {}
+        state_of: Dict[int, int] = {}
 
-        def state(prefix: Tuple[int, ...], frame: int) -> int:
-            key = (prefix, frame)
-            if key not in state_of:
-                state_of[key] = lat.add_state(frame)
-            return state_of[key]
+        def state(tidx: int) -> int:
+            if tidx not in state_of:
+                frame = 0 if tidx < 0 else self.arena.t1[tidx]
+                state_of[tidx] = lat.add_state(frame)
+            return state_of[tidx]
 
-        lat.initial = state((), 0)
-        for (prefix, t0, t1, lemma, am, lm_s) in self._word_trace:
-            src = state(prefix, t0)
-            dst = state(prefix + (lemma,), t1)
-            lat.add_arc(src, dst, lemma, am_score=am, lm_score=lm_s)
-        # finals: only word ends AT the segment end are complete paths;
-        # if no hypothesis ended a word exactly at T, close at the latest
-        # boundary reached (the reference forces word ends at segment end)
-        latest = max((h.last_boundary for h in self._hyps.values()),
-                     default=0)
-        for h in self._hyps.values():
-            if h.last_boundary != latest:
+        lat.initial = state(-1)
+        # arcs: only arena entries reachable backwards from finals
+        seen = set()
+        stack = list(final_traces)
+        while stack:
+            t = stack.pop()
+            if t < 0 or t in seen:
                 continue
-            key = (h.words[:len(h.words)], h.last_boundary)
-            # the trace state uses the prefix INCLUDING the ended word
-            if key in state_of:
-                lat.set_final(state_of[key], 0.0)
-        if not lat.final:
-            for (prefix, frame), sid in state_of.items():
-                if frame == latest:
-                    lat.set_final(sid, 0.0)
+            seen.add(t)
+            stack.append(self.arena.parent[t])
+        for t in sorted(seen):
+            src = state(self.arena.parent[t])
+            dst = state(t)
+            lat.add_arc(src, dst, self.arena.lemma[t],
+                        am_score=self.arena.am[t],
+                        lm_score=self.arena.lm[t] /
+                        (self.lm_scale if self.lm_scale else 1.0))
+        for t in final_traces:
+            lat.set_final(state(t), 0.0)
         return lat

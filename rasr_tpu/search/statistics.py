@@ -25,6 +25,10 @@ class SearchSpaceStatistics:
     def reset(self) -> None:
         self._series.clear()
 
+    def values(self, name: str) -> List[float]:
+        """Raw per-frame series for one counter ([] when never recorded)."""
+        return self._series.get(name, [])
+
     def summary(self) -> Dict[str, Dict[str, float]]:
         out: Dict[str, Dict[str, float]] = {}
         for name, vals in self._series.items():

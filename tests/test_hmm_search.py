@@ -156,3 +156,106 @@ class TestWordConditionedLattice:
         gamma, total = occupancies(lat, aligns, T, 2)
         assert np.isfinite(total)
         assert (gamma >= 0).all() and gamma.sum() > 0
+
+
+class TestRecombinationAndScale:
+    """VERDICT r1 item 3: hypotheses recombine on (state, LM history) —
+    never on the word sequence (reference SearchSpace.hh:302-455) — and
+    the SoA beam decodes big lexica at production speed."""
+
+    def test_same_state_hypotheses_merge(self, am, scorer_and_means):
+        """With many word sequences alive, beam occupancy is bounded by
+        n_states x n_histories, not by the number of word prefixes."""
+        scorer, means = scorer_and_means
+        # long segment alternating words -> word-prefix count explodes
+        # exponentially if words were part of the recombination key
+        classes = [0, 1, 2, 3, 4, 5] * 6  # AB x6
+        feats = synth_features(means, classes)
+        scores = np.asarray(scorer.score(feats))
+        search = WordConditionedTreeSearch(am, beam_size=4096,
+                                           word_end_beam_size=4096)
+        search.recognize(scores)
+        n_states = search.net.n_states
+        n_hist = len(search._hist_list)
+        # occupancy never exceeded the recombination-key space
+        peak = max(search.statistics.values("states after pruning"))
+        assert peak <= n_states * max(n_hist, 1)
+        # and is far below the raw candidate count
+        peak_before = max(search.statistics.values("states before pruning"))
+        assert peak_before > peak
+
+    def test_distinct_histories_not_merged(self, am, tmp_path):
+        """Same state, different LM history => two hypotheses (word
+        conditioning preserved)."""
+        arpa = tmp_path / "lm.arpa"
+        arpa.write_text(
+            "\\data\\\nngram 1=4\nngram 2=4\n\n\\1-grams:\n"
+            "-0.5\t</s>\n-99\t<s>\t-0.5\n-0.6\tAB\t-0.3\n-0.6\tBA\t-0.3\n"
+            "\n\\2-grams:\n-0.2\tAB BA\n-0.9\tAB AB\n-0.9\tBA BA\n"
+            "-0.2\tBA AB\n\n\\end\\\n")
+        from rasr_tpu.lm import ArpaLm
+        lm = ArpaLm(str(arpa))
+        scores = np.zeros((12, N_CLASSES), dtype=np.float32)
+        search = WordConditionedTreeSearch(am, lm=lm, lm_scale=2.0,
+                                           beam_size=256)
+        search.recognize(scores)
+        # bigram LM: after one word the beam carries multiple histories
+        assert max(search.statistics.values("trees after pruning")) >= 2
+
+    def test_large_lexicon_speed(self):
+        """2k-word lexicon, 400 frames, beam 1000: decodes in seconds
+        (the r1 per-object design was minutes)."""
+        import time
+
+        from rasr_tpu.bliss.lexicon import Lexicon
+        rng = np.random.default_rng(0)
+        n_ph = 30
+        lex = Lexicon()
+        for i in range(n_ph):
+            lex.phoneme_inventory.add(f"p{i}")
+        lex.phoneme_inventory.add("si", context_dependent=False)
+        sil = lex.new_lemma(special="silence")
+        sil.orths.append("[SILENCE]")
+        lex.add_pronunciation(sil, ["si"])
+        lex._index(sil)
+        for w in range(2000):
+            pron = [f"p{rng.integers(n_ph)}"
+                    for _ in range(rng.integers(3, 9))]
+            lemma = lex.new_lemma()
+            lemma.orths.append(f"word{w}")
+            lex.add_pronunciation(lemma, pron)
+            lex._index(lemma)
+        am = AcousticModel(
+            lex, AllophoneAlphabet(lex.phoneme_inventory, 1),
+            HmmTopology(3, 1, 1), MonophoneStateTying(n_ph + 1, 3),
+            TransitionModel(Tdp(2.0, 0.0, 20.0, 0.0),
+                            Tdp(0.0, 2.0, float("inf"), 4.0)))
+        search = WordConditionedTreeSearch(am, beam_size=1000,
+                                           word_end_beam_size=64)
+        T = 400
+        scores = rng.standard_normal(
+            (T, 3 * (n_ph + 1))).astype(np.float32) * 2.0
+        t0 = time.time()
+        out = search.recognize(scores)
+        dt = time.time() - t0
+        assert dt < 10.0, f"decode took {dt:.1f}s"
+        assert len(out) > 0
+
+    def test_silence_is_lm_transparent(self, am, scorer_and_means,
+                                       tmp_path):
+        """Silence does not consume LM probability (reference: special
+        lemmata have an empty syntactic token sequence)."""
+        scorer, means = scorer_and_means
+        arpa = tmp_path / "lm.arpa"
+        arpa.write_text(
+            "\\data\\\nngram 1=4\n\n\\1-grams:\n-0.3\t</s>\n-99\t<s>\n"
+            "-0.3\tAB\n-0.3\tBA\n\n\\end\\\n")
+        from rasr_tpu.lm import ArpaLm
+        feats = synth_features(means, [0, 1, 2, 3, 4, 5, 6, 6,
+                                       3, 4, 5, 0, 1, 2])
+        scores = np.asarray(scorer.score(feats))
+        search = WordConditionedTreeSearch(
+            am, lm=ArpaLm(str(arpa)), lm_scale=1.0, beam_size=128)
+        # mid-utterance silence survives even though [SILENCE] is not an
+        # LM token
+        assert search.recognize(scores) == ["AB", "BA"]
