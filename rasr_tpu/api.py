@@ -191,6 +191,10 @@ class SearchAlgorithm:
         self.enter_segment()
         self.put_features(np.asarray(features))
         self.finish_segment()
-        return [(self._labels_to_string(getattr(h, "labels", None)
-                                        or getattr(h, "words", ())), h.score)
-                for h in self._search.n_best(n)]
+        out = []
+        for h in self._search.n_best(n):
+            labels = getattr(h, "labels", None)
+            if labels is None and hasattr(h, "trace"):
+                labels = self._search.arena.words(h.trace)
+            out.append((self._labels_to_string(labels or ()), h.score))
+        return out

@@ -174,11 +174,57 @@ class TreeHypothesis:
     node: int
     context: ScoringContext
     lm_history: tuple
-    words: Tuple[int, ...] = ()
     score: float = 0.0
     last_label: int = -1
     is_blank_last: bool = True
+    trace: int = -1            # word-end trace arena index
+    word_start: int = 0        # frame the in-progress word started at
+    boundary_score: float = 0.0  # total score at the last word end
     traceback: Tuple[TracebackItem, ...] = ()
+
+
+class WordTrace:
+    """Word-end traceback arena shared by all hypotheses (reference
+    Trace.hh:53): entry = (parent, lemma, t0, t1, total score, am delta,
+    scaled lm score). Word sequences are read by walking parents; the
+    time-stamped lattice is the arena DAG itself."""
+
+    def __init__(self):
+        self.parent: list = []
+        self.lemma: list = []
+        self.t0: list = []
+        self.t1: list = []
+        self.score: list = []
+        self.am: list = []
+        self.lm: list = []
+
+    def add(self, parent, lemma, t0, t1, score, am, lm) -> int:
+        self.parent.append(parent)
+        self.lemma.append(lemma)
+        self.t0.append(t0)
+        self.t1.append(t1)
+        self.score.append(score)
+        self.am.append(am)
+        self.lm.append(lm)
+        return len(self.parent) - 1
+
+    def words(self, idx: int):
+        out = []
+        while idx >= 0:
+            out.append(self.lemma[idx])
+            idx = self.parent[idx]
+        return out[::-1]
+
+    def items(self, idx: int):
+        """(lemma, t0, t1) triples from sentence start."""
+        out = []
+        while idx >= 0:
+            out.append((self.lemma[idx], self.t0[idx], self.t1[idx]))
+            idx = self.parent[idx]
+        return out[::-1]
+
+    def __len__(self):
+        return len(self.parent)
 
 
 class TreeTimesyncBeamSearch:
@@ -224,6 +270,7 @@ class TreeTimesyncBeamSearch:
             lm_history=self.lm.initial_history() if self.lm else ())
         self._beam: List[TreeHypothesis] = [h0]
         self._step = 0
+        self.arena = WordTrace()
         self.statistics.reset()
 
     def put_feature(self, feature) -> None:
@@ -256,8 +303,12 @@ class TreeTimesyncBeamSearch:
         candidates: Dict[Tuple, TreeHypothesis] = {}
 
         def offer(h: TreeHypothesis):
-            key = (h.node, h.lm_history, h.words, h.last_label if not
-                   h.is_blank_last else -1)
+            # recombination on (tree node, scoring context, LM history)
+            # — the word sequence does NOT key (reference
+            # TreeTimesyncBeamSearch recombination, doc/search_v2.rst);
+            # merged-away alternatives stay reachable via the arena
+            key = (h.node, h.context, h.lm_history,
+                   h.last_label if not h.is_blank_last else -1)
             prev = candidates.get(key)
             if prev is None or h.score < prev.score:
                 candidates[key] = h
@@ -281,6 +332,8 @@ class TreeTimesyncBeamSearch:
                 offer(replace(hyp, context=ctx,
                               score=hyp.score + float(row[hyp.last_label])))
             # tree successors: advance with a (new) label
+            word_start = self._step if hyp.node == self.tree.root \
+                else hyp.word_start
             for token, child in self.tree.successors(hyp.node).items():
                 if token == self.blank:
                     continue
@@ -294,20 +347,27 @@ class TreeTimesyncBeamSearch:
                 new_score = hyp.score + float(row[token])
                 tb = hyp.traceback + (TracebackItem(
                     token, new_score, self._step, self._step + 1),)
-                advanced = TreeHypothesis(
-                    node=child, context=ctx, lm_history=hyp.lm_history,
-                    words=hyp.words, score=new_score, last_label=token,
-                    is_blank_last=False, traceback=tb)
+                advanced = replace(
+                    hyp, node=child, context=ctx, score=new_score,
+                    last_label=token, is_blank_last=False,
+                    word_start=word_start, traceback=tb)
                 offer(advanced)
-                # word ends at the child: emit word(s), jump to root
+                # word ends at the child: emit word(s), jump to root with
+                # a time-stamped arena entry [word_start, step+1)
                 for lemma_id, pron_score in self.tree.word_ends(child):
                     lm_s, new_hist = self._lm_score(hyp.lm_history, lemma_id)
+                    we_score = new_score + pron_score + lm_s
+                    tidx = self.arena.add(
+                        hyp.trace, lemma_id, word_start, self._step + 1,
+                        we_score, we_score - lm_s - hyp.boundary_score,
+                        lm_s)
                     offer(replace(
                         advanced,
                         node=self.tree.root,
                         lm_history=new_hist,
-                        words=hyp.words + (lemma_id,),
-                        score=new_score + pron_score + lm_s))
+                        score=we_score,
+                        trace=tidx,
+                        boundary_score=we_score))
 
         # prospect = score + LM lookahead (anticipated best word-end LM
         # cost below the node); pruning uses prospects, stored scores stay
@@ -362,11 +422,15 @@ class TreeTimesyncBeamSearch:
         return min(pool, key=lambda h: h.score)
 
     def get_current_best_labels(self) -> List[int]:
-        return list(self.best().words)
+        return self.arena.words(self.best().trace)
 
     def get_current_best_words(self) -> List[str]:
         return [self._orth_of_lemma.get(w, f"<{w}>")
-                for w in self.best().words]
+                for w in self.arena.words(self.best().trace)]
+
+    def get_current_best_word_boundaries(self) -> List[Tuple[int, int, int]]:
+        """(lemma, start frame, end frame) of the current best sentence."""
+        return self.arena.items(self.best().trace)
 
     def get_current_best_traceback(self) -> List[TracebackItem]:
         return list(self.best().traceback)
@@ -381,13 +445,40 @@ class TreeTimesyncBeamSearch:
         return self.get_current_best_words()
 
     def create_lattice(self):
-        """Word lattice from the final beam (prefix-merged n-best paths).
-        Only completed (word-end) hypotheses enter the lattice; in-word
-        hypotheses have no word identity yet."""
-        from ..lattice.word_lattice import lattice_from_nbest
-        hyps = [h for h in self.n_best(len(self._beam))
-                if h.node == self.tree.root and h.words]
-        if not hyps:
-            hyps = self.n_best(len(self._beam))
-        entries = [(h.words, h.score, 0.0) for h in hyps]
-        return lattice_from_nbest(entries, words=self._orth_of_lemma)
+        """Time-stamped word lattice from the traceback arena: arcs are
+        word-end entries with [t0, t1) spans and split am/lm scores
+        (reference TreeTimesyncBeamSearch lattice output); finals are the
+        traces of completed hypotheses in the final beam."""
+        from ..lattice.word_lattice import WordLattice
+        final_traces = sorted({h.trace for h in self._beam
+                               if h.node == self.tree.root and h.trace >= 0})
+        if not final_traces:
+            final_traces = sorted({h.trace for h in self._beam
+                                   if h.trace >= 0})
+        lat = WordLattice(words=self._orth_of_lemma)
+        state_of: Dict[int, int] = {}
+
+        def state(tidx: int) -> int:
+            if tidx not in state_of:
+                frame = 0 if tidx < 0 else self.arena.t1[tidx]
+                state_of[tidx] = lat.add_state(frame)
+            return state_of[tidx]
+
+        lat.initial = state(-1)
+        seen = set()
+        stack = list(final_traces)
+        while stack:
+            t = stack.pop()
+            if t < 0 or t in seen:
+                continue
+            seen.add(t)
+            stack.append(self.arena.parent[t])
+        lm_scale = self.lm_scale if self.lm_scale else 1.0
+        for t in sorted(seen):
+            lat.add_arc(state(self.arena.parent[t]), state(t),
+                        self.arena.lemma[t],
+                        am_score=self.arena.am[t],
+                        lm_score=self.arena.lm[t] / lm_scale)
+        for t in final_traces:
+            lat.set_final(state(t), 0.0)
+        return lat

@@ -270,3 +270,67 @@ class TestAsyncScorerIntegration:
                 search.decode_step()
         search.finish_segment()
         assert search.get_current_best_words() == ["AB"]
+
+
+class TestV2TimeBoundariesAndRecombination:
+    """VERDICT r1 items 3/7: recombination without the word sequence;
+    time-stamped v2 lattices (reference TreeTimesyncBeamSearch lattice
+    output)."""
+
+    def make_search(self, lexicon, lm=None, **kw):
+        scorer = NoOpLabelScorer(n_labels=4)
+        return TreeTimesyncBeamSearch(scorer, lexicon, lm=lm, beam_size=16,
+                                      blank_index=0, **kw)
+
+    def test_word_boundaries(self, lexicon):
+        search = self.make_search(lexicon)
+        # AB then CA: tokens a,b then c,a with blanks between
+        post = posteriors_for([1, 2, 3, 1])
+        search.recognize_segment(post)
+        bounds = search.get_current_best_word_boundaries()
+        orths = [lexicon.lemmas[l].preferred_orth for l, _t0, _t1 in bounds]
+        assert orths == ["AB", "CA"]
+        (l0, a0, a1), (l1, b0, b1) = bounds
+        T = post.shape[0]
+        assert 0 <= a0 < a1 <= b0 < b1 <= T
+        # AB covers the first half
+        assert a1 <= T // 2 + 1
+
+    def test_lattice_has_time_boundaries(self, lexicon):
+        search = self.make_search(lexicon)
+        post = posteriors_for([1, 2, 3, 1])
+        search.recognize_segment(post)
+        lat = search.create_lattice()
+        assert lat.n_arcs > 0
+        # every non-initial state carries a real frame index; arc spans
+        # are strictly increasing along paths
+        for s in range(lat.n_states):
+            for arc in lat.arcs[s]:
+                assert lat.boundaries[arc.target] > lat.boundaries[s]
+        labels, _ = lat.best(1.0, 1.0)
+        assert [lat.words[l] for l in labels] == ["AB", "CA"]
+
+    def test_same_state_hypotheses_merge(self, lexicon, tmp_path):
+        """Two different word sequences reaching the same (node, context,
+        history) merge into one beam entry (unigram LM: histories equal)."""
+        p = tmp_path / "lm.arpa"
+        p.write_text(ARPA)
+        lm = ArpaLm(str(p))
+        search = self.make_search(lexicon, lm=lm, lm_scale=0.1)
+        # ambiguous posteriors: both AB and CA plausible repeatedly
+        rng = np.random.default_rng(0)
+        post = np.log(np.full((24, 4), 0.25, np.float32)
+                      + 0.1 * rng.random((24, 4)).astype(np.float32))
+        search.enter_segment()
+        search.put_features(np.zeros((24, 1), np.float32))
+        # NoOp scorer ignores features; feed the posteriors directly
+        search.scorer.reset()
+        search.scorer.add_inputs(-post)  # NoOp scores = -input
+        search.scorer.signal_segment_end()
+        search.decode_many_steps()
+        # beam entries are unique in the recombination key (no word-prefix
+        # duplicates): count distinct (node, context, history, last)
+        keys = {(h.node, h.context, h.lm_history,
+                 h.last_label if not h.is_blank_last else -1)
+                for h in search._beam}
+        assert len(keys) == len(search._beam)
