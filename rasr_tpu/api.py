@@ -88,6 +88,8 @@ class ModelCombination:
         lm_cfg = config.sub("lm")
         lm: Optional[ScaledLanguageModel] = None
         lm_type = lm_cfg.get("type")
+        if not lm_type and lm_cfg.get("file"):
+            lm_type = "ARPA"  # file given: default type (reference Module.cc)
         if lm_type:
             scale = float(lm_cfg.get("scale") or 1.0)
             if lm_type in ("ARPA", "arpa"):
@@ -95,8 +97,15 @@ class ModelCombination:
             elif lm_type == "zerogram":
                 vocab = [l.preferred_orth for l in lexicon.lemmas] if lexicon else []
                 lm = ScaledLanguageModel(Zerogram(vocab), scale)
+            elif lm_type == "class":
+                from .lm import ClassArpaLm
+                lm = ScaledLanguageModel(ClassArpaLm.load(
+                    lm_cfg.get("file"), lm_cfg.get("classes")), scale)
             else:
                 raise ValueError(f"unsupported lm type {lm_type!r}")
+        if label_scorer is None and config.sub("label-scorer").get("type"):
+            from .nn.scorer_factory import label_scorer_from_config
+            label_scorer = label_scorer_from_config(config)
         return cls(lexicon=lexicon, label_scorer=label_scorer,
                    language_model=lm)
 
@@ -109,32 +118,21 @@ class SearchAlgorithm:
                  label_scorer: Optional[LabelScorer] = None):
         self.config = config
         self.model_combination = ModelCombination.create(config, label_scorer)
-        sa = config.sub("search-algorithm")
-        search_type = sa.get("type") or "lexiconfree-timesync-beam-search"
-        beam = int(sa.get("max-beam-size") or sa.get("beam-size") or 16)
-        blank = int(sa.get("blank-label-index") or 0)
-        threshold = sa.get("score-threshold")
-        threshold = float(threshold) if threshold else float("inf")
-        scorer = self.model_combination.label_scorer
-        if scorer is None:
-            raise ValueError("a label scorer is required (pass one or "
-                             "configure label-scorer)")
-        hist = int(sa.get("histogram-pruning-bins") or 0)
-        if search_type in ("lexiconfree-timesync-beam-search",
-                           "lexiconfree-timesync"):
-            self._search = LexiconfreeTimesyncBeamSearch(
-                scorer, beam_size=beam, blank_index=blank,
-                score_threshold=threshold, histogram_bins=hist)
-        elif search_type in ("tree-timesync-beam-search", "tree-timesync"):
-            lm = self.model_combination.language_model
-            self._search = TreeTimesyncBeamSearch(
-                scorer, self.model_combination.lexicon,
-                lm=lm.lm if lm else None,
-                lm_scale=lm.scale if lm else 1.0,
-                beam_size=beam, blank_index=blank,
-                score_threshold=threshold)
-        else:
-            raise ValueError(f"unknown search type {search_type!r}")
+        from .search.module import create_search_algorithm
+        self._search = create_search_algorithm(config,
+                                               self.model_combination)
+
+    @property
+    def statistics(self):
+        """Search-space statistics of the underlying decoder (or None)."""
+        return getattr(self._search, "statistics", None)
+
+    def create_lattice(self):
+        """Current word lattice (searches that produce one)."""
+        if hasattr(self._search, "create_lattice"):
+            return self._search.create_lattice()
+        raise NotImplementedError(
+            f"{type(self._search).__name__} produces no word lattice")
 
     # -- segment api -----------------------------------------------------------
 
@@ -170,7 +168,7 @@ class SearchAlgorithm:
 
     def _labels_to_string(self, labels: Sequence[int]) -> str:
         lex = self.model_combination.lexicon
-        if isinstance(self._search, TreeTimesyncBeamSearch):
+        if hasattr(self._search, "get_current_best_words"):
             return " ".join(self._search.get_current_best_words())
         if lex is None:
             return " ".join(str(l) for l in labels)

@@ -136,6 +136,13 @@ class NoOpLabelScorer(LabelScorer):
             rows.append(-v if self._log_probs else v)
         return np.stack(rows)
 
+    def log_probs(self) -> Optional[np.ndarray]:
+        """Full (T, V) log-posteriors (device fast path / static-graph
+        decoders); None unless inputs are log-probs."""
+        if not self._log_probs or not self._buffer:
+            return None
+        return np.stack(self._buffer)
+
     @property
     def n_labels(self):
         return self._n

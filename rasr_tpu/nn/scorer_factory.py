@@ -1,0 +1,114 @@
+"""Config-driven label-scorer construction.
+
+The reference builds LabelScorers from config through Nn::Module's
+registered types (src/Nn/Module.cc:132-218); this factory is the single
+place config keys become scorer objects — used by the librasr API
+(rasr_tpu.api.SearchAlgorithm) and by the speech-recognizer tool, so
+both construct identical models from the same .config file.
+
+Supported [label-scorer] types:
+  no-op          inputs are the scores (externally computed posteriors);
+                 needs n-labels
+  prior          prior-subtracting wrapper: priors-file + scale (+ child)
+  encoder-only   flax ConformerCtc from [model] checkpoint
+  combine        sum of scaled children: [label-scorer.sub-0], ...
+plus any user type added via register_label_scorer_type.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from ..core.configuration import Configuration
+from .label_scorer import (CombineLabelScorer, EncoderOnlyLabelScorer,
+                           NoOpLabelScorer, PriorLabelScorer,
+                           ScaledLabelScorer, _SCORER_TYPES)
+
+
+def _encoder_only_from_config(config: Configuration) -> EncoderOnlyLabelScorer:
+    """ConformerCtc encoder from [model]: checkpoint, vocab-size, d-model,
+    n-layers, n-heads, feature-dim."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..models import ConformerCtc
+    from .checkpoint import load_params
+    model_cfg = config.sub("model")
+    ckpt = model_cfg.get("checkpoint")
+    vocab = int(model_cfg.get("vocab-size") or 0)
+    if not (ckpt and vocab):
+        raise ValueError("model.checkpoint and model.vocab-size required "
+                         "for encoder-only")
+    model = ConformerCtc(
+        vocab_size=vocab,
+        d_model=int(model_cfg.get("d-model") or 256),
+        n_layers=int(model_cfg.get("n-layers") or 12),
+        n_heads=int(model_cfg.get("n-heads") or 4))
+    dummy_d = int(model_cfg.get("feature-dim") or 80)
+    template = model.init(jax.random.PRNGKey(0),
+                          jnp.zeros((1, 8, dummy_d)),
+                          jnp.asarray([8]))["params"]
+    params, _ = load_params(ckpt, template)
+
+    @jax.jit
+    def fwd(feats, lens):
+        logits, out_lens, _ = model.apply(
+            {"params": params}, feats, lens, deterministic=True)
+        return jax.nn.log_softmax(logits, -1), out_lens
+
+    def encode(x):
+        lp, n = fwd(jnp.asarray(x)[None],
+                    jnp.asarray([x.shape[0]], jnp.int32))
+        return np.asarray(lp[0, :int(n[0])])
+
+    return EncoderOnlyLabelScorer(encode, n_labels=vocab)
+
+
+def label_scorer_from_config(config: Configuration,
+                             selector: str = "label-scorer"):
+    """Build the configured scorer; `config` is the tool/root config (the
+    [model] section for checkpoints lives next to [label-scorer])."""
+    ls = config.sub(selector)
+    typ = ls.get("type") or "no-op"
+    if typ == "no-op":
+        n = int(ls.get("n-labels") or 0)
+        if not n:
+            raise ValueError(f"{selector}.n-labels required for no-op")
+        return NoOpLabelScorer(n)
+    if typ == "encoder-only":
+        return _encoder_only_from_config(config)
+    if typ == "prior":
+        child = label_scorer_from_config(config, selector + ".child") \
+            if ls.sub("child").get("type") else None
+        pf = ls.get("priors-file") or ls.get("file")
+        priors = np.loadtxt(pf, dtype=np.float32) if pf else None
+        scale = float(ls.get("scale") or 1.0)
+        scorer = PriorLabelScorer(priors, scale=scale)
+        if child is not None:
+            return CombineLabelScorer([child, scorer])
+        return scorer
+    if typ == "combine":
+        children = []
+        i = 0
+        while ls.sub(f"sub-{i}").get("type"):
+            child = label_scorer_from_config(config, f"{selector}.sub-{i}")
+            scale = float(ls.sub(f"sub-{i}").get("scale") or 1.0)
+            children.append(ScaledLabelScorer(child, scale)
+                            if scale != 1.0 else child)
+            i += 1
+        if not children:
+            raise ValueError(f"combine {selector} has no sub-0 scorer")
+        return CombineLabelScorer(children)
+    # user-registered types: factory(config) when it accepts a config
+    factory = _SCORER_TYPES.get(typ)
+    if factory is None:
+        raise ValueError(f"unknown label-scorer type {typ!r}; known: "
+                         f"{sorted(_SCORER_TYPES)}")
+    try:
+        return factory(config)
+    except TypeError:
+        raise ValueError(
+            f"label-scorer type {typ!r} cannot be built from config; "
+            f"construct it programmatically and pass it in") from None

@@ -510,6 +510,24 @@ class WordConditionedTreeSearch:
         return [self._orth[w] for w in words
                 if not self.am.lexicon.lemmas[w].special]
 
+    def best_trace_items(self) -> List[Tuple[int, int, int, float]]:
+        """(lemma, t0, t1, path score at the word end) of the best closed
+        hypothesis, for traceback/CTM output."""
+        cands = self._final_candidates()
+        if not cands:
+            return []
+        bestc = min(cands, key=lambda c: c[0])
+        out = []
+        t = bestc[1]
+        while t >= 0:
+            out.append((self.arena.lemma[t], self.arena.t0[t],
+                        self.arena.t1[t], self.arena.score[t]))
+            t = self.arena.parent[t]
+        out = out[::-1]
+        if bestc[2] >= 0:
+            out.append((bestc[2], bestc[3], self._t, bestc[0]))
+        return out
+
     def create_lattice(self):
         """Time-stamped word lattice from the traceback arena (the
         reference's word-conditioned lattice construction: arena entries

@@ -1,0 +1,280 @@
+"""Search-algorithm factory: config name -> decoder instance.
+
+Mirrors the reference Search::Module factory (src/Search/Module.cc:88-132):
+every registered `search-algorithm.type` name constructs the matching
+decoder from a ModelCombination + config, so the librasr API and the
+speech-recognizer tool build identical searches from one .config.
+
+Registered names (reference Module.hh:39-45 + SearchV2 types):
+  v1: advanced-tree-search | word-conditioned-tree-search   (classic HMM)
+      expanding-fsa-search | wfst-search                    (static graph)
+      linear-search                                         (aligner-style)
+  v2: lexiconfree-timesync-beam-search
+      tree-timesync-beam-search
+      lexiconfree-labelsync-beam-search
+      tree-labelsync-beam-search
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List, Optional
+
+import numpy as np
+
+from ..core.configuration import Configuration
+
+
+def _pruning(sa: Configuration):
+    beam = int(sa.get("max-beam-size") or sa.get("beam-size") or 16)
+    blank = int(sa.get("blank-label-index") or 0)
+    thr = sa.get("score-threshold")
+    thr = float(thr) if thr else math.inf
+    we_beam = sa.get("word-end-beam-size")
+    we_beam = int(we_beam) if we_beam else None
+    return beam, blank, thr, we_beam
+
+
+class GmmWordRecognizer:
+    """Classic GMM-HMM word recognition behind the SearchAlgorithmV2-ish
+    segment API: features buffer on put, the emission matrix is one
+    device GEMM at finish, then the host word-conditioned search runs
+    (the reference's AdvancedTreeSearch workflow, config 3)."""
+
+    def __init__(self, search, gmm):
+        self._search = search
+        self._gmm = gmm
+        self._feats: List[np.ndarray] = []
+        self.statistics = search.statistics
+
+    def enter_segment(self) -> None:
+        self._feats = []
+        self._search.reset()
+
+    def put_feature(self, feature) -> None:
+        self._feats.append(np.asarray(feature, np.float32)[None])
+
+    def put_features(self, features) -> None:
+        self._feats.append(np.asarray(features, np.float32))
+
+    def finish_segment(self) -> None:
+        if not self._feats:
+            return
+        feats = np.concatenate(self._feats)
+        scores = np.asarray(self._gmm.score(feats))
+        self._search.reset()
+        for t in range(scores.shape[0]):
+            self._search.feed(scores[t])
+
+    def decode_many_steps(self) -> int:
+        return 0  # decoding happens at finish_segment
+
+    def get_current_best_words(self) -> List[str]:
+        return self._search.best_words()
+
+    def get_current_best_labels(self) -> List[int]:
+        words, _ = self._search.best()
+        return words
+
+    def get_current_best_traceback(self):
+        from .lexiconfree_timesync import TracebackItem
+        return [TracebackItem(lemma, score, t0, t1)
+                for lemma, t0, t1, score in
+                self._search.best_trace_items()]
+
+    def n_best(self, n: int):
+        return []
+
+    def recognize_segment(self, features) -> str:
+        self.enter_segment()
+        self.put_features(features)
+        self.finish_segment()
+        return " ".join(self._search.best_words())
+
+    def create_lattice(self):
+        return self._search.create_lattice()
+
+
+def _gmm_word_recognizer(config: Configuration, model_combination):
+    from ..am.acoustic_model import AcousticModel
+    from ..mm import GmmScorer, MixtureSet
+    from .hmm_timesync import WordConditionedTreeSearch
+    lexicon = model_combination.lexicon
+    if lexicon is None:
+        raise ValueError("lexicon required for word-conditioned search")
+    am = AcousticModel.create(config.sub("acoustic-model"), lexicon)
+    ms_cfg = config.sub("mixture-set")
+    ms_path = ms_cfg.get("file")
+    if not ms_path:
+        raise ValueError("mixture-set.file required for "
+                         "word-conditioned-tree-search")
+    gmm = GmmScorer(MixtureSet.read_pms(ms_path),
+                    mode=ms_cfg.get("mode") or "max")
+    sa = config.sub("search-algorithm")
+    beam, _blank, thr, we_beam = _pruning(sa)
+    lm = model_combination.language_model
+    search = WordConditionedTreeSearch(
+        am, lm=lm.lm if lm else None,
+        lm_scale=lm.scale if lm else 1.0,
+        beam_size=beam, word_end_beam_size=we_beam, score_threshold=thr)
+    return GmmWordRecognizer(search, gmm)
+
+
+class WfstRecognizer:
+    """Static-graph decoder behind the segment API: the label scorer
+    buffers features / runs the encoder, the composed L∘G graph decodes
+    the dense (T, V) log-posteriors at segment end."""
+
+    def __init__(self, decoder, scorer, lexicon):
+        self._decoder = decoder
+        self._scorer = scorer
+        self._lexicon = lexicon
+        self._words: List[str] = []
+
+    def enter_segment(self) -> None:
+        self._scorer.reset()
+        self._words = []
+
+    def put_feature(self, feature) -> None:
+        self._scorer.add_input(np.asarray(feature, np.float32))
+
+    def put_features(self, features) -> None:
+        self._scorer.add_inputs(np.asarray(features, np.float32))
+
+    def finish_segment(self) -> None:
+        self._scorer.signal_segment_end()
+        lp = self._scorer.log_probs() \
+            if hasattr(self._scorer, "log_probs") else None
+        if lp is None:
+            raise ValueError("wfst search needs a dense-posterior scorer "
+                             "(no-op or encoder-only)")
+        self._words = self._decoder.recognize(lp, self._lexicon)
+
+    def decode_many_steps(self) -> int:
+        return 0
+
+    def get_current_best_words(self) -> List[str]:
+        return self._words
+
+    def get_current_best_labels(self) -> List[int]:
+        out = []
+        for w in self._words:
+            lemma = self._lexicon.lemma_by_orth(w)
+            if lemma is not None:
+                out.append(lemma.id)
+        return out
+
+    def get_current_best_traceback(self):
+        return []
+
+    def n_best(self, n: int):
+        return []
+
+    def recognize_segment(self, features) -> str:
+        self.enter_segment()
+        self.put_features(features)
+        self.finish_segment()
+        return " ".join(self._words)
+
+
+def _wfst_search(config: Configuration, model_combination, scorer):
+    from .wfst import WfstDecoder, build_decoding_graph
+    sa = config.sub("search-algorithm")
+    beam, blank, thr, _we = _pruning(sa)
+    lm = model_combination.language_model
+    graph = build_decoding_graph(
+        model_combination.lexicon,
+        lm=lm.lm if lm else None,
+        lm_scale=lm.scale if lm else 1.0,
+        cache_path=sa.get("graph-cache") or None)
+    decoder = WfstDecoder(graph, blank=blank, beam_size=beam,
+                          score_threshold=thr)
+    return WfstRecognizer(decoder, scorer, model_combination.lexicon)
+
+
+def create_search_algorithm(config: Configuration, model_combination):
+    """Construct the decoder named by search-algorithm.type."""
+    sa = config.sub("search-algorithm")
+    search_type = sa.get("type") or "lexiconfree-timesync-beam-search"
+    beam, blank, thr, we_beam = _pruning(sa)
+    scorer = model_combination.label_scorer
+    lm = model_combination.language_model
+
+    if search_type in ("advanced-tree-search",
+                       "word-conditioned-tree-search"):
+        return _gmm_word_recognizer(config, model_combination)
+
+    if search_type in ("expanding-fsa-search", "wfst-search", "wfst"):
+        return _wfst_search(config, model_combination, scorer)
+
+    if search_type in ("linear-search", "linear"):
+        from ..am.acoustic_model import AcousticModel
+        from .linear import LinearSearch
+        am = AcousticModel.create(config.sub("acoustic-model"),
+                                  model_combination.lexicon)
+        return LinearSearch(am)
+
+    if scorer is None:
+        raise ValueError("a label scorer is required (configure "
+                         "[label-scorer] or pass one programmatically)")
+
+    if search_type in ("lexiconfree-timesync-beam-search",
+                       "lexiconfree-timesync"):
+        from .lexiconfree_timesync import LexiconfreeTimesyncBeamSearch
+        hist = int(sa.get("histogram-pruning-bins") or 0)
+        return LexiconfreeTimesyncBeamSearch(
+            scorer, beam_size=beam, blank_index=blank,
+            score_threshold=thr, histogram_bins=hist)
+
+    if search_type in ("tree-timesync-beam-search", "tree-timesync"):
+        from .tree_timesync import TreeTimesyncBeamSearch
+        return TreeTimesyncBeamSearch(
+            scorer, model_combination.lexicon,
+            lm=lm.lm if lm else None,
+            lm_scale=lm.scale if lm else 1.0,
+            beam_size=beam, word_end_beam_size=we_beam, blank_index=blank,
+            score_threshold=thr,
+            lm_lookahead=(sa.get("lm-lookahead") or "").lower()
+            in ("true", "yes", "1"))
+
+    if search_type in ("lexiconfree-labelsync-beam-search",
+                       "lexiconfree-labelsync"):
+        from .lexiconfree_labelsync import LexiconfreeLabelsyncBeamSearch
+        score_fn, n_labels = _labelsync_score_fn(config, scorer)
+        return LexiconfreeLabelsyncBeamSearch(
+            score_fn, n_labels,
+            sentence_end_index=int(sa.get("sentence-end-index") or 0),
+            beam_size=beam,
+            max_labels=int(sa.get("max-labels") or 200),
+            length_norm_scale=float(sa.get("length-norm-scale") or 1.0),
+            score_threshold=thr)
+
+    if search_type in ("tree-labelsync-beam-search", "tree-labelsync"):
+        from .tree_labelsync import TreeLabelsyncBeamSearch
+        score_fn, n_labels = _labelsync_score_fn(config, scorer)
+        return TreeLabelsyncBeamSearch(
+            score_fn, model_combination.lexicon,
+            lm=lm.lm if lm else None,
+            lm_scale=lm.scale if lm else 1.0,
+            sentence_end_index=int(sa.get("sentence-end-index") or 0),
+            beam_size=beam, word_end_beam_size=we_beam,
+            length_norm_scale=float(sa.get("length-norm-scale") or 1.0))
+
+    raise ValueError(f"unknown search-algorithm.type {search_type!r}")
+
+
+def _labelsync_score_fn(config: Configuration, scorer):
+    """Label-synchronous searches need an autoregressive
+    score_fn(label_prefix_batch) -> (B, V) scores; an AED/transducer
+    decoder provides it (models from [model] config) — or the caller
+    passes a callable instead of a LabelScorer."""
+    if callable(scorer) and not hasattr(scorer, "score_batch"):
+        n = int(config.sub("search-algorithm").get("n-labels") or 0)
+        if not n:
+            raise ValueError("search-algorithm.n-labels required when "
+                             "passing a raw score_fn")
+        return scorer, n
+    raise ValueError(
+        "label-synchronous searches need an autoregressive decoder "
+        "score_fn; pass one programmatically (AED/transducer decoders: "
+        "rasr_tpu.search.aed_cached / transducer_cached)")

@@ -29,7 +29,6 @@ from ..bliss.corpus import CorpusDescription
 from ..bliss.evaluation import Evaluator
 from ..core.application import Application
 from ..core.channel import Channel
-from ..nn.label_scorer import EncoderOnlyLabelScorer, NoOpLabelScorer
 from ..speech.feature_cache import FeatureCacheReader
 
 
@@ -38,97 +37,11 @@ class SpeechRecognizerApp(Application):
         super().__init__("speech-recognizer", argv)
         self._label_scorer = label_scorer
 
-    def _make_label_scorer(self):
-        if self._label_scorer is not None:
-            return self._label_scorer
-        ls = self.config.sub("label-scorer")
-        typ = ls.get("type") or "no-op"
-        if typ == "no-op":
-            n = int(ls.get("n-labels") or 0)
-            if not n:
-                raise ValueError("label-scorer.n-labels required for no-op")
-            return NoOpLabelScorer(n)
-        if typ == "encoder-only":
-            model_cfg = self.config.sub("model")
-            ckpt = model_cfg.get("checkpoint")
-            vocab = int(model_cfg.get("vocab-size") or 0)
-            if not (ckpt and vocab):
-                raise ValueError("model.checkpoint and model.vocab-size "
-                                 "required for encoder-only")
-            import jax
-            import jax.numpy as jnp
-            from ..models import ConformerCtc
-            from ..nn.checkpoint import load_params
-            model = ConformerCtc(
-                vocab_size=vocab,
-                d_model=int(model_cfg.get("d-model") or 256),
-                n_layers=int(model_cfg.get("n-layers") or 12),
-                n_heads=int(model_cfg.get("n-heads") or 4))
-            dummy_d = int(model_cfg.get("feature-dim") or 80)
-            template = model.init(jax.random.PRNGKey(0),
-                                  jnp.zeros((1, 8, dummy_d)),
-                                  jnp.asarray([8]))["params"]
-            params, _ = load_params(ckpt, template)
-
-            @jax.jit
-            def fwd(feats, lens):
-                logits, out_lens, _ = model.apply(
-                    {"params": params}, feats, lens, deterministic=True)
-                return jax.nn.log_softmax(logits, -1), out_lens
-
-            def encode(x):
-                lp, n = fwd(jnp.asarray(x)[None],
-                            jnp.asarray([x.shape[0]], jnp.int32))
-                return np.asarray(lp[0, :int(n[0])])
-
-            return EncoderOnlyLabelScorer(encode, n_labels=vocab)
-        raise ValueError(f"unknown label-scorer type {typ!r}")
-
-    def _make_gmm_word_recognizer(self):
-        """Classic GMM-HMM word recognition (config-3 style): mixture-set
-        scorer + word-conditioned tree search (the reference's
-        AdvancedTreeSearch workflow)."""
-        import numpy as np
-        from ..am.acoustic_model import AcousticModel
-        from ..bliss.lexicon import Lexicon
-        from ..lm import ArpaLm
-        from ..mm import GmmScorer, MixtureSet
-        from ..search.hmm_timesync import WordConditionedTreeSearch
-        lexicon = Lexicon(self.config.sub("lexicon"))
-        am = AcousticModel.create(self.config.sub("acoustic-model"), lexicon)
-        ms_path = self.config.sub("mixture-set").get("file")
-        if not ms_path:
-            raise ValueError("mixture-set.file required for "
-                             "word-conditioned-tree-search")
-        gmm = GmmScorer(MixtureSet.read_pms(ms_path),
-                        mode=self.config.sub("mixture-set").get("mode")
-                        or "max")
-        sa = self.config.sub("search-algorithm")
-        lm_file = self.config.sub("lm").get("file")
-        lm = ArpaLm(lm_file) if lm_file else None
-        lm_scale = float(self.config.sub("lm").get("scale") or 1.0)
-        search = WordConditionedTreeSearch(
-            am, lm=lm, lm_scale=lm_scale,
-            beam_size=int(sa.get("max-beam-size") or sa.get("beam-size")
-                          or 64))
-
-        class _Adapter:
-            statistics = search.statistics
-
-            def recognize_segment(self, feats):
-                scores = np.asarray(gmm.score(np.asarray(feats)))
-                return " ".join(search.recognize(scores))
-
-        return _Adapter()
-
     def run(self) -> int:
         corpus = CorpusDescription(self.config.sub("corpus"))
-        search_type = self.config.sub("search-algorithm").get("type") or ""
-        if search_type in ("word-conditioned-tree-search",
-                           "advanced-tree-search"):
-            algo = self._make_gmm_word_recognizer()
-        else:
-            algo = SearchAlgorithm(self.config, self._make_label_scorer())
+        # all search types + scorers construct through the shared factories
+        # (search.module / nn.scorer_factory) — identical to the librasr API
+        algo = SearchAlgorithm(self.config, self._label_scorer)
         cache_path = self.config.sub("feature-cache").get("path")
         if not cache_path:
             raise ValueError("feature-cache.path required")

@@ -135,3 +135,78 @@ class TestHistogramPruning:
         search.put_features(feats)
         search.finish_segment()
         assert search.get_current_best_labels() == [1, 2, 3]
+
+
+class TestConfigDrivenConstruction:
+    """VERDICT r1 item 8: a .config alone constructs a working
+    SearchAlgorithm through the shared factories (reference
+    src/Search/Module.cc:88-132 + src/Tools/LibRASR/Search.cc)."""
+
+    LEX = """<lexicon>
+      <phoneme-inventory>
+        <phoneme><symbol>blank</symbol><variation>none</variation></phoneme>
+        <phoneme><symbol>a</symbol></phoneme>
+        <phoneme><symbol>b</symbol></phoneme>
+      </phoneme-inventory>
+      <lemma special="blank"><orth>[blank]</orth><phon>blank</phon></lemma>
+      <lemma><orth>AB</orth><phon>a b</phon></lemma>
+      <lemma><orth>BA</orth><phon>b a</phon></lemma>
+    </lexicon>"""
+
+    ARPA = ("\\data\\\nngram 1=4\n\n\\1-grams:\n-0.5\t</s>\n-99\t<s>\n"
+            "-0.4\tAB\n-0.4\tBA\n\n\\end\\\n")
+
+    def _posts(self, tokens, V=3, fp=3, p=0.95):
+        rows = []
+        for t in tokens:
+            for _ in range(fp):
+                r = np.full(V, (1 - p) / (V - 1))
+                r[t] = p
+                rows.append(r)
+            r = np.full(V, (1 - p) / (V - 1))
+            r[0] = p
+            rows.append(r)
+        return np.log(np.asarray(rows, np.float32))
+
+    def _config(self, tmp_path, search_type):
+        from rasr_tpu.api import Configuration
+        (tmp_path / "lex.xml").write_text(self.LEX)
+        (tmp_path / "lm.arpa").write_text(self.ARPA)
+        cfg_text = (
+            f"[*.lexicon]\nfile = {tmp_path}/lex.xml\n"
+            f"[*.lm]\nfile = {tmp_path}/lm.arpa\nscale = 0.5\n"
+            f"[*.label-scorer]\ntype = no-op\nn-labels = 3\n"
+            f"[*.search-algorithm]\ntype = {search_type}\n"
+            f"max-beam-size = 16\nblank-label-index = 0\n")
+        p = tmp_path / "decode.config"
+        p.write_text(cfg_text)
+        cfg = Configuration(name="api-test")
+        cfg.set_from_file(str(p))
+        return cfg
+
+    def test_tree_timesync_from_config(self, tmp_path):
+        from rasr_tpu.api import SearchAlgorithm
+        algo = SearchAlgorithm(self._config(tmp_path,
+                                            "tree-timesync-beam-search"))
+        # a then b => AB
+        assert algo.recognize_segment(self._posts([1, 2])) == "AB"
+        assert algo.statistics is not None
+        lat = algo.create_lattice()
+        assert lat.n_arcs >= 1
+
+    def test_wfst_from_config(self, tmp_path):
+        from rasr_tpu.api import SearchAlgorithm
+        algo = SearchAlgorithm(self._config(tmp_path, "wfst-search"))
+        assert algo.recognize_segment(self._posts([2, 1])) == "BA"
+
+    def test_lexiconfree_from_config(self, tmp_path):
+        from rasr_tpu.api import SearchAlgorithm
+        algo = SearchAlgorithm(self._config(
+            tmp_path, "lexiconfree-timesync-beam-search"))
+        out = algo.recognize_segment(self._posts([1, 2, 1]))
+        assert isinstance(out, str)
+
+    def test_unknown_type_is_clear(self, tmp_path):
+        from rasr_tpu.api import SearchAlgorithm
+        with pytest.raises(ValueError, match="unknown search-algorithm"):
+            SearchAlgorithm(self._config(tmp_path, "bogus-search"))
