@@ -36,8 +36,8 @@ def conformer_ctc(preset: str = "conformer-m", vocab_size: int = 1024,
 def aed(preset: str = "conformer-m", vocab_size: int = 1024,
         decoder_layers: int = 6, dtype=jnp.bfloat16, **overrides) -> AedModel:
     cfg = dict(CONFORMER_PRESETS[preset])
-    enc_layers = cfg.pop("n_layers")
     cfg.update(overrides)
+    enc_layers = cfg.pop("n_layers")
     return AedModel(vocab_size=vocab_size, encoder_layers=enc_layers,
                     decoder_layers=decoder_layers, dtype=dtype, **cfg)
 
@@ -45,7 +45,7 @@ def aed(preset: str = "conformer-m", vocab_size: int = 1024,
 def transducer(preset: str = "conformer-m", vocab_size: int = 1024,
                dtype=jnp.bfloat16, **overrides) -> TransducerModel:
     cfg = dict(CONFORMER_PRESETS[preset])
-    enc_layers = cfg.pop("n_layers")
     cfg.update(overrides)
+    enc_layers = cfg.pop("n_layers")
     return TransducerModel(vocab_size=vocab_size,
                            encoder_layers=enc_layers, dtype=dtype, **cfg)

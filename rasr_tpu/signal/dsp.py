@@ -353,9 +353,13 @@ def accurate_log(x: jnp.ndarray) -> jnp.ndarray:
     The TPU VPU log approximation carries ~4.5e-5 absolute error, which
     breaks the 1e-4 feature-parity budget once 20 log-mel channels sum into
     cepstrum c0.  One Newton iteration on exp ( y += x*exp(-y) - 1 ) brings
-    it to ~2e-6 at the cost of a single fused exp."""
+    it to ~2e-6 at the cost of a single fused exp.
+
+    Guarded at x <= 0: log(0) must stay -inf (the Newton step would turn
+    it into 0*inf = NaN, which convolutional front-ends then smear into
+    valid frames of zero-padded batches)."""
     y = jnp.log(x)
-    return y + (x * jnp.exp(-y) - 1.0)
+    return jnp.where(jnp.isfinite(y), y + (x * jnp.exp(-y) - 1.0), y)
 
 
 def log10(x: jnp.ndarray) -> jnp.ndarray:

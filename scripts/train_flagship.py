@@ -48,7 +48,10 @@ def feature_pipeline():
         frames = dsp.apply_window(frames, "hamming")
         amp = dsp.rfft_amplitude(frames, pipe.fft_len, pipe.fft_scale)
         fb = dsp.apply_matrix(amp, pipe.mel_matrix)
-        return dsp.log10(fb)
+        # floor: zero-padded tail frames have exactly-0 mel energy; keep
+        # the log finite so the conv front-end cannot smear inf into the
+        # valid region (silence floor = -6)
+        return dsp.log10(jnp.maximum(fb, 1e-6))
 
     return pipe, feats_of
 

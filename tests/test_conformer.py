@@ -1,5 +1,8 @@
 
 
+import jax.numpy as jnp
+
+
 class TestPresets:
     def test_presets_construct_and_run(self):
         import jax
