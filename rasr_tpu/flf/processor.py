@@ -47,6 +47,32 @@ class FlfNode:
     def source(self, index: int = 0) -> "FlfNode":
         return self.network.node(self.links[index])
 
+    # lattices flow through the network either as legacy WordLattice
+    # (am, lm pairs — what the recognizers emit) or as multi-dim
+    # FlfLattice; every node normalizes its input to the view it needs.
+
+    def pull_lattice(self, index: int = 0):
+        """Input `index` as a multi-dim FlfLattice."""
+        from .lattice import FlfLattice
+        x = self.source(index).pull()
+        if isinstance(x, FlfLattice):
+            return x
+        if isinstance(x, WordLattice):
+            return FlfLattice.from_word_lattice(x)
+        raise TypeError(f"node {self.name}: input {index} is "
+                        f"{type(x).__name__}, not a lattice")
+
+    def pull_word_lattice(self, index: int = 0) -> WordLattice:
+        """Input `index` as a legacy (am, lm) WordLattice."""
+        from .lattice import FlfLattice
+        x = self.source(index).pull()
+        if isinstance(x, FlfLattice):
+            return x.to_word_lattice()
+        if isinstance(x, WordLattice):
+            return x
+        raise TypeError(f"node {self.name}: input {index} is "
+                        f"{type(x).__name__}, not a lattice")
+
     def pull(self) -> Any:
         seg_id = self.network.segment_counter
         if seg_id not in self._cache:
@@ -72,32 +98,67 @@ class SpeechSegmentNode(FlfNode):
 
 @register_node("archive-reader")
 class ArchiveReaderNode(FlfNode):
-    """Reads lattices from an archive keyed by segment name (HTK SLF items
-    or a directory of .slf files)."""
+    """Reads lattices keyed by segment name: `format = slf` (default, a
+    directory of HTK SLF files) or `format = flf` (Flf-native archive or
+    directory, src/Flf/FlfIo.cc)."""
 
     def __init__(self, *a, **k):
         super().__init__(*a, **k)
         self.path = self.config.get("path") or ""
+        self.format = (self.config.get("format") or "slf").lower()
+        self._flf_archive = None
+        if self.format == "flf" and (os.path.isfile(self.path)
+                                     or self.path.endswith(".cache")):
+            from .io import FlfArchiveReader
+            self._flf_archive = FlfArchiveReader(self.path)
 
-    def work(self) -> WordLattice:
-        seg = self.source(0).pull()
+    def work(self):
+        seg = self.network.current_segment
+        if self.format == "flf":
+            if self._flf_archive is not None:
+                return self._flf_archive.read(seg.full_name)
+            from .io import read_flf_file
+            return read_flf_file(os.path.join(
+                self.path, seg.full_name.replace("/", "_") + ".flf"))
         slf = os.path.join(self.path, seg.full_name.replace("/", "_") + ".slf")
         return WordLattice.read_htk_slf(slf)
 
 
 @register_node("archive-writer")
 class ArchiveWriterNode(FlfNode):
+    """Writes lattices keyed by segment name; `format = slf` (default)
+    or `format = flf` (native descriptor + binary parts)."""
+
     def __init__(self, *a, **k):
         super().__init__(*a, **k)
         self.path = self.config.get("path") or "."
-        os.makedirs(self.path, exist_ok=True)
+        self.format = (self.config.get("format") or "slf").lower()
+        self._flf_archive = None
+        if self.format == "flf" and self.path.endswith(".cache"):
+            from .io import FlfArchiveWriter
+            self._flf_archive = FlfArchiveWriter(self.path)
+        else:
+            os.makedirs(self.path, exist_ok=True)
 
-    def work(self) -> WordLattice:
-        lattice = self.source(0).pull()
+    def work(self):
         seg = self.network.current_segment
+        if self.format == "flf":
+            lat = self.pull_lattice(0)
+            if self._flf_archive is not None:
+                self._flf_archive.write(seg.full_name, lat)
+            else:
+                from .io import write_flf_file
+                write_flf_file(lat, os.path.join(
+                    self.path, seg.full_name.replace("/", "_") + ".flf"))
+            return lat
+        lattice = self.pull_word_lattice(0)
         slf = os.path.join(self.path, seg.full_name.replace("/", "_") + ".slf")
         lattice.write_htk_slf(slf)
         return lattice
+
+    def finalize(self):
+        if self._flf_archive is not None:
+            self._flf_archive.close()
 
 
 @register_node("recognizer-v2")
@@ -139,7 +200,7 @@ class BestNode(FlfNode):
     """Extracts the best path as a single-path lattice (reference best node)."""
 
     def work(self) -> WordLattice:
-        lattice = self.source(0).pull()
+        lattice = self.pull_word_lattice(0)
         labels, score = lattice.best()
         out = WordLattice(words=lattice.words)
         s = out.add_state(0)
@@ -155,7 +216,7 @@ class BestNode(FlfNode):
 @register_node("prune-posterior")
 class PrunePosteriorNode(FlfNode):
     def work(self) -> WordLattice:
-        lattice = self.source(0).pull()
+        lattice = self.pull_word_lattice(0)
         threshold = float(self.config.get("threshold") or 10.0)
         return lattice.prune_posterior(threshold)
 
@@ -167,7 +228,7 @@ class RescoreLmNode(FlfNode):
     each arc scored with the best single history reaching it)."""
 
     def work(self) -> WordLattice:
-        lattice = self.source(0).pull()
+        lattice = self.pull_word_lattice(0)
         lm = self.network.context.get("lm")
         scale = float(self.config.get("scale") or 1.0)
         words = lattice.words or {}
@@ -201,7 +262,7 @@ class NBestNode(FlfNode):
     node, src/Flf/NBest.cc)."""
 
     def work(self) -> WordLattice:
-        lattice = self.source(0).pull()
+        lattice = self.pull_word_lattice(0)
         n = int(self.config.get("n") or 10)
         from .word_lattice_helpers import nbest_lattice
         return nbest_lattice(lattice, n)
@@ -213,7 +274,7 @@ class ComposeWithLmNode(FlfNode):
     src/Flf/Compose.cc); LM from network context."""
 
     def work(self) -> WordLattice:
-        lattice = self.source(0).pull()
+        lattice = self.pull_word_lattice(0)
         from ..lattice.rescore import compose_with_lm
         lm = self.network.context.get("lm")
         scale = float(self.config.get("scale") or 1.0)
@@ -226,7 +287,7 @@ class ConfusionNetworkNode(FlfNode):
     builder nodes, src/Flf/ConfusionNetwork.cc)."""
 
     def work(self) -> WordLattice:
-        lattice = self.source(0).pull()
+        lattice = self.pull_word_lattice(0)
         from ..lattice.confusion_network import build_confusion_network
         cn = build_confusion_network(lattice)
         words, confs = cn.decode()
@@ -244,24 +305,42 @@ class ConfusionNetworkNode(FlfNode):
 
 @register_node("evaluator")
 class EvaluatorNode(FlfNode):
-    """WER evaluation of the best path vs the segment orth
-    (reference evaluator node)."""
+    """WER evaluation of the best path vs the segment orth; with
+    `lattice-evaluation = true` additionally reports the oracle
+    (lattice) WER (reference evaluator node; "single best" and
+    "lattice" modes of src/Bliss/Evaluation.hh:31)."""
 
     def __init__(self, *a, **k):
         super().__init__(*a, **k)
         self.evaluator = Evaluator(self.name)
+        self.lattice_eval = (self.config.get("lattice-evaluation")
+                             or "").lower() == "true"
+        self.oracle_errors = 0
+        self.oracle_ref = 0
 
     def work(self):
-        lattice = self.source(0).pull()
+        lattice = self.pull_word_lattice(0)
         seg = self.network.current_segment
         labels, _ = lattice.best()
         words = lattice.words or {}
         hyp = " ".join(words.get(l, str(l)) for l in labels)
         self.evaluator.evaluate(seg.orth, hyp)
+        if self.lattice_eval:
+            from .evaluate import oracle_alignment
+            from .lattice import FlfLattice
+            res = oracle_alignment(FlfLattice.from_word_lattice(lattice),
+                                   (seg.orth or "").split())
+            self.oracle_errors += res.errors
+            self.oracle_ref += res.ref_len
         return lattice
 
     def finalize(self):
         print(self.evaluator.report())
+        if self.lattice_eval:
+            wer = self.oracle_errors / max(self.oracle_ref, 1)
+            print(f"<lattice-evaluation errors={self.oracle_errors} "
+                  f"ref={self.oracle_ref} "
+                  f"lattice-wer={100.0 * wer:.2f}%/>")
 
 
 @register_node("dump-ctm")
@@ -272,7 +351,7 @@ class DumpCtmNode(FlfNode):
         self.path = self.config.get("path") or ""
 
     def work(self):
-        lattice = self.source(0).pull()
+        lattice = self.pull_word_lattice(0)
         seg = self.network.current_segment
         labels, _ = lattice.best()
         words = lattice.words or {}
@@ -303,6 +382,7 @@ class FlfNetwork:
                  context: Optional[Dict[str, Any]] = None):
         self.config = config
         self.context = context or {}
+        self._populate_context_from_config(config)
         self.current_segment: Optional[Segment] = None
         self.segment_counter = 0
         self._nodes: Dict[str, FlfNode] = {}
@@ -322,6 +402,30 @@ class FlfNetwork:
         if not self._sinks:
             raise ValueError("flf network has no sink node")
 
+    def _populate_context_from_config(self, config: Configuration) -> None:
+        """Config-alone operation: lexicon / LM / search built from the
+        same [lexicon] / [lm] / [label-scorer] sections the recognizer
+        tools use (reference Flf nodes pull models from ModelCombination
+        config) when not injected programmatically."""
+        needs_models = (config.sub("lm").get("type")
+                        or config.sub("lm").get("file")
+                        or config.sub("lexicon").get("file"))
+        if not needs_models:
+            return
+        if ("lm" in self.context and "lexicon" in self.context
+                and "search" in self.context):
+            return
+        from ..api import ModelCombination
+        mc = ModelCombination.create(config)
+        if mc.language_model is not None:
+            self.context.setdefault("lm", mc.language_model)
+        if mc.lexicon is not None:
+            self.context.setdefault("lexicon", mc.lexicon)
+        if ("search" not in self.context and mc.label_scorer is not None
+                and config.sub("search-algorithm").get("type")):
+            from ..search.module import create_search_algorithm
+            self.context["search"] = create_search_algorithm(config, mc)
+
     def node(self, name: str) -> FlfNode:
         return self._nodes[name]
 
@@ -336,3 +440,8 @@ class FlfNetwork:
         for node in self._nodes.values():
             node.finalize()
         return n
+
+
+# extended node tier (registration side effects; import last to avoid a
+# circular import — nodes.py uses register_node/FlfNode defined above)
+from . import nodes  # noqa: E402,F401
