@@ -45,8 +45,10 @@ class HmmTreeNode:
     phoneme: int = 0
     emissions: Tuple[int, ...] = ()
     is_silence: bool = False
-    children: Dict[int, int] = field(default_factory=dict)
-    word_ends: List[Tuple[int, float]] = field(default_factory=list)
+    children: Dict = field(default_factory=dict)
+    # word_ends: (lemma id, pron score, re-entry group, can_close)
+    word_ends: List[Tuple[int, float, int, bool]] = \
+        field(default_factory=list)
 
 
 class HmmPrefixTree:
@@ -79,11 +81,18 @@ class HmmPrefixTree:
                             is_silence=is_sil))
                         self.nodes[node].children[pid] = nxt
                     node = nxt
-                self.nodes[node].word_ends.append((lemma.id, lp.score))
+                self.nodes[node].word_ends.append(
+                    (lemma.id, lp.score, 0, True))
 
     @property
     def root(self) -> int:
         return 0
+
+    @property
+    def entry_groups(self) -> List[List[int]]:
+        # one unconstrained group: monophone trees have no
+        # across-word coarticulation
+        return [sorted(self.nodes[0].children.values())]
 
 
 def _csr(rows: List[List[int]]) -> Tuple[np.ndarray, np.ndarray]:
@@ -163,16 +172,24 @@ class StateNetwork:
         child_rows = [[int(first[c]) for c in nodes[i].children.values()]
                       for i in range(n_nodes)]
         self.child_off, self.child_flat = _csr(child_rows)
-        # word-end CSR: per tree node, (lemma, pron score) pairs
-        wl_rows, wp_rows = [], []
-        for i in range(n_nodes):
-            wl_rows.append([l for l, _p in nodes[i].word_ends])
-            wp_rows.append([0] * len(nodes[i].word_ends))
+        # word-end CSR: per tree node, (lemma, pron score,
+        # re-entry group, can_close) quadruples
+        wl_rows = [[w[0] for w in nodes[i].word_ends]
+                   for i in range(n_nodes)]
         self.wend_off, self.wend_lemma = _csr(wl_rows)
-        self.wend_pron = np.asarray(
-            [p for i in range(n_nodes) for _l, p in nodes[i].word_ends],
-            np.float64)
-        self.entry_states = np.asarray(child_rows[tree.root], np.int64)
+        flat_wends = [w for i in range(n_nodes)
+                      for w in nodes[i].word_ends]
+        self.wend_pron = np.asarray([w[1] for w in flat_wends],
+                                    np.float64)
+        self.wend_group = np.asarray([w[2] for w in flat_wends],
+                                     np.int64)
+        self.wend_close = np.asarray([w[3] for w in flat_wends], bool)
+        # re-entry tables: entry group id -> first states (reference
+        # across-word transit entries; group 0 = utterance start)
+        self.entry_group_states = [
+            np.asarray([int(first[nid]) for nid in grp], np.int64)
+            for grp in tree.entry_groups]
+        self.entry_states = self.entry_group_states[0]
 
 
 class _TraceArena:
@@ -219,9 +236,18 @@ class WordConditionedTreeSearch:
                  lm_scale: float = 1.0,
                  beam_size: int = 64,
                  word_end_beam_size: Optional[int] = None,
-                 score_threshold: float = math.inf):
+                 score_threshold: float = math.inf,
+                 across_word: bool = False,
+                 tree_image: Optional[str] = None):
         self.am = am
-        self.tree = HmmPrefixTree(am)
+        if across_word or tree_image:
+            # minimized HMM-state tree with across-word coarticulation
+            # (reference MinimizedTreeBuilder + PersistentStateTree)
+            from .tree_builder import build_tree
+            self.tree = build_tree(am, across_word=across_word,
+                                   image_path=tree_image)
+        else:
+            self.tree = HmmPrefixTree(am)
         self.net = StateNetwork(self.tree, am)
         self.lm = lm
         self.lm_scale = lm_scale
@@ -417,13 +443,17 @@ class WordConditionedTreeSearch:
         else:
             keep = np.arange(len(total))
         self.statistics.add("ending words after pruning", len(keep))
-        # arena entries; dedup (parent trace, lemma, successor history)
-        seen: Dict[Tuple[int, int, int], int] = {}
+        # arena entries; dedup (parent trace, lemma, successor
+        # history, re-entry group) — the same word ending with different
+        # across-word right contexts stays distinct
+        groups = net.wend_group[wpos]
+        seen: Dict[Tuple[int, int, int, int], int] = {}
         for i in keep:
             i = int(i)
             parent = int(e_tr[own[i]])
             lemma = int(lemmas[i])
-            dkey = (parent, lemma, int(new_hist[i]))
+            grp = int(groups[i])
+            dkey = (parent, lemma, int(new_hist[i]), grp)
             prev = seen.get(dkey)
             if prev is not None and self.arena.score[prev] <= total[i]:
                 continue
@@ -435,19 +465,29 @@ class WordConditionedTreeSearch:
             seen[dkey] = tidx
         if not seen:
             return
-        # fan out each surviving word end to the root children
-        tidxs = np.asarray(sorted(seen.values()), np.int64)
-        scores = np.asarray([self.arena.score[t] for t in tidxs])
-        hmap = {t: h for (_p, _l, h), t in seen.items()}
-        hist_ids = np.asarray([hmap[int(t)] for t in tidxs], np.int64)
-        n_entry = len(net.entry_states)
-        rep_states = np.tile(net.entry_states, len(tidxs))
-        rep_hist = np.repeat(hist_ids, n_entry)
-        rep_score = np.repeat(scores, n_entry)
-        rep_trace = np.repeat(tidxs, n_entry)
-        rep_bf = np.full(len(rep_states), self._t, np.int64)
-        rep_bs = rep_score.copy()
-        emit(rep_states, rep_hist, rep_score, rep_trace, rep_bf, rep_bs)
+        # fan each surviving word end into ITS entry group (reference
+        # across-word transits: the next word must start with the
+        # coarticulated right-context phoneme)
+        per_group: Dict[int, List[Tuple[int, int]]] = {}
+        for (_p, _l, h, grp), t in seen.items():
+            per_group.setdefault(grp, []).append((t, h))
+        for grp, items in per_group.items():
+            entry = net.entry_group_states[grp]
+            n_entry = len(entry)
+            if n_entry == 0:
+                continue
+            tidxs = np.asarray([t for t, _h in items], np.int64)
+            hist_ids = np.asarray([h for _t, h in items], np.int64)
+            scores = np.asarray([self.arena.score[int(t)]
+                                 for t in tidxs])
+            rep_states = np.tile(entry, len(tidxs))
+            rep_hist = np.repeat(hist_ids, n_entry)
+            rep_score = np.repeat(scores, n_entry)
+            rep_trace = np.repeat(tidxs, n_entry)
+            rep_bf = np.full(len(rep_states), self._t, np.int64)
+            rep_bs = rep_score.copy()
+            emit(rep_states, rep_hist, rep_score, rep_trace, rep_bf,
+                 rep_bs)
 
     # -- segment api --------------------------------------------------------------
 
@@ -471,11 +511,12 @@ class WordConditionedTreeSearch:
             at_last = (s - int(net.first[node])) == \
                 len(tree_node.emissions) - 1
             score = float(self._b_score[i])
-            if at_last and tree_node.word_ends:
+            closable = [w for w in tree_node.word_ends if w[3]]
+            if at_last and closable:
                 # forced word end at segment end, incl. the TDP exit
                 # penalty (as in-segment word ends get)
                 exit_pen = float(net.exit_pen[s])
-                lemma_id, pron = tree_node.word_ends[0]
+                lemma_id, pron = closable[0][0], closable[0][1]
                 lm_s, nh = self._lm_extend(int(self._b_hist[i]), lemma_id)
                 t0 = int(self._b_bframe[i])
                 am_delta = score + exit_pen + pron - float(self._b_bscore[i])
