@@ -21,6 +21,13 @@ _JSON_RE = re.compile(r"\{.*\}")
 
 
 def parse_log(path: str) -> List[Dict]:
+    """Parses either this framework's JSON-line logs or reference-format
+    XML channel logs (auto-detected)."""
+    with open(path, "r", encoding="utf-8", errors="replace") as fh:
+        head = fh.read(4096)
+    if head.lstrip().startswith("<?xml") or "<segment" in head:
+        from ..core.xml_log import parse_xml_log
+        return parse_xml_log(path)
     records = []
     with open(path, "r", encoding="utf-8") as fh:
         for line in fh:

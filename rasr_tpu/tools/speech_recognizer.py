@@ -49,6 +49,14 @@ class SpeechRecognizerApp(Application):
         evaluator = Evaluator("recognition")
         ctm_channel = Channel(self.config.sub("recognizer"), "ctm",
                               default="nil")
+        # reference-format XML log (doc/channel.rst schema, parseable by
+        # the reference analog tool): [*.recognizer] xml-log = <file>
+        xml_channel = Channel(self.config.sub("recognizer"), "xml-log",
+                              default="nil")
+        xml_log = None
+        if xml_channel.is_open():
+            from ..core.xml_log import RecognitionXmlLog
+            xml_log = RecognitionXmlLog(xml_channel)
         rtf_values: List[float] = []
         n = 0
         for seg in corpus.segments():
@@ -78,12 +86,27 @@ class SpeechRecognizerApp(Application):
                     k: {kk: round(vv, 2) for kk, vv in v.items()}
                     for k, v in stats.summary().items()}
             self.log(json.dumps(record))
+            if xml_log is not None:
+                from ..bliss.evaluation import align
+                xml_log.open_segment(seg)
+                if seg.orth:
+                    xml_log.orth("reference", seg.orth)
+                xml_log.orth("recognized", hyp)
+                if counts is not None:
+                    _, pairs = align(seg.orth.split(), hyp.split())
+                    xml_log.evaluation(counts, pairs)
+                xml_log.timing(elapsed, rtf)
+                if stats is not None and stats.summary():
+                    xml_log.search_space_statistics(stats.summary())
+                xml_log.close_segment()
             if ctm_channel.is_open():
                 for i, word in enumerate(hyp.split()):
                     ctm_channel.write(
                         f"{seg.recording.name} 1 "
                         f"{seg.start + i * 0.01:.2f} 0.01 {word}\n")
             n += 1
+        if xml_log is not None:
+            xml_log.close()
         summary = {
             "segments": n,
             "wer": round(100.0 * evaluator.wer, 2),

@@ -51,7 +51,10 @@ def feature_pipeline():
         # floor: zero-padded tail frames have exactly-0 mel energy; keep
         # the log finite so the conv front-end cannot smear inf into the
         # valid region (silence floor = -6)
-        return dsp.log10(jnp.maximum(fb, 1e-6))
+        logfb = dsp.log10(jnp.maximum(fb, 1e-6))
+        # segment-wise CMVN (signal-normalization node semantics): the
+        # raw log-mels sit around [-6, -2]; unnormalized they stall CTC
+        return dsp.normalize_segment(logfb)
 
     return pipe, feats_of
 
