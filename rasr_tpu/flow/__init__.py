@@ -2,13 +2,15 @@
 that fuses whole networks into single XLA programs (reference: src/Flow)."""
 
 from .compiler import FlowError, FlowPipeline, compile_network
-from .data import Stream
+from .data import (Attributes, END_OF_STREAM, OUT_OF_DATA, Stream,
+                   is_sentinel)
 from .network import NetworkDef, NodeDef, LinkDef, parse_network, parse_network_string
 from .nodes import Node, Registry, register
+from . import nodes_ext  # noqa: F401  (second-tier filter registrations)
 
 __all__ = [
     "FlowError", "FlowPipeline", "compile_network",
-    "Stream",
+    "Stream", "Attributes", "END_OF_STREAM", "OUT_OF_DATA", "is_sentinel",
     "NetworkDef", "NodeDef", "LinkDef", "parse_network", "parse_network_string",
     "Node", "Registry", "register",
 ]

@@ -115,6 +115,44 @@ class FlowPipeline:
             visit(n)
         return order
 
+    # -- attribute negotiation -------------------------------------------------
+
+    def configure(self, **input_attrs) -> Dict[str, "Attributes"]:
+        """Propagate Flow attributes through the network before data flows
+        (reference: Flow::Node::configure / putOutputAttributes chains,
+        src/Flow/Attributes.hh).  `input_attrs` maps network input names to
+        Attributes (or plain dicts).  Returns attributes at each network
+        output; raises FlowError on datatype mismatches."""
+        from .data import Attributes
+        net_name = self.net.name
+        values: Dict[Tuple[str, str], Attributes] = {}
+        for name, attrs in input_attrs.items():
+            if not isinstance(attrs, Attributes):
+                attrs = Attributes(attrs)
+            values[(net_name, name)] = attrs
+        in_links: Dict[str, List[LinkDef]] = {n: [] for n in self._nodes}
+        for link in self.net.links:
+            if link.to_node in in_links:
+                in_links[link.to_node].append(link)
+        for node_name in self._topo:
+            node = self._nodes[node_name]
+            node_in = {
+                link.to_port: values[(link.from_node, link.from_port)]
+                for link in in_links[node_name]
+                if (link.from_node, link.from_port) in values}
+            try:
+                outs = node.configure(node_in)
+            except ValueError as e:
+                raise FlowError(str(e)) from e
+            for port, attrs in outs.items():
+                values[(node_name, port)] = attrs
+        outputs: Dict[str, Attributes] = {}
+        for link in self.net.links:
+            if link.to_node == net_name and \
+                    (link.from_node, link.from_port) in values:
+                outputs[link.to_port] = values[(link.from_node, link.from_port)]
+        return outputs
+
     # -- execution -------------------------------------------------------------
 
     def _trace(self, inputs: Dict[str, Stream]) -> Dict[str, Stream]:

@@ -53,6 +53,32 @@ class Node:
     def apply(self, inputs: Dict[str, Stream]) -> Dict[str, Stream]:
         raise NotImplementedError
 
+    # -- attribute negotiation (reference: configure() / putOutputAttributes,
+    #    src/Flow/Node.hh) -----------------------------------------------------
+    #: required input datatype ("" port), checked during Pipeline.configure()
+    in_datatype: Optional[str] = None
+    #: datatype this node emits (None: pass through)
+    out_datatype: Optional[str] = None
+
+    def configure(self, in_attrs):
+        """Merge input attributes into output attributes (default Flow
+        behavior).  Nodes that change datatype/rate override this or set
+        `out_datatype`.  `in_attrs`: {port: Attributes}."""
+        from .data import Attributes
+        out = Attributes()
+        for a in in_attrs.values():
+            out.merge(a)
+        if self.in_datatype is not None:
+            for port, a in in_attrs.items():
+                got = a.get("datatype")
+                if got and got != self.in_datatype:
+                    raise ValueError(
+                        f"node {self.name}: port {port!r} carries datatype "
+                        f"{got!r}, needs {self.in_datatype!r}")
+        if self.out_datatype is not None:
+            out.set("datatype", self.out_datatype)
+        return {p: out for p in self.out_ports}
+
 
 # --------------------------------------------------------------------------
 # generic nodes (src/Flow/Module.cc registrations)

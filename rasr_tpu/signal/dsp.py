@@ -743,3 +743,319 @@ class MfccPipeline:
         if valid.shape[-1] != n:
             raise ValueError("n_samples exceeds provided samples")
         return self._jitted[key](valid)
+
+
+# ---------------------------------------------------------------------------
+# harmonic sum / product (reference: src/Signal/HarmonicSum.hh — pitch
+# analysis over one periodic buffer; s(n) = sum_h x[(n*h) mod T])
+# ---------------------------------------------------------------------------
+
+
+@lru_cache(maxsize=None)
+def _harmonic_index(T: int, N: int, H: int) -> np.ndarray:
+    """(N, H) gather indices (n*h) mod T for h = 1..H."""
+    n = np.arange(N, dtype=np.int64)[:, None]
+    h = np.arange(1, H + 1, dtype=np.int64)[None, :]
+    return ((n * h) % T).astype(np.int32)
+
+
+def harmonic_sum(x: jnp.ndarray, out_size: int = 0, max_h: int = 0
+                 ) -> jnp.ndarray:
+    """s(n) = sum_{h=1..H} x[(n*h) mod T] over the trailing axis (periodic
+    input of period T = x.shape[-1]); src/Signal/HarmonicSum.hh:41-54.
+    Realized as one gather + reduction (no scalar loops)."""
+    T = int(x.shape[-1])
+    N = int(out_size) or T
+    H = int(max_h) or T
+    idx = jnp.asarray(_harmonic_index(T, N, H))       # (N, H)
+    return jnp.sum(jnp.take(x, idx, axis=-1), axis=-1)
+
+
+def harmonic_product(x: jnp.ndarray, out_size: int = 0, max_h: int = 0
+                     ) -> jnp.ndarray:
+    """Normalized harmonic product (src/Signal/HarmonicSum.hh:68-104):
+    per harmonic h the running product is scaled by
+    sqrt(2 * E_h * E_s) / T where E_h is the energy of the h-shrunken
+    signal and E_s the energy of the current product."""
+    T = int(x.shape[-1])
+    N = int(out_size) or T
+    H = int(max_h) or T
+    idx_full = jnp.asarray(_harmonic_index(T, T, H))   # (T, H)
+    shr = jnp.take(x, idx_full, axis=-1)               # (..., T, H)
+    shr = jnp.moveaxis(shr, -1, 0)                     # (H, ..., T)
+
+    def step(s, xh):
+        energy = jnp.sum(xh * xh, axis=-1, keepdims=True)
+        s_energy = jnp.sum(s * s, axis=-1, keepdims=True)
+        norm = jnp.sqrt(2.0 * energy * s_energy) / T
+        return s * xh / jnp.maximum(norm, 1e-20), None
+
+    init = jnp.ones_like(x)
+    out, _ = jax.lax.scan(step, init, shr)
+    return out[..., :N]
+
+
+# ---------------------------------------------------------------------------
+# TRAP temporal pattern (reference: src/Signal/TempoRAlPattern.hh —
+# Hermansky & Sharma ICSLP'98: per critical band, a long temporal window is
+# windowed and DCT-compressed)
+# ---------------------------------------------------------------------------
+
+
+def temporal_pattern(features: jnp.ndarray, context_frames: int = 101,
+                     dct_size: int = 8, window: str = "hamming"
+                     ) -> jnp.ndarray:
+    """(T, D) band energies -> (T, D*dct_size) TRAP features.
+
+    Each band's +-(context//2)-frame context is windowed and reduced by a
+    truncated DCT — a single unfold + einsum onto the MXU (contrast the
+    reference's per-band scalar loops, TempoRAlPattern.cc)."""
+    W = int(context_frames)
+    half = W // 2
+    xp = _edge_replicate(features, half)               # (T+2*half, D)
+    T = features.shape[-2]
+    idx = jnp.arange(T)[:, None] + jnp.arange(W)[None, :]
+    windows = xp[idx]                                  # (T, W, D)
+    win = jnp.asarray(window_function(window, W), jnp.float32)
+    dct = jnp.asarray(dct_matrix(dct_size, W), jnp.float32)   # (K, W)
+    basis = dct * win[None, :]                         # fold window into DCT
+    out = jnp.einsum("twd,kw->tdk", windows.astype(jnp.float32), basis,
+                     precision=jax.lax.Precision.HIGHEST)
+    return out.reshape(T, -1)
+
+
+# ---------------------------------------------------------------------------
+# quantile equalization (reference: src/Signal/QuantileEqualization.hh —
+# per-dimension piecewise-linear map from current onto training quantiles)
+# ---------------------------------------------------------------------------
+
+
+def estimate_quantiles(data, n_quantiles: int = 4) -> np.ndarray:
+    """(Q+1, D) per-dimension quantiles at levels k/Q, k = 0..Q (the
+    reference stores numberOfQuantiles+1 points incl. min and max)."""
+    qs = np.linspace(0.0, 1.0, int(n_quantiles) + 1)
+    return np.quantile(np.asarray(data, np.float64), qs, axis=0
+                       ).astype(np.float32)
+
+
+def quantile_equalize(x: jnp.ndarray, train_q: jnp.ndarray,
+                      current_q: jnp.ndarray) -> jnp.ndarray:
+    """Piecewise-linear per-dimension map sending current quantiles onto
+    training quantiles (QuantileEqualization.hh:81-112 equalizeQuantiles,
+    piecewise-linear branch), vectorized over (T, D) via a one-hot segment
+    select instead of the reference's per-value scan."""
+    tq = jnp.asarray(train_q, jnp.float32)             # (Q+1, D)
+    cq = jnp.asarray(current_q, jnp.float32)
+    Q = tq.shape[0] - 1
+    xf = x.astype(jnp.float32)
+    # segment index per value: count of interior knots below x, in [0, Q-1]
+    below = (cq[1:Q, :][None, :, :] < xf[:, None, :])  # (T, Q-1, D)
+    seg = jnp.sum(below, axis=1)                       # (T, D) int
+    x1 = jnp.take_along_axis(cq.T, seg.T, axis=1).T    # cq[seg, d]
+    x2 = jnp.take_along_axis(cq.T, (seg + 1).T, axis=1).T
+    y1 = jnp.take_along_axis(tq.T, seg.T, axis=1).T
+    y2 = jnp.take_along_axis(tq.T, (seg + 1).T, axis=1).T
+    a = (y2 - y1) / jnp.maximum(x2 - x1, 1e-10)
+    return (a * (xf - x1) + y1).astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# frequency warping (reference: src/Signal/Warping.hh, LinearWarping.hh,
+# GenericWarping.hh — VTLN: remap spectral bins along a warping function)
+# ---------------------------------------------------------------------------
+
+
+def warping_matrix(size: int, warped_positions: np.ndarray,
+                   interpolate: bool = True) -> np.ndarray:
+    """(size, size) row-stochastic matrix W with out = W @ spectrum, where
+    output bin i reads input position warped_positions[i].
+
+    Mirrors Warping.hh's inverse-item semantics: a fractional position
+    linearly interpolates its two neighbours (LinearInterpolationInverseItem)
+    or copies the nearest bin (CopyInverseItem); positions spanning >1 bin
+    take the arithmetic mean (AritmeticMeanInverseItem).  Dense-matrix
+    formulation so warping fuses into the surrounding matmul chain."""
+    pos = np.clip(np.asarray(warped_positions, np.float64), 0, size - 1)
+    W = np.zeros((size, size), np.float32)
+    # bin i covers [pos[i], pos[i+1]) — merge when wider than one bin
+    for i in range(size):
+        lo = pos[i]
+        hi = pos[i + 1] if i + 1 < size else pos[i] + 1.0
+        if hi - lo > 1.0 + 1e-6:          # merge: arithmetic mean over span
+            b0, b1 = int(np.floor(lo)), min(int(np.ceil(hi)), size)
+            W[i, b0:b1] = 1.0 / max(b1 - b0, 1)
+        else:                              # copy / interpolate
+            b = int(np.floor(lo))
+            frac = lo - b
+            if not interpolate or frac < 1e-9 or b + 1 >= size:
+                W[i, min(int(round(lo)), size - 1)] = 1.0
+            else:
+                W[i, b] = 1.0 - frac
+                W[i, b + 1] = frac
+    return W
+
+
+@lru_cache(maxsize=None)
+def linear_warping_positions(size: int, warping_factor: float,
+                             break_point: float = 0.875) -> np.ndarray:
+    """Two-piece linear VTLN warp (src/Signal/LinearWarping.hh): slope
+    1/warping_factor up to break_point*size (in warped coordinates), then a
+    linear continuation pinned so size-1 maps to size-1."""
+    a = 1.0 / float(warping_factor)
+    edge = break_point * (size - 1) * min(a, 1.0 / a)
+    out = np.arange(size, dtype=np.float64)
+    lo = out * a
+    x_edge = edge            # warped-axis break position
+    src_edge = edge * a
+    denom = max((size - 1) - x_edge, 1e-9)
+    slope2 = ((size - 1) - src_edge) / denom
+    hi = src_edge + (out - x_edge) * slope2
+    return np.where(out <= x_edge, lo, hi)
+
+
+# ---------------------------------------------------------------------------
+# spectral / temporal integration (reference: src/Signal/
+# SpectralIntegration.hh, TemporalIntegration.hh — windowed down-sampling
+# of filterbank outputs along the spectral / temporal axis)
+# ---------------------------------------------------------------------------
+
+
+def _integration_matrix(n_in: int, length: int, shift: int,
+                        window: str) -> np.ndarray:
+    n_out = max(1 + (n_in - length) // shift, 1) if n_in >= length else 1
+    win = window_function(window, min(length, n_in))
+    M = np.zeros((n_out, n_in), np.float32)
+    for i in range(n_out):
+        s = i * shift
+        w = win[:max(min(length, n_in - s), 0)]
+        M[i, s:s + len(w)] = w
+    return M
+
+
+def spectral_integration(x: jnp.ndarray, length: int = 3, shift: int = 2,
+                         window: str = "hamming") -> jnp.ndarray:
+    """Windowed sum over the spectral (last) axis every `shift` channels."""
+    M = jnp.asarray(_integration_matrix(int(x.shape[-1]), length, shift,
+                                        window))
+    return x.astype(jnp.float32) @ M.T
+
+
+def temporal_integration(x: jnp.ndarray, length: int, shift: int,
+                         window: str = "hamming") -> jnp.ndarray:
+    """Windowed sum over the time (leading) axis every `shift` frames."""
+    M = jnp.asarray(_integration_matrix(int(x.shape[-2]), length, shift,
+                                        window))
+    return jnp.einsum("ot,...td->...od", M, x.astype(jnp.float32))
+
+
+# ---------------------------------------------------------------------------
+# nth-order polynomial features (reference: src/Signal/NthOrderFeatures.hh)
+# ---------------------------------------------------------------------------
+
+
+def nth_order_features(x: jnp.ndarray, orders: str = "first-and-second"
+                       ) -> jnp.ndarray:
+    """(T, D) -> polynomial feature expansion per frame.
+
+    orders: '+'-joined subset of {zeroth, first, second, diagonal-second,
+    diagonal-third} matching the reference OrderType flags (second = upper
+    triangle incl. diagonal of the outer product); 'first-and-second' is
+    the common reference configuration."""
+    if orders == "first-and-second":
+        orders = "first+second"
+    parts = []
+    D = int(x.shape[-1])
+    xf = x.astype(jnp.float32)
+    for token in orders.split("+"):
+        token = token.strip()
+        if token == "zeroth":
+            parts.append(jnp.ones(x.shape[:-1] + (1,), jnp.float32))
+        elif token == "first":
+            parts.append(xf)
+        elif token == "second":
+            iu, ju = np.triu_indices(D)
+            outer = xf[..., :, None] * xf[..., None, :]
+            parts.append(outer[..., iu, ju])
+        elif token == "diagonal-second":
+            parts.append(xf * xf)
+        elif token == "diagonal-third":
+            parts.append(xf ** 3)
+        else:
+            raise ValueError(f"unknown nth-order token {token!r}")
+    return jnp.concatenate(parts, axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# windowed cross-correlation (reference: src/Signal/CrossCorrelation.hh —
+# similarity of two frames over a lag interval, several normalizations)
+# ---------------------------------------------------------------------------
+
+
+def cross_correlation(x: jnp.ndarray, y: jnp.ndarray,
+                      begin: int, end: int,
+                      normalization: str = "unbiased-estimate"
+                      ) -> jnp.ndarray:
+    """R_xy over lags [begin, end) of two equal-length frames (..., L).
+
+    normalization: 'none', 'unbiased-estimate' (divide by #addends,
+    normalizeCrossCorrelationEstimate), or 'upper-bound' (scale so
+    |R| <= 1, normalizeCrossCorrelationUpperBound)."""
+    L = int(x.shape[-1])
+    lags = range(int(begin), int(end))
+    outs = []
+    ex = jnp.sum(x * x, axis=-1)
+    ey = jnp.sum(y * y, axis=-1)
+    for lag in lags:
+        k = abs(int(lag))
+        if k >= L:
+            outs.append(jnp.zeros(x.shape[:-1], jnp.float32))
+            continue
+        a, b = (x[..., k:], y[..., :L - k]) if lag < 0 else \
+               (x[..., :L - k], y[..., k:])
+        r = jnp.sum(a * b, axis=-1)
+        if normalization == "unbiased-estimate":
+            r = r / (L - k)
+        elif normalization == "upper-bound":
+            r = r / jnp.maximum(jnp.sqrt(ex * ey), 1e-20)
+        outs.append(r)
+    return jnp.stack(outs, axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# frame synchronization: prediction & interpolation (reference:
+# src/Signal/FramePrediction.hh RepeatingFramePrediction,
+# src/Signal/FrameInterpolation.hh PolinomialVectorInterpolation over
+# Flow::SynchronizationNode target times)
+# ---------------------------------------------------------------------------
+
+
+def frame_predict(features: jnp.ndarray, times: jnp.ndarray,
+                  target_times: jnp.ndarray) -> jnp.ndarray:
+    """One output frame per target time: the latest input frame whose start
+    time <= target (RepeatingFramePrediction).  times must be sorted."""
+    idx = jnp.searchsorted(times, target_times, side="right") - 1
+    idx = jnp.clip(idx, 0, features.shape[0] - 1)
+    return jnp.take(features, idx, axis=0)
+
+
+def frame_interpolate(features: jnp.ndarray, times: jnp.ndarray,
+                      target_times: jnp.ndarray, order: int = 1
+                      ) -> jnp.ndarray:
+    """Interpolate frames at target times (PolinomialVectorInterpolation).
+    order 0 = nearest, 1 = linear between the bracketing frames; higher
+    orders fall back to linear (sufficient for feature streams)."""
+    T = features.shape[0]
+    hi = jnp.clip(jnp.searchsorted(times, target_times, side="left"), 1,
+                  T - 1)
+    lo = hi - 1
+    t0 = jnp.take(times, lo)
+    t1 = jnp.take(times, hi)
+    f0 = jnp.take(features, lo, axis=0)
+    f1 = jnp.take(features, hi, axis=0)
+    if order == 0:
+        nearest = jnp.where((target_times - t0) <= (t1 - target_times),
+                            lo, hi)
+        return jnp.take(features, nearest, axis=0)
+    w = ((target_times - t0) / jnp.maximum(t1 - t0, 1e-10))[:, None]
+    w = jnp.clip(w, 0.0, 1.0)
+    return (1.0 - w) * f0 + w * f1
