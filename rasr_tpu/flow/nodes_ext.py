@@ -312,3 +312,81 @@ class AllPolesPowerSpectrumNode(Node):
                  if err is not None else 1.0)
         spec = gain2 / jnp.maximum(jnp.abs(A) ** 2, 1e-12)
         return {"": s.with_data(spec)}
+
+
+@register
+class PeakDetectionNode(Node):
+    """signal-peak-detection (src/Signal/PeakDetection.hh): maximal peak of
+    each input vector in a position band; out ports: "" (position, in
+    continuous units), value, confidence."""
+    filter_name = "signal-peak-detection"
+    out_ports = ("", "value", "confidence")
+    host_only = True
+
+    def apply(self, inputs):
+        from ..signal.analysis import peak_detection
+        s = inputs[""]
+        sr = s.meta.get("audio_sample_rate", s.sample_rate)
+        to_idx = lambda key: int(round(self.attr(key, 0.0, float) * sr))
+        data = np.asarray(s.data, np.float32)
+        if data.ndim == 1:
+            data = data[None, :]
+        pos, val, conf = [], [], []
+        for row in data:
+            p, v, c = peak_detection(
+                row, min_pos=to_idx("min-position"),
+                max_pos=to_idx("max-position"),
+                height_average_width=to_idx("height-average-width"),
+                max_width=to_idx("max-width"),
+                width_height_factor=self.attr("width-height-factor", 0.5,
+                                              float))
+            pos.append(p / sr)
+            val.append(v)
+            conf.append(c)
+        mk = lambda arr: s.with_data(jnp.asarray(np.asarray(arr,
+                                                            np.float32)))
+        return {"": mk(pos), "value": mk(val), "confidence": mk(conf)}
+
+
+@register
+class SilenceDetectionNode(Node):
+    """signal-silence-detection (src/Signal/SilenceDetection.hh): drop
+    silence frames from a feature/energy stream by an energy threshold with
+    minimum speech/silence run lengths."""
+    filter_name = "signal-silence-detection"
+    host_only = True
+
+    def apply(self, inputs):
+        from ..signal.analysis import silence_detection
+        s = inputs[""]
+        data = np.asarray(s.data, np.float32)
+        energies = (data ** 2).sum(-1) if data.ndim > 1 else data ** 2
+        mask = silence_detection(
+            energies,
+            min_snr=self.attr("min-snr", 1.7, float),
+            min_speech_length=self.attr("min-speech-length", 10,
+                                        lambda v: int(float(v))),
+            min_silence_length=self.attr("min-silence-length", 20,
+                                         lambda v: int(float(v))))
+        return {"": s.with_data(jnp.asarray(data[mask]))}
+
+
+@register
+class SilenceNormalizationNode(Node):
+    """signal-silence-normalization (src/Signal/SilenceNormalization.hh):
+    normalize the share of silence in the sample stream to
+    `silence-fraction` via EM energy segmentation."""
+    filter_name = "signal-silence-normalization"
+    host_only = True
+
+    def apply(self, inputs):
+        from ..signal.analysis import silence_normalization
+        s = inputs[""]
+        out = silence_normalization(
+            np.asarray(s.data, np.float32), s.sample_rate,
+            silence_fraction=self.attr("silence-fraction", 0.1, float),
+            block_size=self.attr("block-size", 0.01, float),
+            min_surrounding_silence=self.attr("min-surrounding-silence",
+                                              0.1, float),
+            fill_up_silence=self.attr("fill-up-silence", False, bool))
+        return {"": s.with_data(jnp.asarray(out))}

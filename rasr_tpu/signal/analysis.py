@@ -254,3 +254,139 @@ def cluster_segments(segment_features: Sequence[np.ndarray],
         for s in segs:
             labels[s] = c
     return labels
+
+
+# ---------------------------------------------------------------------------
+# peak detection (reference: src/Signal/PeakDetection.hh — maximal peak of a
+# spectrum/correlation vector in a position band, with height/width
+# confidences)
+# ---------------------------------------------------------------------------
+
+
+def peak_detection(v: np.ndarray, min_pos: int = 0, max_pos: int = 0,
+                   height_average_width: int = 0,
+                   max_width: int = 0, width_height_factor: float = 0.5):
+    """Maximal peak of `v` within [min_pos, max_pos).
+
+    Returns (position, value, confidence) with the reference confidences:
+    height confidence = min(peak/avg, 2) - 1 (PeakDetection.hh:75), width
+    confidence = 1 - width/maxWidth where width is measured at
+    avg + width_height_factor*(peak-avg)."""
+    v = np.asarray(v, np.float64)
+    n = len(v)
+    max_pos = max_pos or n
+    band = v[min_pos:max_pos]
+    if band.size == 0:
+        return 0, 0.0, 0.0
+    peak = int(np.argmax(band)) + min_pos
+    peak_val = float(v[peak])
+    w = height_average_width or n
+    lo, hi = max(peak - w // 2, 0), min(peak + w // 2 + 1, n)
+    avg = float(np.mean(v[lo:hi])) if hi > lo else 0.0
+    height_conf = min(peak_val / avg, 2.0) - 1.0 if avg > 0 else 0.0
+    # width at widthHeight between average and peak
+    width_height = avg + width_height_factor * (peak_val - avg)
+    left = peak
+    while left > 0 and v[left - 1] >= width_height:
+        left -= 1
+    right = peak
+    while right + 1 < n and v[right + 1] >= width_height:
+        right += 1
+    width = right - left + 1
+    mw = max_width or n
+    width_conf = max(1.0 - width / mw, 0.0)
+    return peak, peak_val, max(height_conf, 0.0) * width_conf
+
+
+# ---------------------------------------------------------------------------
+# silence detection (reference: src/Signal/SilenceDetection.hh — energy-
+# histogram threshold with minimum speech/silence run lengths) and silence
+# normalization (src/Signal/SilenceNormalization.hh — EM-like 2-class energy
+# segmentation, then trim silence to a requested fraction)
+# ---------------------------------------------------------------------------
+
+
+def silence_detection(energies: np.ndarray, min_snr: float = 1.7,
+                      min_speech_length: int = 10,
+                      min_silence_length: int = 20,
+                      threshold_interpolation: float = 0.5) -> np.ndarray:
+    """(T,) frame energies -> (T,) bool speech mask.
+
+    The decision threshold interpolates between the low and high modes of
+    the energy distribution (histogram-buffer semantics collapsed to the
+    whole segment); runs shorter than the minimum speech/silence lengths
+    are merged into their surroundings."""
+    e = np.asarray(energies, np.float64).reshape(-1)
+    if e.size == 0:
+        return np.zeros((0,), bool)
+    loge = np.log(np.maximum(e, 1e-20))
+    lo, hi = np.quantile(loge, 0.1), np.quantile(loge, 0.9)
+    if hi - lo < np.log(max(min_snr, 1.0 + 1e-6)):
+        return np.ones_like(e, dtype=bool)      # no usable SNR: all speech
+    thr = lo + threshold_interpolation * (hi - lo)
+    mask = loge > thr
+    # enforce minimum run lengths: flip short runs (silence first, then
+    # speech, mirroring the reference's delay-window smoothing)
+    for target, min_len in ((False, min_silence_length),
+                            (True, min_speech_length)):
+        i = 0
+        while i < len(mask):
+            j = i
+            while j < len(mask) and mask[j] == mask[i]:
+                j += 1
+            if mask[i] == target and (j - i) < min_len:
+                mask[i:j] = not target
+            i = j
+    return mask
+
+
+def silence_normalization(samples: np.ndarray, sample_rate: float,
+                          silence_fraction: float = 0.1,
+                          block_size: float = 0.01,
+                          min_surrounding_silence: float = 0.1,
+                          iterations: int = 3,
+                          fill_up_silence: bool = False,
+                          seed: int = 0) -> np.ndarray:
+    """Return samples whose silence share is normalized to
+    `silence_fraction` (SilenceNormalization.hh).
+
+    Blocks of `block_size` seconds are split speech/silence by a 2-means
+    EM on log block energy; excess silence blocks are removed (keeping
+    `min_surrounding_silence` around speech), or silence is duplicated
+    when the segment has too little and fill_up_silence is set."""
+    x = np.asarray(samples, np.float32).reshape(-1)
+    B = max(int(round(block_size * sample_rate)), 1)
+    n_blocks = len(x) // B
+    if n_blocks < 4:
+        return x
+    blocks = x[:n_blocks * B].reshape(n_blocks, B)
+    loge = np.log(np.maximum(np.mean(blocks ** 2, axis=1), 1e-20))
+    # 2-means EM init at the 1%/99% constraint quantiles
+    c_sil, c_sp = np.quantile(loge, 0.01), np.quantile(loge, 0.99)
+    for _ in range(max(iterations, 1)):
+        assign = np.abs(loge - c_sil) > np.abs(loge - c_sp)  # True = speech
+        if assign.all() or (~assign).all():
+            break
+        c_sil, c_sp = loge[~assign].mean(), loge[assign].mean()
+    speech = np.abs(loge - c_sil) > np.abs(loge - c_sp)
+    keep_ctx = max(int(round(min_surrounding_silence / block_size)), 0)
+    protected = speech.copy()
+    for k in range(1, keep_ctx + 1):
+        protected[:-k] |= speech[k:]
+        protected[k:] |= speech[:-k]
+    n_speech = int(speech.sum())
+    want_sil = int(round(silence_fraction / max(1.0 - silence_fraction, 1e-6)
+                         * n_speech))
+    sil_idx = np.flatnonzero(~protected)
+    extra_ctx_sil = int((~speech).sum() - len(sil_idx))
+    drop = len(sil_idx) - max(want_sil - extra_ctx_sil, 0)
+    keep = np.ones(n_blocks, bool)
+    if drop > 0:
+        keep[sil_idx[:drop]] = False            # trim leading excess silence
+    out = blocks[keep].reshape(-1)
+    if fill_up_silence and drop < 0 and len(sil_idx):
+        rng = np.random.default_rng(seed)
+        extra = blocks[rng.choice(sil_idx, size=-drop)].reshape(-1)
+        out = np.concatenate([out, extra])
+    tail = x[n_blocks * B:]
+    return np.concatenate([out, tail])

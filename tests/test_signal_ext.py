@@ -204,3 +204,45 @@ def test_sentinels_are_falsy_and_distinct():
     assert END_OF_STREAM is not OUT_OF_DATA
     assert flow.is_sentinel(END_OF_STREAM)
     assert not flow.is_sentinel(Stream(jnp.zeros(3), 1.0))
+
+
+# -- peak detection + silence ----------------------------------------------
+
+
+def test_peak_detection_finds_peak_with_confidence():
+    from rasr_tpu.signal.analysis import peak_detection
+    v = np.ones(100) * 0.1
+    v[40:45] = [0.5, 1.5, 2.0, 1.5, 0.5]
+    pos, val, conf = peak_detection(v, min_pos=10, max_pos=90)
+    assert pos == 42 and val == pytest.approx(2.0)
+    assert conf > 0.0
+    # peak outside the band is ignored
+    pos2, _, _ = peak_detection(v, min_pos=50, max_pos=90)
+    assert pos2 != 42
+
+
+def test_silence_detection_masks_quiet_runs():
+    from rasr_tpu.signal.analysis import silence_detection
+    e = np.concatenate([np.full(30, 1e-6), np.full(40, 1.0),
+                        np.full(30, 1e-6)])
+    mask = silence_detection(e, min_speech_length=5, min_silence_length=5)
+    assert not mask[:25].any() and mask[35:65].all() and not mask[80:].any()
+    # short silence gaps inside speech are merged into speech
+    e2 = np.concatenate([np.full(40, 1.0), np.full(3, 1e-6),
+                         np.full(40, 1.0)])
+    m2 = silence_detection(e2, min_silence_length=10)
+    assert m2.all()
+
+
+def test_silence_normalization_reduces_silence_share():
+    from rasr_tpu.signal.analysis import silence_normalization
+    rng2 = np.random.default_rng(3)
+    sr = 1000.0
+    sil = rng2.standard_normal(2000).astype(np.float32) * 1e-4
+    speech = rng2.standard_normal(1000).astype(np.float32)
+    x = np.concatenate([sil, speech, sil])
+    out = silence_normalization(x, sr, silence_fraction=0.2,
+                                block_size=0.01,
+                                min_surrounding_silence=0.05)
+    assert len(out) < len(x)               # silence trimmed
+    assert np.abs(out).max() == pytest.approx(np.abs(x).max())  # speech kept
