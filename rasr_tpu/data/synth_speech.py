@@ -37,8 +37,12 @@ class SynthSpeechTask:
     units_per_word: int = 3
     sample_rate: int = 16000
     frame_samples: int = 160     # 10 ms
-    min_frames: int = 4          # per unit
-    max_frames: int = 9
+    # per-unit duration: must stay comfortably above the acoustic model's
+    # 4x time reduction so CTC alignments keep slack (a unit of d input
+    # frames spans d/4 output frames; d >= 8 gives >= 2 frames per label,
+    # matching BPE-unit durations on real speech)
+    min_frames: int = 8          # per unit
+    max_frames: int = 16
     task_seed: int = 2024
 
     def __post_init__(self):
@@ -113,7 +117,15 @@ class SynthSpeechTask:
         utts = [self.utterance(rng, min_words, max_words)
                 for _ in range(batch_size)]
         n_max = int(max_seconds * self.sample_rate)
-        N = min(max(len(a) for a, _o, _l in utts), n_max)
+        # truncating audio while keeping the full label sequence would make
+        # CTC infeasible; the caller must budget max_seconds for max_words
+        longest = max(len(a) for a, _o, _l in utts)
+        if longest > n_max:
+            raise ValueError(
+                f"utterance ({longest / self.sample_rate:.2f}s) exceeds "
+                f"max_seconds={max_seconds}; lower max_words "
+                f"(worst case ~{max_words * self.units_per_word * (self.max_frames + 1) + 2 * max_words} frames)")
+        N = min(longest, n_max)
         L = max(len(l) for _a, _o, l in utts)
         audio = np.zeros((batch_size, N), np.float32)
         n_samples = np.zeros(batch_size, np.int64)

@@ -195,8 +195,14 @@ def sssp(fsa: Automaton, backward: bool = False) -> List[float]:
                         dist[p] = nd
                         heapq.heappush(heap, (nd, p))
             return dist
-        # log semiring: require acyclic; relax in reverse topological order
-        order = _topological_order(fsa)
+        # log semiring: reverse topological relaxation when acyclic;
+        # queue-based convergent relaxation (Mohri's generic SSSP) otherwise
+        try:
+            order = _topological_order(fsa)
+        except ValueError:
+            edges = [[(arc.target, arc.weight) for arc in fsa.arcs[s]]
+                     for s in range(n)]
+            return _sssp_log_cyclic(edges, dict(fsa.final), n)
         for s, w in fsa.final.items():
             dist[s] = fsa.semiring.collect(dist[s], w)
         for s in reversed(order):
@@ -220,13 +226,51 @@ def sssp(fsa: Automaton, backward: bool = False) -> List[float]:
                     dist[arc.target] = nd
                     heapq.heappush(heap, (nd, arc.target))
         return dist
-    order = _topological_order(fsa)
+    try:
+        order = _topological_order(fsa)
+    except ValueError:
+        rev_edges: List[List[Tuple[int, float]]] = [[] for _ in range(n)]
+        for s in range(n):
+            for arc in fsa.arcs[s]:
+                rev_edges[arc.target].append((s, arc.weight))
+        return _sssp_log_cyclic(rev_edges, {fsa.initial: 0.0}, n)
     for s in order:
         if dist[s] == INF:
             continue
         for arc in fsa.arcs[s]:
             dist[arc.target] = fsa.semiring.collect(
                 dist[arc.target], dist[s] + arc.weight)
+    return dist
+
+
+def _sssp_log_cyclic(edges: List[List[Tuple[int, float]]],
+                     init: Dict[int, float], n: int,
+                     tol: float = 1e-10, max_sweeps: int = 10_000
+                     ) -> List[float]:
+    """Convergent log-semiring shortest distance on cyclic graphs (Mohri's
+    generic SSSP with a work queue): dist[s] accumulates
+    logadd(init[s], min-plus-free sum over edges (u, w): dist[u] + w).
+    Converges when all cycle weights are positive (probability < 1), the
+    case for normalized lattices; bounded by `max_sweeps` otherwise."""
+    dist = [INF] * n
+    # accumulate by repeated sweeps: F(d)[s] = logadd(init[s],
+    # logadd_u d[u] + w(u, s)) is a monotone contraction on [-inf, d0]
+    for s, w in init.items():
+        dist[s] = w
+    for _ in range(max_sweeps):
+        delta = 0.0
+        for s in range(n):
+            acc = init.get(s, INF)
+            for (u, w) in edges[s]:
+                if dist[u] < INF:
+                    acc = logadd(acc, dist[u] + w)
+            if acc < INF:
+                d = abs(acc - dist[s]) if dist[s] < INF else INF
+                if d > delta:
+                    delta = d
+                dist[s] = acc
+        if delta <= tol:
+            break
     return dist
 
 
@@ -404,9 +448,28 @@ def remove_epsilons(fsa: Automaton) -> Automaton:
     return connect(out)
 
 
+def is_acceptor(fsa: Automaton) -> bool:
+    return all(arc.olabel == arc.ilabel
+               for s in range(fsa.n_states) for arc in fsa.arcs[s])
+
+
 def determinize(fsa: Automaton) -> Automaton:
     """Weighted subset determinization over the tropical semiring
-    (acceptor view on input labels; reference tDeterminize)."""
+    (reference tDeterminize).
+
+    Acceptors use plain weighted subsets; transducers use p-subsets of
+    (state, residual weight, residual output string) — arcs emit the
+    longest common prefix one symbol at a time, and any output residual
+    remaining at a final subset is flushed through a chain of
+    (eps-input : symbol) arcs to a fresh final state (the factored form of
+    gallic-weight determinization).  Terminates for determinizable inputs
+    (always for the acyclic lattices/grammars used by Flf/search)."""
+    if is_acceptor(fsa):
+        return _determinize_acceptor(fsa)
+    return _determinize_transducer(fsa)
+
+
+def _determinize_acceptor(fsa: Automaton) -> Automaton:
     out = Automaton(semiring=fsa.semiring,
                     input_alphabet=fsa.input_alphabet,
                     output_alphabet=fsa.output_alphabet)
@@ -443,6 +506,68 @@ def determinize(fsa: Automaton) -> Automaton:
     return out
 
 
+def _lcp(strings: List[Tuple[int, ...]]) -> Tuple[int, ...]:
+    if not strings:
+        return ()
+    first = min(strings, key=len)
+    k = 0
+    while k < len(first) and all(s[k] == first[k] for s in strings):
+        k += 1
+    return first[:k]
+
+
+def _determinize_transducer(fsa: Automaton) -> Automaton:
+    out = Automaton(semiring=fsa.semiring,
+                    input_alphabet=fsa.input_alphabet,
+                    output_alphabet=fsa.output_alphabet)
+    # p-subset entry: (state, residual weight, residual output string)
+    start = ((fsa.initial, 0.0, ()),)
+    ids: Dict[Tuple, int] = {start: out.add_state()}
+    out.initial = ids[start]
+    stack = [start]
+    while stack:
+        subset = stack.pop()
+        sid = ids[subset]
+        # finality: flush each final entry's output residual via an
+        # eps-input chain (factored gallic residual)
+        for (s, r, z) in subset:
+            if s in fsa.final:
+                w = r + fsa.final[s]
+                if not z:
+                    if sid not in out.final or w < out.final[sid]:
+                        out.set_final(sid, w)
+                else:
+                    cur = sid
+                    for i, sym in enumerate(z):
+                        nxt = out.add_state()
+                        out.add_arc(cur, nxt, EPS, sym, w if i == 0 else 0.0)
+                        cur = nxt
+                    out.set_final(cur, 0.0)
+        # group by input label: target -> best (weight, out-string)
+        by_label: Dict[int, Dict[Tuple[int, Tuple[int, ...]], float]] = {}
+        for (s, r, z) in subset:
+            for arc in fsa.arcs[s]:
+                zo = z + ((arc.olabel,) if arc.olabel != EPS else ())
+                d = by_label.setdefault(arc.ilabel, {})
+                key = (arc.target, zo)
+                w = r + arc.weight
+                if w < d.get(key, INF):
+                    d[key] = w
+        for label, targets in sorted(by_label.items()):
+            w_min = min(targets.values())
+            common = _lcp([zo for (_t, zo) in targets])
+            emit = common[0] if common else EPS
+            strip = 1 if common else 0
+            new_subset = tuple(sorted(
+                (t, w - w_min, zo[strip:])
+                for (t, zo), w in targets.items()))
+            if new_subset not in ids:
+                ids[new_subset] = out.add_state()
+                stack.append(new_subset)
+            out.add_arc(sid, ids[new_subset], label, emit, w_min)
+    return out
+
+
 def reverse(fsa: Automaton) -> Automaton:
     """Reversed automaton: arcs flipped, finals become initial (via a super
     initial state with epsilon arcs), initial becomes final."""
@@ -463,55 +588,119 @@ def reverse(fsa: Automaton) -> Automaton:
 
 
 def minimize(fsa: Automaton) -> Automaton:
-    """Brzozowski minimization for (weighted) acceptors:
-    determinize(reverse(determinize(reverse(A)))) — yields the minimal
-    deterministic acceptor; weights stay path-equivalent under the
-    tropical pushing done by determinization (reference tMinimize)."""
-    step1 = determinize(remove_epsilons(reverse(fsa)))
+    """Brzozowski minimization: determinize(reverse(determinize(reverse(A))))
+    — yields the minimal deterministic acceptor; weights stay
+    path-equivalent under the tropical pushing done by determinization
+    (reference tMinimize).  Transducers are minimized in the pair-label
+    encoding (each (i, o) pair treated as one acceptor symbol), which
+    preserves the input-output relation exactly."""
+    if is_acceptor(fsa):
+        step1 = determinize(remove_epsilons(reverse(fsa)))
+        step2 = determinize(remove_epsilons(reverse(step1)))
+        return connect(step2)
+    enc, decode = _encode_pairs(fsa)
+    step1 = determinize(remove_epsilons(reverse(enc)))
     step2 = determinize(remove_epsilons(reverse(step1)))
-    return connect(step2)
+    return connect(_decode_pairs(step2, decode,
+                                 fsa.input_alphabet, fsa.output_alphabet))
+
+
+def _encode_pairs(fsa: Automaton) -> Tuple[Automaton, List[Tuple[int, int]]]:
+    """Encode (ilabel, olabel) arc pairs as fresh acceptor symbols
+    (pair ids start at 1; 0 stays the (EPS, EPS) pair)."""
+    pair_ids: Dict[Tuple[int, int], int] = {(EPS, EPS): EPS}
+    decode: List[Tuple[int, int]] = [(EPS, EPS)]
+    out = Automaton(semiring=fsa.semiring)
+    for _ in range(fsa.n_states):
+        out.add_state()
+    out.initial = fsa.initial
+    out.final = dict(fsa.final)
+    for s in range(fsa.n_states):
+        for arc in fsa.arcs[s]:
+            key = (arc.ilabel, arc.olabel)
+            if key not in pair_ids:
+                pair_ids[key] = len(decode)
+                decode.append(key)
+            out.add_arc(s, arc.target, pair_ids[key], pair_ids[key],
+                        arc.weight)
+    return out, decode
+
+
+def _decode_pairs(fsa: Automaton, decode: List[Tuple[int, int]],
+                  input_alphabet, output_alphabet) -> Automaton:
+    out = Automaton(semiring=fsa.semiring, input_alphabet=input_alphabet,
+                    output_alphabet=output_alphabet)
+    for _ in range(fsa.n_states):
+        out.add_state()
+    out.initial = fsa.initial
+    out.final = dict(fsa.final)
+    for s in range(fsa.n_states):
+        for arc in fsa.arcs[s]:
+            i, o = decode[arc.ilabel]
+            out.add_arc(s, arc.target, i, o, arc.weight)
+    return out
 
 
 def compose(a: Automaton, b: Automaton) -> Automaton:
-    """Transducer composition a∘b (match a's output to b's input) with
-    naive epsilon handling (suitable for the lattice/grammar use cases;
-    reference tCompose)."""
+    """Transducer composition a∘b (match a's output to b's input) with the
+    three-state epsilon-sequencing filter (Mohri/Pereira/Riley; reference
+    tCompose), so every epsilon interleaving is matched exactly once and
+    weights are correct under the log semiring as well as the tropical.
+
+    Filter states: 0 = free; 1 = inside an a-side epsilon run; 2 = inside a
+    b-side epsilon run.  Joint eps:eps moves only from 0; a-only from
+    {0, 1}; b-only from {0, 2}; any real match resets to 0."""
     out = Automaton(semiring=a.semiring,
                     input_alphabet=a.input_alphabet,
                     output_alphabet=b.output_alphabet)
-    ids: Dict[Tuple[int, int], int] = {}
+    ids: Dict[Tuple[int, int, int], int] = {}
 
-    def state(pa: int, pb: int) -> int:
-        key = (pa, pb)
+    def state(pa: int, pb: int, f: int) -> int:
+        key = (pa, pb, f)
         if key not in ids:
             ids[key] = out.add_state()
             stack.append(key)
         return ids[key]
 
-    stack: List[Tuple[int, int]] = []
-    out.initial = state(a.initial, b.initial)
-    seen: Set[Tuple[int, int]] = set()
+    stack: List[Tuple[int, int, int]] = []
+    out.initial = state(a.initial, b.initial, 0)
+    seen: Set[Tuple[int, int, int]] = set()
     while stack:
         key = stack.pop()
         if key in seen:
             continue
         seen.add(key)
-        pa, pb = key
+        pa, pb, f = key
         sid = ids[key]
         if pa in a.final and pb in b.final:
             out.set_final(sid, a.final[pa] + b.final[pb])
+        a_eps = [arc for arc in a.arcs[pa] if arc.olabel == EPS]
+        b_eps = [arc for arc in b.arcs[pb] if arc.ilabel == EPS]
+        # real matches (reset filter)
         for arc_a in a.arcs[pa]:
             if arc_a.olabel == EPS:
-                out.add_arc(sid, state(arc_a.target, pb), arc_a.ilabel, EPS,
-                            arc_a.weight)
                 continue
             for arc_b in b.arcs[pb]:
                 if arc_b.ilabel == arc_a.olabel:
-                    out.add_arc(sid, state(arc_a.target, arc_b.target),
+                    out.add_arc(sid, state(arc_a.target, arc_b.target, 0),
                                 arc_a.ilabel, arc_b.olabel,
                                 arc_a.weight + arc_b.weight)
-        for arc_b in b.arcs[pb]:
-            if arc_b.ilabel == EPS:
-                out.add_arc(sid, state(pa, arc_b.target), EPS, arc_b.olabel,
-                            arc_b.weight)
+        # joint eps:eps move (both sides advance) — only from the free state
+        if f == 0:
+            for arc_a in a_eps:
+                for arc_b in b_eps:
+                    out.add_arc(sid,
+                                state(arc_a.target, arc_b.target, 0),
+                                arc_a.ilabel, arc_b.olabel,
+                                arc_a.weight + arc_b.weight)
+        # a-side epsilon run
+        if f != 2:
+            for arc_a in a_eps:
+                out.add_arc(sid, state(arc_a.target, pb, 1),
+                            arc_a.ilabel, EPS, arc_a.weight)
+        # b-side epsilon run
+        if f != 1:
+            for arc_b in b_eps:
+                out.add_arc(sid, state(pa, arc_b.target, 2),
+                            EPS, arc_b.olabel, arc_b.weight)
     return connect(out)

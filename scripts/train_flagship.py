@@ -122,19 +122,19 @@ def main() -> int:
     # held-out eval batch (seed stream disjoint from training seeds)
     ev_audio, ev_ns, _el, _ell, ev_orths = task.batch(
         seed=10_000_000, batch_size=16, max_seconds=TRAIN_SECONDS,
-        min_words=8, max_words=30)
+        min_words=8, max_words=14)
     ev_pad = np.zeros((16, N), np.float32)
     ev_pad[:, :ev_audio.shape[1]] = ev_audio[:, :N]
     ev_feats = feats_jit(jnp.asarray(ev_pad))
     ev_flens = frames_of(ev_ns)
     lp_fn = trainer.log_probs_fn()
 
-    L_MAX = 96  # 30 words x 3 units + margin; fixed => one XLA program
+    L_MAX = 48  # 14 words x 3 units + margin; fixed => one XLA program
     t_report = time.time()
     for step in range(trainer.step, args.steps):
         audio, ns, labels, lens, _orths = task.batch(
             seed=step + 1, batch_size=BATCH, max_seconds=TRAIN_SECONDS,
-            min_words=8, max_words=30)
+            min_words=8, max_words=14)
         pad = np.zeros((BATCH, N), np.float32)
         pad[:, :audio.shape[1]] = audio[:, :N]
         feats = feats_jit(jnp.asarray(pad))
