@@ -299,3 +299,70 @@ class CorpusDescription:
         if current_rec is not None:
             visitor.leave_recording(current_rec)
         visitor.leave_corpus(self.name)
+
+
+# ---------------------------------------------------------------------------
+# corpus writing (reference: the Bliss corpus XML format written by
+# src/Tools/Bliss/corpustool.py / xmlWriterLib.py)
+# ---------------------------------------------------------------------------
+
+
+def _xml_escape(s: str) -> str:
+    return (s.replace("&", "&amp;").replace("<", "&lt;")
+            .replace(">", "&gt;").replace('"', "&quot;"))
+
+
+def write_corpus_xml(name: str, recordings: List[Recording], path: str
+                     ) -> None:
+    """Write a Bliss corpus XML file (gzip when path ends with .gz)."""
+    import gzip
+    opener = gzip.open if path.endswith(".gz") else open
+    with opener(path, "wt", encoding="utf-8") as fh:
+        fh.write('<?xml version="1.0" encoding="utf-8"?>\n')
+        fh.write(f'<corpus name="{_xml_escape(name)}">\n')
+        speakers_written = set()
+        for rec in recordings:
+            for seg in rec.segments:
+                sp = seg.speaker
+                if sp is not None and sp.name and \
+                        sp.name not in speakers_written:
+                    speakers_written.add(sp.name)
+                    fh.write(f'  <speaker-description name='
+                             f'"{_xml_escape(sp.name)}">\n')
+                    if sp.gender:
+                        fh.write(f'    <gender>{_xml_escape(sp.gender)}'
+                                 f'</gender>\n')
+                    fh.write('  </speaker-description>\n')
+        for rec in recordings:
+            attrs = f' name="{_xml_escape(rec.name)}"'
+            if rec.audio:
+                attrs += f' audio="{_xml_escape(rec.audio)}"'
+            fh.write(f'  <recording{attrs}>\n')
+            for seg in rec.segments:
+                s_attrs = f' name="{_xml_escape(seg.name)}"'
+                s_attrs += f' start="{seg.start:.3f}" end="{seg.end:.3f}"'
+                if seg.track:
+                    s_attrs += f' track="{seg.track}"'
+                fh.write(f'    <segment{s_attrs}>\n')
+                if seg.speaker is not None and seg.speaker.name:
+                    fh.write(f'      <speaker name='
+                             f'"{_xml_escape(seg.speaker.name)}"/>\n')
+                if seg.orth:
+                    fh.write(f'      <orth> {_xml_escape(seg.orth)} '
+                             f'</orth>\n')
+                fh.write('    </segment>\n')
+            fh.write('  </recording>\n')
+        fh.write('</corpus>\n')
+
+
+def collect_recordings(corpus: "CorpusDescription") -> List[Recording]:
+    """Materialize the streamed corpus as a recording list (segments
+    grouped under their recordings, original order preserved)."""
+    recs: List[Recording] = []
+    seen: Dict[int, Recording] = {}
+    for seg in corpus.segments():
+        rec = seg.recording
+        if id(rec) not in seen:
+            seen[id(rec)] = rec
+            recs.append(rec)
+    return recs

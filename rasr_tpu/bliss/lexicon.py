@@ -256,3 +256,58 @@ class Lexicon:
 
     def __len__(self) -> int:
         return len(self.lemmas)
+
+
+# ---------------------------------------------------------------------------
+# lexicon writing (reference: the Bliss lexicon XML format written by
+# src/Tools/Bliss/lextool.py / blissLexiconLib.py)
+# ---------------------------------------------------------------------------
+
+
+def write_lexicon_xml(lexicon: "Lexicon", path: str) -> None:
+    """Write a Bliss lexicon XML file (gzip when path ends with .gz)."""
+    import gzip
+
+    def esc(s: str) -> str:
+        return (s.replace("&", "&amp;").replace("<", "&lt;")
+                .replace(">", "&gt;"))
+
+    opener = gzip.open if path.endswith(".gz") else open
+    with opener(path, "wt", encoding="utf-8") as fh:
+        fh.write('<?xml version="1.0" encoding="utf-8"?>\n<lexicon>\n')
+        fh.write('  <phoneme-inventory>\n')
+        for ph in lexicon.phoneme_inventory:
+            fh.write('    <phoneme>\n')
+            fh.write(f'      <symbol>{esc(ph.symbol)}</symbol>\n')
+            if not ph.context_dependent:
+                fh.write('      <variation>none</variation>\n')
+            fh.write('    </phoneme>\n')
+        fh.write('  </phoneme-inventory>\n')
+        inv = lexicon.phoneme_inventory
+        for lemma in lexicon.lemmas:
+            attr = f' special="{esc(lemma.special)}"' if lemma.special else ""
+            fh.write(f'  <lemma{attr}>\n')
+            for orth in lemma.orths:
+                fh.write(f'    <orth>{esc(orth)}</orth>\n')
+            for lp in lemma.pronunciations:
+                symbols = " ".join(inv.by_id(pid).symbol
+                                   for pid in lp.pronunciation.phonemes)
+                import math
+                if lp.score:
+                    weight = math.exp(-lp.score)
+                    fh.write(f'    <phon score="{lp.score:.6f}">'
+                             f'{esc(symbols)}</phon>\n')
+                else:
+                    fh.write(f'    <phon>{esc(symbols)}</phon>\n')
+            if lemma.synt is not None:
+                fh.write('    <synt>')
+                for tok in lemma.synt:
+                    fh.write(f'<tok>{esc(tok)}</tok>')
+                fh.write('</synt>\n')
+            for ev in lemma.evals:
+                fh.write('    <eval>')
+                for tok in ev:
+                    fh.write(f'<tok>{esc(tok)}</tok>')
+                fh.write('</eval>\n')
+            fh.write('  </lemma>\n')
+        fh.write('</lexicon>\n')

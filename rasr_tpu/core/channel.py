@@ -24,11 +24,17 @@ class _Target:
     def __init__(self, name: str, append: bool = False, compressed: bool = False):
         self.name = name
         self._lock = threading.Lock()
+        # stdout/stderr are resolved at write time: sys.stdout may be
+        # redirected/replaced between Application lifetimes (pytest capture,
+        # shell redirection), and a cached handle would go stale
+        self._std: Optional[str] = None
         if name == "stdout" or name == "-":
-            self._fh: Optional[TextIO] = sys.stdout
+            self._std = "stdout"
+            self._fh: Optional[TextIO] = None
             self._owned = False
         elif name == "stderr":
-            self._fh = sys.stderr
+            self._std = "stderr"
+            self._fh = None
             self._owned = False
         elif name == "nil":
             self._fh = None
@@ -41,14 +47,21 @@ class _Target:
                 self._fh = open(name, mode, encoding="utf-8")
             self._owned = True
 
+    def _handle(self) -> Optional[TextIO]:
+        if self._std is not None:
+            return getattr(sys, self._std)
+        return self._fh
+
     def write(self, text: str) -> None:
-        if self._fh is not None:
+        fh = self._handle()
+        if fh is not None and not getattr(fh, "closed", False):
             with self._lock:
-                self._fh.write(text)
+                fh.write(text)
 
     def flush(self) -> None:
-        if self._fh is not None:
-            self._fh.flush()
+        fh = self._handle()
+        if fh is not None and not getattr(fh, "closed", False):
+            fh.flush()
 
     def close(self) -> None:
         if self._fh is not None and self._owned:
