@@ -93,7 +93,7 @@ class SynthSpeechTask:
         word_ids = rng.integers(0, self.n_words, size=n_w)
         labels: List[int] = []
         pieces: List[np.ndarray] = []
-        warp = float(rng.uniform(0.92, 1.08))
+        warp = float(rng.uniform(0.96, 1.04))
         gain = float(rng.uniform(0.5, 1.5))
         for w in word_ids:
             for u in self.words[int(w)]:
@@ -105,7 +105,7 @@ class SynthSpeechTask:
             pieces.append(np.zeros(int(rng.integers(1, 3))
                                    * self.frame_samples, np.float32))
         audio = np.concatenate(pieces) * gain
-        audio += rng.normal(0.0, 0.02, size=audio.shape).astype(np.float32)
+        audio += rng.normal(0.0, 0.01, size=audio.shape).astype(np.float32)
         orth = " ".join(f"w{int(w):04d}" for w in word_ids)
         return audio.astype(np.float32), orth, labels
 
