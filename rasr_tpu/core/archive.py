@@ -70,9 +70,16 @@ class Archive:
 
 
 class FileArchive(Archive):
-    def __init__(self, path: str, mode: str = "r"):
+    def __init__(self, path: str, mode: str = "r", shared: bool = False):
+        """shared=True (append mode): multi-writer archive — several
+        processes may append concurrently; every record write happens
+        under an exclusive POSIX flock, the info-table flag stays clear
+        so readers recover items by scanning the recovery tags, and a
+        crashed writer's trailing partial record is skipped on read
+        (reference: concurrent cache-archive appends with recovery)."""
         self.path = path
         self.mode = mode
+        self.shared = shared and mode == "a"
         self._items: Dict[str, _Item] = {}
         # empty (removed) slots: (position-of-sizes-field, data size)
         self._empty: List[Tuple[int, int]] = []
@@ -87,17 +94,60 @@ class FileArchive(Archive):
             self._end_of_data = self._fh.tell()
             self._dirty = True
         elif mode == "a":
-            if os.path.exists(path):
-                self._fh = open(path, "r+b")
+            exists = os.path.exists(path) and os.path.getsize(path) > 0
+            self._fh = open(path, "r+b" if exists else "w+b")
+            if self.shared:
+                with self._locked():
+                    if exists:
+                        self._read_header_and_table()
+                        self._unfinalize()
+                    else:
+                        self._fh.write(_MAGIC)
+                        self._fh.write(b"\x00")
+                        self._fh.flush()
+                        self._end_of_data = self._fh.tell()
+            elif exists:
                 self._read_header_and_table()
             else:
-                self._fh = open(path, "w+b")
                 self._fh.write(_MAGIC)
                 self._fh.write(b"\x00")
                 self._end_of_data = self._fh.tell()
                 self._dirty = True
         else:
             raise ValueError(f"bad mode {mode!r}")
+
+    # -- shared-mode locking -------------------------------------------------
+
+    def _locked(self):
+        import contextlib
+        import fcntl
+
+        @contextlib.contextmanager
+        def guard():
+            fcntl.flock(self._fh.fileno(), fcntl.LOCK_EX)
+            try:
+                yield
+            finally:
+                self._fh.flush()
+                fcntl.flock(self._fh.fileno(), fcntl.LOCK_UN)
+
+        return guard()
+
+    def _unfinalize(self) -> None:
+        """Drop a written info table so concurrent appends stay
+        recoverable (flag byte 0 + truncate the table tail)."""
+        self._fh.seek(8)
+        flag = self._fh.read(1)
+        if flag and flag[0]:
+            self._fh.seek(8)
+            self._fh.write(b"\x00")
+            self._fh.truncate(self._end_of_data)
+            self._fh.flush()
+
+    def refresh(self) -> None:
+        """Re-scan for records appended by other writers (shared mode)."""
+        self._fh.seek(0)
+        self._read_header_and_table()
 
     # -- reading ------------------------------------------------------------
 
@@ -131,27 +181,42 @@ class FileArchive(Archive):
         self._end_of_data = file_table_pos
 
     def _scan_items(self) -> None:
-        """Recover items by scanning recovery tags (unfinished archive)."""
+        """Recover items by scanning recovery tags (unfinished archive).
+        A crashed writer's trailing partial record — truncated anywhere
+        after its start tag — is skipped: any parse failure ends the scan
+        at the last complete record."""
         self._fh.seek(9)
+        self._items.clear()
+        end = self._fh.tell()
+        file_size = os.fstat(self._fh.fileno()).st_size
         while True:
-            head = self._fh.read(4)
-            if len(head) < 4:
-                break
-            (tag,) = struct.unpack("<I", head)
-            if tag != _START_TAG:
-                break
-            (nlen,) = struct.unpack("<I", self._fh.read(4))
-            name = self._fh.read(nlen).decode("utf-8")
-            pos = self._fh.tell()
-            unc, comp, _checksum = struct.unpack("<III", self._fh.read(12))
-            size = comp if comp else unc
-            self._fh.seek(size, os.SEEK_CUR)
-            (end_tag,) = struct.unpack("<I", self._fh.read(4))
-            if end_tag != _END_TAG:
+            record_start = self._fh.tell()
+            try:
+                head = self._fh.read(4)
+                if len(head) < 4:
+                    break
+                (tag,) = struct.unpack("<I", head)
+                if tag != _START_TAG:
+                    break
+                (nlen,) = struct.unpack("<I", self._fh.read(4))
+                name = self._fh.read(nlen).decode("utf-8")
+                pos = self._fh.tell()
+                unc, comp, _checksum = struct.unpack("<III",
+                                                     self._fh.read(12))
+                size = comp if comp else unc
+                if pos + 12 + size + 4 > file_size:
+                    break  # payload truncated
+                self._fh.seek(size, os.SEEK_CUR)
+                (end_tag,) = struct.unpack("<I", self._fh.read(4))
+                if end_tag != _END_TAG:
+                    break
+            except (struct.error, UnicodeDecodeError):
+                self._fh.seek(record_start)
                 break
             if nlen > 0:
                 self._items[name] = _Item(name, pos, unc, comp)
-        self._end_of_data = self._fh.tell()
+            end = self._fh.tell()
+        self._end_of_data = end
 
     def keys(self) -> List[str]:
         return list(self._items)
@@ -186,6 +251,28 @@ class FileArchive(Archive):
               allow_overwrite: bool = True) -> None:
         if self.mode == "r":
             raise ArchiveError("archive opened read-only")
+        if self.shared:
+            # append-only under the file lock; the true end of data may
+            # have moved since our last write (other writers)
+            payload = data
+            comp_size = 0
+            if compress:
+                z = zlib.compress(data, 6)
+                if len(z) < len(data):
+                    payload, comp_size = z, len(z)
+            nb = name.encode("utf-8")
+            with self._locked():
+                self._fh.seek(0, os.SEEK_END)
+                self._fh.write(struct.pack("<I", _START_TAG))
+                self._fh.write(struct.pack("<I", len(nb)))
+                self._fh.write(nb)
+                write_pos = self._fh.tell()
+                self._fh.write(struct.pack("<III", len(data), comp_size, 0))
+                self._fh.write(payload)
+                self._fh.write(struct.pack("<I", _END_TAG))
+                self._end_of_data = self._fh.tell()
+            self._items[name] = _Item(name, write_pos, len(data), comp_size)
+            return
         if name in self._items:
             if not allow_overwrite:
                 raise ArchiveError(f"{name} exists and overwrite disabled")
@@ -253,8 +340,23 @@ class FileArchive(Archive):
         self._fh.write(b"\x01")
         self._fh.truncate(end)
 
+    def finalize(self) -> None:
+        """Shared mode: take the lock, absorb every writer's records, and
+        write the info table (run once after all writers are done)."""
+        if not self.shared:
+            return
+        with self._locked():
+            self.refresh()
+            self._write_info_table()
+        self._dirty = False
+
     def close(self) -> None:
         if self._fh.closed:
+            return
+        if self.shared:
+            # leave the archive in recoverable (scan) form: another writer
+            # may still be appending; finalize() is the explicit opt-in
+            self._fh.close()
             return
         if self._dirty and self.mode in ("w", "a"):
             self._write_info_table()
