@@ -1,0 +1,150 @@
+"""Pipeline parallelism over a 'stage' mesh axis (GPipe-style).
+
+The reference scales deep models across hosts with MPI process groups;
+the TPU-native equivalent is SPMD microbatch pipelining: every device
+runs the SAME program under `shard_map`, holds one stage's parameters
+(stacked along a leading stage axis, sharded over 'stage'), and passes
+activations to its neighbour with `lax.ppermute` — the collective rides
+ICI, no host involvement.
+
+Schedule: classic GPipe fill-drain.  With S stages and M microbatches
+the loop runs M + S - 1 ticks; stage s processes microbatch t - s at
+tick t.  Everything is differentiable (ppermute has a transpose), so
+the same function serves training.
+
+Typical use (deep conformer encoders):
+
+    mesh = Mesh(devices, ("stage",))
+    stacked = stack_stage_params([stage0_params, stage1_params, ...])
+    y = pipeline_apply(mesh, block_fn, stacked, x, n_microbatches=8)
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+try:  # jax >= 0.4.35 canonical location; experimental path is deprecated
+    from jax import shard_map as _shard_map
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map as _shard_map
+
+import inspect as _inspect
+
+# the replication-check kwarg was renamed check_rep -> check_vma
+_CHECK_KW = ("check_vma" if "check_vma"
+             in _inspect.signature(_shard_map).parameters else "check_rep")
+
+
+def shard_map(f, **kwargs):
+    if "check_rep" in kwargs:
+        kwargs[_CHECK_KW] = kwargs.pop("check_rep")
+    return _shard_map(f, **kwargs)
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def stack_stage_params(stage_params: list) -> Any:
+    """Stack per-stage parameter pytrees along a new leading axis
+    (to be sharded over 'stage')."""
+    return jax.tree_util.tree_map(
+        lambda *leaves: jnp.stack(leaves, axis=0), *stage_params)
+
+
+def split_layers_into_stages(layer_params: list, n_stages: int) -> list:
+    """Group a list of per-layer parameter pytrees into n_stages stacked
+    groups of equal size (layers % n_stages must be 0): each stage applies
+    its layers sequentially via lax.scan."""
+    L = len(layer_params)
+    if L % n_stages != 0:
+        raise ValueError(f"{L} layers not divisible by {n_stages} stages")
+    per = L // n_stages
+    stages = []
+    for s in range(n_stages):
+        group = layer_params[s * per:(s + 1) * per]
+        stages.append(jax.tree_util.tree_map(
+            lambda *leaves: jnp.stack(leaves, axis=0), *group))
+    return stages
+
+
+def pipeline_apply(mesh: Mesh, stage_fn: Callable, stacked_params: Any,
+                   x: jnp.ndarray, n_microbatches: int,
+                   stage_axis: str = "stage") -> jnp.ndarray:
+    """Run `stage_fn(stage_params, h) -> h` through an S-stage pipeline.
+
+    stacked_params: pytree with leading stage axis S (sharded over
+    `stage_axis`).  x: (B, ...) global batch, B % n_microbatches == 0.
+    Returns (B, ...) outputs (replicated across stages).
+    """
+    S = mesh.shape[stage_axis]
+    B = x.shape[0]
+    if B % n_microbatches != 0:
+        raise ValueError(f"batch {B} not divisible by {n_microbatches}")
+    mb = B // n_microbatches
+    xm = x.reshape((n_microbatches, mb) + x.shape[1:])
+
+    param_specs = jax.tree_util.tree_map(lambda _: P(stage_axis),
+                                         stacked_params)
+    perm = [(s, (s + 1) % S) for s in range(S)]  # ring: stage s -> s+1
+
+    def per_stage(params, xm_local):
+        # params: (1, ...) slice of the stage stack; xm replicated
+        p = jax.tree_util.tree_map(lambda a: a[0], params)
+        stage = jax.lax.axis_index(stage_axis)
+        n_ticks = n_microbatches + S - 1
+        h_shape = xm_local.shape[1:]
+
+        def tick(carry, t):
+            recv, out_acc = carry
+            # stage 0 ingests microbatch t (while valid); others take recv
+            mb_idx = jnp.clip(t, 0, n_microbatches - 1)
+            ingest = jax.lax.dynamic_index_in_dim(xm_local, mb_idx, 0,
+                                                  keepdims=False)
+            h_in = jnp.where(stage == 0, ingest, recv)
+            h_out = stage_fn(p, h_in)
+            # last stage writes its finished microbatch t - (S - 1)
+            done_idx = t - (S - 1)
+            valid = jnp.logical_and(stage == S - 1, done_idx >= 0)
+            out_acc = jax.lax.cond(
+                valid,
+                lambda acc: jax.lax.dynamic_update_index_in_dim(
+                    acc, h_out, jnp.maximum(done_idx, 0), 0),
+                lambda acc: acc, out_acc)
+            nxt = jax.lax.ppermute(h_out, stage_axis, perm)
+            return (nxt, out_acc), None
+
+        init = (jnp.zeros(h_shape, xm_local.dtype),
+                jnp.zeros((n_microbatches,) + h_shape, xm_local.dtype))
+        (_, outputs), _ = jax.lax.scan(tick, init,
+                                       jnp.arange(n_ticks))
+        # replicate outputs to every stage: only the last stage holds them
+        outputs = jax.lax.psum(
+            jnp.where(stage == S - 1, outputs, jnp.zeros_like(outputs)),
+            stage_axis)
+        return outputs
+
+    out = shard_map(per_stage, mesh=mesh,
+                    in_specs=(param_specs, P()),
+                    out_specs=P(),
+                    check_rep=False)(stacked_params, xm)
+    return out.reshape((B,) + out.shape[2:])
+
+
+def scan_stage_fn(layer_fn: Callable) -> Callable:
+    """Lift a single-layer fn into a stage fn over stacked layer params:
+    stage_fn(stacked_layers, h) applies each layer in sequence via scan."""
+
+    def stage_fn(stacked, h):
+        def body(carry, layer_params):
+            return layer_fn(layer_params, carry), None
+
+        out, _ = jax.lax.scan(body, h, stacked)
+        return out
+
+    return stage_fn
+
+
+def make_pipeline_mesh(n_devices: int, stage_axis: str = "stage") -> Mesh:
+    devices = np.asarray(jax.devices()[:n_devices])
+    return Mesh(devices, (stage_axis,))
