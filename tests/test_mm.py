@@ -236,3 +236,33 @@ class TestLegacyAccumulatorIO:
         p.write_bytes(b"NOTMIX\x00\x00" + b"\x00" * 32)
         with pytest.raises(ValueError):
             read_legacy_accumulator(str(p))
+
+
+def test_int8_quantized_scores_close_to_f32():
+    """int8 MXU path (GmmScorer(quantize='int8')): per-channel symmetric
+    quantization keeps scores within ~2% relative of f32, and the argmin
+    mixture (what alignment and decoding consume) almost always agrees."""
+    rng = np.random.default_rng(11)
+    ms = make_mixture_set(rng, dim=12, n_mix=16, densities_per_mix=4)
+    f32 = GmmScorer(ms, mode="max")
+    q8 = GmmScorer(ms, mode="max", quantize="int8")
+    feats = rng.standard_normal((40, 12)).astype(np.float32)
+    s_f = np.asarray(f32.score(feats))
+    s_q = np.asarray(q8.score(feats))
+    rel = np.abs(s_q - s_f) / np.maximum(np.abs(s_f), 1.0)
+    assert rel.max() < 0.03, rel.max()
+    agree = (s_f.argmin(-1) == s_q.argmin(-1)).mean()
+    assert agree > 0.95, agree
+
+
+def test_int8_sum_mode_also_close():
+    rng = np.random.default_rng(12)
+    ms = make_mixture_set(rng, dim=8, n_mix=6, densities_per_mix=2)
+    s_f = np.asarray(GmmScorer(ms, mode="sum").score(
+        rng.standard_normal((10, 8)).astype(np.float32)))
+    rng = np.random.default_rng(12)
+    ms = make_mixture_set(rng, dim=8, n_mix=6, densities_per_mix=2)
+    s_q = np.asarray(GmmScorer(ms, mode="sum", quantize="int8").score(
+        rng.standard_normal((10, 8)).astype(np.float32)))
+    rel = np.abs(s_q - s_f) / np.maximum(np.abs(s_f), 1.0)
+    assert rel.max() < 0.02
