@@ -101,7 +101,9 @@ def main():
         amp = dsp.rfft_amplitude(frames, pipe.fft_len, pipe.fft_scale)
         fb = dsp.apply_matrix(amp, pipe.mel_matrix)
         logfb = dsp.log10(jnp.maximum(fb, 1e-6))
-        feats = dsp.normalize_segment(logfb)
+        mask = (jnp.arange(T_feat)[None, :]
+                < n_frames[:, None]).astype(jnp.float32)
+        feats = dsp.normalize_segment(logfb, mask=mask)
         logits, out_lens, _ = model.apply({"params": params}, feats,
                                           n_frames, deterministic=True)
         lp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)

@@ -2,11 +2,18 @@
 unit inventory) on the deterministic synthetic speech task and store the
 checkpoint under assets/flagship/ for the WER-anchored bench.
 
-Run:  python scripts/train_flagship.py [--steps N] [--resume]
+Run:  python scripts/train_flagship.py [--steps N]
 
-The task is fixed by its seed (rasr_tpu.data.SynthSpeechTask defaults);
-training streams fresh utterances per step (no memorisable finite set) —
-eval uses a disjoint seed stream.
+Training design (single chip, single host CPU):
+  * the task is fixed by its seed (rasr_tpu.data.SynthSpeechTask);
+  * a finite utterance pool is rendered once on the host, its features
+    are precomputed on device in chunks, and every train step samples a
+    batch from the pool — steps are pure TPU compute, so the one host
+    core never throttles the chip (the pool plays the role of a finite
+    training corpus; eval uses a disjoint unseen seed stream);
+  * short-utterance curriculum: CTC escapes blank collapse much faster
+    on 2-4-word utterances, so early steps draw from a short-utterance
+    sub-pool before switching to the full-length pool.
 """
 
 from __future__ import annotations
@@ -27,8 +34,11 @@ ASSET_DIR = os.path.join(REPO, "assets", "flagship")
 MODEL_CFG = dict(vocab_size=1024, d_model=512, n_layers=12, n_heads=8)
 SAMPLE_RATE = 16000
 TRAIN_SECONDS = 8.0     # fixed padded train-batch length (static shapes)
-BATCH = 24
 FEAT_DIM = 80
+L_MAX = 48              # 14 words x 3 units + margin
+POOL_LONG = 1536        # full-length utterances (8-14 words)
+POOL_SHORT = 512        # curriculum utterances (2-4 words)
+CURRICULUM_STEPS = 300
 
 
 def feature_pipeline():
@@ -42,7 +52,7 @@ def feature_pipeline():
     pipe = MfccPipeline(sample_rate=SAMPLE_RATE, filter_width=70.0)
     assert pipe.n_filters == FEAT_DIM, pipe.n_filters
 
-    def feats_of(samples: "jnp.ndarray", num_frames: int):
+    def feats_of(samples: "jnp.ndarray", num_frames: int, lengths=None):
         x = dsp.preemphasis(samples.astype(jnp.float32), 1.0)
         frames = dsp.frame_signal(x, pipe.length, pipe.shift, num_frames)
         frames = dsp.apply_window(frames, "hamming")
@@ -52,9 +62,14 @@ def feature_pipeline():
         # the log finite so the conv front-end cannot smear inf into the
         # valid region (silence floor = -6)
         logfb = dsp.log10(jnp.maximum(fb, 1e-6))
-        # segment-wise CMVN (signal-normalization node semantics): the
-        # raw log-mels sit around [-6, -2]; unnormalized they stall CTC
-        return dsp.normalize_segment(logfb)
+        # segment-wise CMVN over VALID frames only (signal-normalization
+        # node semantics): padding must not skew the statistics of short
+        # utterances inside a fixed-length batch
+        mask = None
+        if lengths is not None:
+            mask = (jnp.arange(num_frames)[None, :]
+                    < lengths[:, None]).astype(jnp.float32)
+        return dsp.normalize_segment(logfb, mask=mask)
 
     return pipe, feats_of
 
@@ -78,12 +93,56 @@ def greedy_wer(task, log_probs, out_lens, orths) -> float:
     return total_err / max(total_ref, 1)
 
 
+def build_pool(task, pipe, feats_jit, n_long: int, n_short: int,
+               T_feat: int, N: int):
+    """Render the training pool and precompute features on device.
+    Returns (feats (P, T, D) device array, flens, labels, label_lens,
+    n_short_first)."""
+    import jax.numpy as jnp
+    specs = [(7_000_000 + i, 2, 4) for i in range(n_short)] + \
+            [(8_000_000 + i, 8, 14) for i in range(n_long)]
+    P = len(specs)
+    labels = np.zeros((P, L_MAX), np.int32)
+    label_lens = np.zeros((P,), np.int32)
+    flens = np.zeros((P,), np.int32)
+    feats_chunks = []
+    chunk_audio = []
+    chunk = 64
+    t0 = time.time()
+    for idx, (seed, lo, hi) in enumerate(specs):
+        rng = np.random.default_rng(seed)
+        audio, _orth, lab = task.utterance(rng, lo, hi)
+        audio = audio[:N]
+        pad = np.zeros((N,), np.float32)
+        pad[:len(audio)] = audio
+        chunk_audio.append(pad)
+        labels[idx, :len(lab)] = lab[:L_MAX]
+        label_lens[idx] = min(len(lab), L_MAX)
+        flens[idx] = min(pipe.n_frames(len(audio)), T_feat)
+        if len(chunk_audio) == chunk or idx == P - 1:
+            lo_i = idx + 1 - len(chunk_audio)
+            feats_chunks.append(feats_jit(
+                jnp.asarray(np.stack(chunk_audio)),
+                jnp.asarray(flens[lo_i:idx + 1])))
+            chunk_audio = []
+    feats = jnp.concatenate(feats_chunks, axis=0)
+    print(f"pool built: {P} utterances, feats {feats.shape} "
+          f"({time.time() - t0:.0f}s)", flush=True)
+    return feats, jnp.asarray(flens), jnp.asarray(labels), \
+        jnp.asarray(label_lens), n_short
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--steps", type=int, default=4000)
-    ap.add_argument("--eval-every", type=int, default=200)
+    ap.add_argument("--steps", type=int, default=8000)
+    ap.add_argument("--eval-every", type=int, default=250)
     ap.add_argument("--target-wer", type=float, default=0.02)
-    ap.add_argument("--lr", type=float, default=8e-4)
+    ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--batch", type=int, default=48)
+    ap.add_argument("--d-model", type=int, default=MODEL_CFG["d_model"])
+    ap.add_argument("--layers", type=int, default=MODEL_CFG["n_layers"])
+    ap.add_argument("--heads", type=int, default=MODEL_CFG["n_heads"])
+    ap.add_argument("--asset-dir", default=ASSET_DIR)
     args = ap.parse_args()
 
     import jax
@@ -95,53 +154,56 @@ def main() -> int:
     from rasr_tpu.nn.training import CtcTrainer, make_optimizer
     from rasr_tpu.parallel import make_mesh
 
-    os.makedirs(ASSET_DIR, exist_ok=True)
+    cfg = dict(MODEL_CFG, d_model=args.d_model, n_layers=args.layers,
+               n_heads=args.heads)
+    os.makedirs(args.asset_dir, exist_ok=True)
     task = SynthSpeechTask()
     mesh = make_mesh(n_devices=len(jax.devices()),
                      data_parallel=len(jax.devices()))
-    model = ConformerCtc(**MODEL_CFG)
+    model = ConformerCtc(**cfg)
     pipe, feats_of = feature_pipeline()
     N = int(TRAIN_SECONDS * SAMPLE_RATE)
     T_feat = pipe.n_frames(N)
+    BATCH = args.batch
     trainer = CtcTrainer(model, mesh,
-                         optimizer=make_optimizer(args.lr, warmup_steps=400),
+                         optimizer=make_optimizer(args.lr, warmup_steps=500),
                          example_shape=(BATCH, T_feat, FEAT_DIM))
-    ckpt = CheckpointManager(ASSET_DIR, max_to_keep=1)
+    ckpt = CheckpointManager(args.asset_dir, max_to_keep=1)
     start = ckpt.latest_step()
     if start is not None:
         trainer.params, _, _ = ckpt.restore(trainer.params)
         trainer.step = start
         print(f"resumed at step {start}", flush=True)
 
-    feats_jit = jax.jit(lambda s: feats_of(s, T_feat))
+    feats_jit = jax.jit(lambda s, l: feats_of(s, T_feat, l))
+    pool_feats, pool_flens, pool_labels, pool_lens, n_short = build_pool(
+        task, pipe, feats_jit, POOL_LONG, POOL_SHORT, T_feat, N)
+    P = pool_feats.shape[0]
 
-    def frames_of(n_samples):
-        return np.asarray([min(pipe.n_frames(int(n)), T_feat)
-                           for n in n_samples], np.int32)
-
-    # held-out eval batch (seed stream disjoint from training seeds)
+    # held-out eval batch (seed stream disjoint from every pool seed)
     ev_audio, ev_ns, _el, _ell, ev_orths = task.batch(
         seed=10_000_000, batch_size=16, max_seconds=TRAIN_SECONDS,
         min_words=8, max_words=14)
     ev_pad = np.zeros((16, N), np.float32)
     ev_pad[:, :ev_audio.shape[1]] = ev_audio[:, :N]
-    ev_feats = feats_jit(jnp.asarray(ev_pad))
-    ev_flens = frames_of(ev_ns)
+    ev_flens = np.asarray([min(pipe.n_frames(int(n)), T_feat)
+                           for n in ev_ns], np.int32)
+    ev_feats = feats_jit(jnp.asarray(ev_pad), jnp.asarray(ev_flens))
     lp_fn = trainer.log_probs_fn()
 
-    L_MAX = 48  # 14 words x 3 units + margin; fixed => one XLA program
+    take = jax.jit(lambda idx: (pool_feats[idx], pool_flens[idx],
+                                pool_labels[idx], pool_lens[idx]))
+
+    rng = np.random.default_rng(123)
     t_report = time.time()
+    best_wer = 1.0
     for step in range(trainer.step, args.steps):
-        audio, ns, labels, lens, _orths = task.batch(
-            seed=step + 1, batch_size=BATCH, max_seconds=TRAIN_SECONDS,
-            min_words=8, max_words=14)
-        pad = np.zeros((BATCH, N), np.float32)
-        pad[:, :audio.shape[1]] = audio[:, :N]
-        feats = feats_jit(jnp.asarray(pad))
-        lab = np.zeros((BATCH, L_MAX), np.int32)
-        lab[:, :labels.shape[1]] = labels[:, :L_MAX]
-        loss = trainer.train_step(feats, frames_of(ns), lab,
-                                  np.minimum(lens, L_MAX))
+        if step < CURRICULUM_STEPS and n_short > 0:
+            idx = rng.integers(0, n_short, size=BATCH)
+        else:
+            idx = rng.integers(0, P, size=BATCH)
+        f, fl, lab, ll = take(jnp.asarray(idx, jnp.int32))
+        loss = trainer.train_step(f, fl, lab, ll)
         if (step + 1) % 50 == 0:
             dt = time.time() - t_report
             t_report = time.time()
@@ -153,7 +215,9 @@ def main() -> int:
             wer = greedy_wer(task, np.asarray(lp), np.asarray(out_lens),
                              ev_orths)
             print(f"step {step + 1} greedy WER {wer:.4f}", flush=True)
-            ckpt.save(step + 1, trainer.params)
+            if wer <= best_wer:
+                best_wer = wer
+                ckpt.save(step + 1, trainer.params)
             if wer <= args.target_wer:
                 print(f"target WER reached at step {step + 1}", flush=True)
                 break
@@ -169,13 +233,14 @@ def main() -> int:
         lambda x: np.asarray(x, np.float16)
         if np.asarray(x).dtype in (np.float32, np.dtype("bfloat16"))
         else np.asarray(x), raw)
-    save_params(os.path.join(ASSET_DIR, "flagship_f16.msgpack"), f16,
+    save_params(os.path.join(args.asset_dir, "flagship_f16.msgpack"), f16,
                 step=trainer.step)
-    with open(os.path.join(ASSET_DIR, "task.json"), "w") as fh:
-        json.dump({"model": MODEL_CFG, "feat_dim": FEAT_DIM,
+    with open(os.path.join(args.asset_dir, "task.json"), "w") as fh:
+        json.dump({"model": cfg, "feat_dim": FEAT_DIM,
                    "filter_width": 70.0, "sample_rate": SAMPLE_RATE,
                    "task_seed": task.task_seed,
-                   "n_units": task.n_units, "n_words": task.n_words},
+                   "n_units": task.n_units, "n_words": task.n_words,
+                   "best_greedy_wer": best_wer},
                   fh, indent=1)
     print("done", flush=True)
     return 0

@@ -68,6 +68,7 @@ FAST_MODULES = {
     "test_lattice_transform.py", "test_orthography.py",
     "test_analog.py", "test_am_trainer.py", "test_sparse_cachemgr.py",
     "test_checkpoint_manager.py", "test_native_io.py",
+    "test_bliss_tools.py", "test_mt_aligner.py", "test_archive.py",
 }
 
 
