@@ -390,3 +390,74 @@ class SilenceNormalizationNode(Node):
                                               0.1, float),
             fill_up_silence=self.attr("fill-up-silence", False, bool))
         return {"": s.with_data(jnp.asarray(out))}
+
+
+@register
+class SampleNormalizationNode(Node):
+    """signal-sample-normalization (src/Signal/SampleNormalization.hh):
+    sliding mean (DC) removal and amplitude normalization of the raw
+    sample stream; whole-segment realization over the Stream model."""
+    filter_name = "signal-sample-normalization"
+
+    def apply(self, inputs):
+        s = inputs[""]
+        x = s.data.astype(jnp.float32)
+        length = self.attr("length", 0.0, float)
+        if length > 0.0:
+            win = max(int(round(length * s.sample_rate)), 1)
+            k = jnp.ones((win,), jnp.float32) / win
+            mean = jnp.convolve(x, k, mode="same") if x.ndim == 1 else x * 0
+            x = x - mean
+        else:
+            x = x - jnp.mean(x, axis=-1, keepdims=True)
+        rms = jnp.sqrt(jnp.mean(jnp.square(x), axis=-1, keepdims=True))
+        return {"": s.with_data(x / jnp.maximum(rms, 1e-10))}
+
+
+@register
+class MeanEstimatorNode(Node):
+    """signal-mean-estimator (src/Signal/MeanEstimator.hh): accumulate the
+    feature mean over every frame seen and write it to `file` (matrix
+    text) at flush; the stream passes through unchanged."""
+    filter_name = "signal-mean-estimator"
+    host_only = True
+    _sums: dict = {}
+
+    def apply(self, inputs):
+        s = inputs[""]
+        f = self.attr("file")
+        if f:
+            data = np.asarray(s.data, np.float64)
+            if data.ndim == 1:
+                data = data[None, :]
+            acc = MeanEstimatorNode._sums.setdefault(
+                f, [np.zeros(data.shape[-1]), 0])
+            acc[0] = acc[0] + data.sum(0)
+            acc[1] += data.shape[0]
+            mean = acc[0] / max(acc[1], 1)
+            np.savetxt(f, mean[None, :], fmt="%.10g")
+        return {"": s}
+
+
+@register
+class SegmentClusteringNode(Node):
+    """signal-segment-clustering (src/Signal/SegmentClustering.hh): BIC
+    Gaussian clustering of feature segments; emits per-frame cluster ids
+    on the default port (speaker labels for adaptation)."""
+    filter_name = "signal-segment-clustering"
+    host_only = True
+
+    def apply(self, inputs):
+        from ..signal.analysis import cluster_segments
+        s = inputs[""]
+        data = np.asarray(s.data, np.float32)
+        chunk = self.attr("min-segment-length", 100,
+                          lambda v: int(float(v)))
+        bounds = list(range(0, len(data), chunk))
+        segments = [data[b:b + chunk] for b in bounds]
+        labels = cluster_segments(
+            segments, bic_lambda=self.attr("lambda", 1.0, float))
+        per_frame = np.concatenate(
+            [np.full(len(seg), lab, np.int32)
+             for seg, lab in zip(segments, labels)])
+        return {"": s.with_data(jnp.asarray(per_frame))}

@@ -246,3 +246,34 @@ def test_silence_normalization_reduces_silence_share():
                                 min_surrounding_silence=0.05)
     assert len(out) < len(x)               # silence trimmed
     assert np.abs(out).max() == pytest.approx(np.abs(x).max())  # speech kept
+
+
+def test_sample_normalization_node():
+    x = Stream(jnp.asarray(rng.standard_normal(1600).astype(np.float32)
+                           + 0.5), sample_rate=16000.0)
+    out = _run("signal-sample-normalization", x)
+    d = np.asarray(out.data)
+    assert abs(d.mean()) < 0.02 and abs((d ** 2).mean() - 1.0) < 0.05
+
+
+def test_segment_clustering_node_two_speakers():
+    f = Stream(jnp.asarray(np.concatenate(
+        [rng.standard_normal((150, 4)),
+         8 + rng.standard_normal((150, 4))]).astype(np.float32)),
+        sample_rate=100.0)
+    out = _run("signal-segment-clustering", f,
+               {"min-segment-length": "50"})
+    labels = np.asarray(out.data)
+    assert labels.shape == (300,)
+    assert len(np.unique(labels)) == 2
+    assert len(np.unique(labels[:150])) == 1  # one speaker per half
+    assert len(np.unique(labels[150:])) == 1
+
+
+def test_mean_estimator_node(tmp_path):
+    f = str(tmp_path / "mean.txt")
+    x = Stream(jnp.asarray(rng.standard_normal((50, 4)).astype(np.float32)
+                           + 3.0), sample_rate=100.0)
+    _run("signal-mean-estimator", x, {"file": f})
+    mean = np.loadtxt(f)
+    np.testing.assert_allclose(mean, np.asarray(x.data).mean(0), atol=1e-5)
