@@ -122,10 +122,49 @@ class CorpusToolApp(Application):
                                  rec.duration, rec.corpus_name, kept))
         return out
 
+    # -- STM import (reference: src/Tools/Ger/ger.py StmToBlissConverter) ----
+
+    @staticmethod
+    def _from_stm(path: str) -> List[Recording]:
+        """NIST STM -> recordings: lines `wave channel speaker t0 t1
+        [<labels>] transcript`; ;;-comment lines skipped."""
+        from ..bliss.corpus import Speaker
+        recs: Dict[str, Recording] = {}
+        speakers: Dict[str, Speaker] = {}
+        counter: Dict[str, int] = {}
+        with open(path, encoding="utf-8", errors="replace") as fh:
+            for line in fh:
+                if not line.strip() or line.startswith(";;"):
+                    continue
+                parts = line.split(None, 5)
+                if len(parts) < 6:
+                    continue
+                wave, channel, spk, t0, t1, rest = parts
+                rest = rest.strip()
+                if rest.startswith("<"):  # optional label set <o,f0,...>
+                    close = rest.find(">")
+                    rest = rest[close + 1:].strip() if close >= 0 else rest
+                if wave not in recs:
+                    recs[wave] = Recording(wave, audio=wave + ".wav")
+                    counter[wave] = 0
+                counter[wave] += 1
+                rec = recs[wave]
+                speaker = speakers.setdefault(spk, Speaker(name=spk))
+                try:
+                    track = max(int(channel) - 1, 0)
+                except ValueError:
+                    track = 0
+                seg = Segment(name=str(counter[wave]), recording=rec,
+                              start=float(t0), end=float(t1), track=track,
+                              orth=rest, speaker=speaker)
+                rec.segments.append(seg)
+        return list(recs.values())
+
     # -- main ---------------------------------------------------------------
 
     def run(self) -> int:
-        recs = self._load()
+        stm = self.config.get("from-stm")
+        recs = self._from_stm(stm) if stm else self._load()
         name = self.config.sub("corpus").get("name") or "corpus"
         actions = self.arguments or ["info"]
         for action in actions:

@@ -167,3 +167,26 @@ def test_lexicon_writer_roundtrip_scores(tmp_path):
     back.load(p, normalize=False)
     lp = back.lemma_by_orth("word").pronunciations[0]
     assert lp.score == pytest.approx(0.693, abs=1e-4)
+
+
+def test_corpus_tool_from_stm(tmp_path, capsys):
+    stm = tmp_path / "ref.stm"
+    stm.write_text(
+        ";; comment line\n"
+        "rec1 1 spkA 0.00 1.50 <o,f0> hello world\n"
+        "rec1 1 spkA 1.50 3.00 more words here\n"
+        "rec2 2 spkB 0.00 2.00 second recording\n")
+    out_xml = str(tmp_path / "imported.xml")
+    rc = corpus_tool.main([
+        f"--corpus-tool.from-stm={stm}", "info", f"write={out_xml}"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    info = json.loads(out[:out.index("}") + 1])
+    assert info["segments"] == 3 and info["recordings"] == 2
+    cfg = Configuration(name="t")
+    cfg.set("*.corpus.file", out_xml)
+    back = CorpusDescription(cfg.sub("corpus"))
+    segs = list(back.segments())
+    assert segs[0].orth == "hello world"
+    assert segs[0].speaker.name == "spkA"
+    assert segs[2].track == 1
