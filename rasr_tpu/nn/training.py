@@ -150,3 +150,35 @@ class CtcTrainer:
             return jax.nn.log_softmax(logits, axis=-1), out_lens
 
         return fn
+
+
+def spec_augment(rng, feats, feat_lens, n_freq_masks: int = 2,
+                 freq_mask_width: int = 12, n_time_masks: int = 2,
+                 time_mask_frac: float = 0.05):
+    """SpecAugment (Park et al. 2019) on (B, T, D) log-mel features:
+    per-utterance random frequency and time masks, fully vectorized and
+    jittable (fresh masks every step make a finite feature pool behave
+    like a much larger corpus)."""
+    import jax
+
+    B, T, D = feats.shape
+    out = feats
+    keys = jax.random.split(rng, 2)
+    # frequency masks
+    fk = jax.random.uniform(keys[0], (B, n_freq_masks, 2))
+    f0 = (fk[..., 0] * D).astype(jnp.int32)                  # (B, M)
+    fw = (fk[..., 1] * freq_mask_width).astype(jnp.int32)
+    d = jnp.arange(D)[None, None, :]
+    fmask = jnp.any((d >= f0[..., None]) & (d < (f0 + fw)[..., None]),
+                    axis=1)                                   # (B, D)
+    out = jnp.where(fmask[:, None, :], 0.0, out)
+    # time masks (inside the valid region)
+    tk = jax.random.uniform(keys[1], (B, n_time_masks, 2))
+    width = (tk[..., 1] * time_mask_frac
+             * feat_lens[:, None].astype(jnp.float32)).astype(jnp.int32)
+    t0 = (tk[..., 0] * jnp.maximum(
+        feat_lens[:, None] - width, 1).astype(jnp.float32)).astype(jnp.int32)
+    t = jnp.arange(T)[None, None, :]
+    tmask = jnp.any((t >= t0[..., None]) & (t < (t0 + width)[..., None]),
+                    axis=1)                                   # (B, T)
+    return jnp.where(tmask[:, :, None], 0.0, out)

@@ -36,7 +36,7 @@ SAMPLE_RATE = 16000
 TRAIN_SECONDS = 8.0     # fixed padded train-batch length (static shapes)
 FEAT_DIM = 80
 L_MAX = 48              # 14 words x 3 units + margin
-POOL_LONG = 1536        # full-length utterances (8-14 words)
+POOL_LONG = 4096        # full-length utterances (8-14 words)
 POOL_SHORT = 512        # curriculum utterances (2-4 words)
 CURRICULUM_STEPS = 300
 
@@ -151,7 +151,7 @@ def main() -> int:
     from rasr_tpu.data import SynthSpeechTask
     from rasr_tpu.models import ConformerCtc
     from rasr_tpu.nn.checkpoint import CheckpointManager
-    from rasr_tpu.nn.training import CtcTrainer, make_optimizer
+    from rasr_tpu.nn.training import CtcTrainer, make_optimizer, spec_augment
     from rasr_tpu.parallel import make_mesh
 
     cfg = dict(MODEL_CFG, d_model=args.d_model, n_layers=args.layers,
@@ -191,9 +191,12 @@ def main() -> int:
     ev_feats = feats_jit(jnp.asarray(ev_pad), jnp.asarray(ev_flens))
     lp_fn = trainer.log_probs_fn()
 
-    take = jax.jit(lambda idx: (pool_feats[idx], pool_flens[idx],
-                                pool_labels[idx], pool_lens[idx]))
+    # pool arrays are jit ARGUMENTS, not closure constants: a closed-over
+    # array would be baked into the XLA program as a 500 MB literal
+    take = jax.jit(lambda pf, pfl, plab, plen, idx:
+                   (pf[idx], pfl[idx], plab[idx], plen[idx]))
 
+    augment = jax.jit(spec_augment)
     rng = np.random.default_rng(123)
     t_report = time.time()
     best_wer = 1.0
@@ -202,7 +205,9 @@ def main() -> int:
             idx = rng.integers(0, n_short, size=BATCH)
         else:
             idx = rng.integers(0, P, size=BATCH)
-        f, fl, lab, ll = take(jnp.asarray(idx, jnp.int32))
+        f, fl, lab, ll = take(pool_feats, pool_flens, pool_labels,
+                              pool_lens, jnp.asarray(idx, jnp.int32))
+        f = augment(jax.random.PRNGKey(step), f, fl)
         loss = trainer.train_step(f, fl, lab, ll)
         if (step + 1) % 50 == 0:
             dt = time.time() - t_report
