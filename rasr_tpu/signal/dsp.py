@@ -66,6 +66,12 @@ def window_function(kind: str, length: int) -> np.ndarray:
     elif kind == "blackman":
         w = (0.42 - 0.5 * np.cos(2.0 * np.pi * n / M)
              + 0.08 * np.cos(4.0 * np.pi * n / M))
+    elif kind == "kaiser" or kind.startswith("kaiser:"):
+        # src/Signal/KaiserWindowFunction.hh; default beta ~ 4.86 matches
+        # the reference's default transition design; "kaiser:<beta>"
+        # selects the shape parameter explicitly
+        beta = float(kind.split(":", 1)[1]) if ":" in kind else 4.86
+        w = np.kaiser(length, beta)
     else:
         raise ValueError(f"unknown window type {kind!r}")
     return w

@@ -67,6 +67,13 @@ class BatchedCtcRecognizer:
             buckets.setdefault(bucket_len(len(feats)), []).append(i)
 
         results: List[Optional[BatchResult]] = [None] * len(segments)
+        # two-phase pipelined execution: phase 1 DISPATCHES encoder +
+        # device beam for every batch without a host sync (log-probs stay
+        # on device between the two — never transferred), so XLA's async
+        # queue overlaps batch i+1's encode with batch i's beam; phase 2
+        # pulls the (tiny) label/score outputs, which overlaps the
+        # transfers with still-running compute of later batches
+        pending: List[Tuple[List[int], object, object, object]] = []
         for pad_T, idxs in sorted(buckets.items()):
             for start in range(0, len(idxs), self.batch_size):
                 chunk = idxs[start:start + self.batch_size]
@@ -79,17 +86,18 @@ class BatchedCtcRecognizer:
                     lens[j] = len(f)
                 lp, out_lens = self.encode_fn(feats, lens)
                 labels, n_lab, scores = ctc_prefix_beam(
-                    np.asarray(lp), np.asarray(out_lens),
-                    beam=self.beam, topk=self.topk)
-                labels = np.asarray(labels)
-                n_lab = np.asarray(n_lab)
-                scores = np.asarray(scores)
-                for j, i in enumerate(chunk):
-                    name, _, ref = segments[i]
-                    labs = labels[j, 0, :int(n_lab[j, 0])].tolist()
-                    orth = self._labels_to_orth(labs)
-                    results[i] = BatchResult(name, labs, orth,
-                                             float(scores[j, 0]), ref)
-                    if self.evaluator is not None and ref:
-                        self.evaluator.evaluate(ref, orth)
+                    lp, out_lens, beam=self.beam, topk=self.topk)
+                pending.append((chunk, labels, n_lab, scores))
+        for chunk, labels, n_lab, scores in pending:
+            labels = np.asarray(labels)
+            n_lab = np.asarray(n_lab)
+            scores = np.asarray(scores)
+            for j, i in enumerate(chunk):
+                name, _, ref = segments[i]
+                labs = labels[j, 0, :int(n_lab[j, 0])].tolist()
+                orth = self._labels_to_orth(labs)
+                results[i] = BatchResult(name, labs, orth,
+                                         float(scores[j, 0]), ref)
+                if self.evaluator is not None and ref:
+                    self.evaluator.evaluate(ref, orth)
         return [r for r in results if r is not None]
