@@ -228,6 +228,40 @@ class _TraceArena:
         return len(self.parent)
 
 
+class DynamicBeamStrategy:
+    """Frame-rate beam adaptation (reference: src/Search/
+    AdvancedTreeSearch/DynamicBeamPruningStrategy.cc — there driven by
+    decode-time targets; here by the machine-independent proxy, the
+    active-hypothesis count): the score threshold tightens multiplicatively
+    while the count exceeds `max_active` and relaxes back toward the
+    configured base while it stays under `min_active`."""
+
+    def __init__(self, base_threshold: float, min_active: int = 256,
+                 max_active: int = 4096, shrink: float = 0.9,
+                 grow: float = 1.05, floor_fraction: float = 0.25):
+        self.base = base_threshold
+        self.min_active = min_active
+        self.max_active = max_active
+        self.shrink = shrink
+        self.grow = grow
+        self.floor = base_threshold * floor_fraction
+        self.reset()
+
+    def reset(self) -> None:
+        self._scale = 1.0
+
+    def threshold(self, configured: float) -> float:
+        base = min(self.base, configured)
+        return max(base * self._scale, self.floor)
+
+    def update(self, n_active: int) -> None:
+        if n_active > self.max_active:
+            self._scale = max(self._scale * self.shrink,
+                              self.floor / max(self.base, 1e-9))
+        elif n_active < self.min_active:
+            self._scale = min(self._scale * self.grow, 1.0)
+
+
 class WordConditionedTreeSearch:
     """feed() over a precomputed (T, S) emission score matrix."""
 
@@ -238,7 +272,20 @@ class WordConditionedTreeSearch:
                  word_end_beam_size: Optional[int] = None,
                  score_threshold: float = math.inf,
                  across_word: bool = False,
-                 tree_image: Optional[str] = None):
+                 tree_image: Optional[str] = None,
+                 acoustic_lookahead: int = 0,
+                 acoustic_lookahead_scale: float = 0.5,
+                 dynamic_beam: Optional["DynamicBeamStrategy"] = None):
+        """acoustic_lookahead: number of future frames whose (averaged)
+        emission scores bias PRUNING decisions — hypotheses about to hit
+        expensive acoustics are dropped earlier, like the reference's
+        AcousticLookAhead (src/Search/AdvancedTreeSearch/
+        AcousticLookAhead.cc) but computed from the already-batched score
+        matrix instead of a downsampled second pass.  dynamic_beam: adapt
+        the score threshold each frame to hold the active-hypothesis
+        count inside a target band (DynamicBeamPruningStrategy.cc adapts
+        on decode-time pressure; hypothesis count is its machine-
+        independent proxy)."""
         self.am = am
         if across_word or tree_image:
             # minimized HMM-state tree with across-word coarticulation
@@ -254,6 +301,10 @@ class WordConditionedTreeSearch:
         self.beam_size = beam_size
         self.word_end_beam = word_end_beam_size or max(beam_size // 2, 8)
         self.score_threshold = score_threshold
+        self.acoustic_lookahead = int(acoustic_lookahead)
+        self.acoustic_lookahead_scale = acoustic_lookahead_scale
+        self.dynamic_beam = dynamic_beam
+        self._la: Optional[np.ndarray] = None  # (T, S) lookahead table
         self._orth = {l.id: l.preferred_orth for l in am.lexicon.lemmas}
         # word-end LM transition cache: (hist_id, lemma) -> (score, hist_id)
         self._lm_cache: Dict[Tuple[int, int], Tuple[float, int]] = {}
@@ -395,15 +446,26 @@ class WordConditionedTreeSearch:
         a_score, a_trace = a_score[keep], a_trace[keep]
         a_bf, a_bs = a_bf[keep], a_bs[keep]
 
-        # pruning: score threshold + histogram/beam
-        best = float(a_score.min())
-        m = a_score <= best + self.score_threshold
+        # pruning: score threshold + histogram/beam; the pruning score may
+        # carry an acoustic-lookahead bias (future emission cost), which
+        # never touches the true hypothesis score
+        prune_score = a_score
+        if self._la is not None and self._t + 1 < len(self._la):
+            prune_score = a_score + self.acoustic_lookahead_scale \
+                * self._la[self._t + 1][net.emis[a_state]]
+        threshold = self.score_threshold
+        if self.dynamic_beam is not None:
+            threshold = self.dynamic_beam.threshold(self.score_threshold)
+        best = float(prune_score.min())
+        m = prune_score <= best + threshold
         if m.sum() > self.beam_size:
             idx = np.flatnonzero(m)
-            part = np.argpartition(a_score[idx], self.beam_size - 1)
+            part = np.argpartition(prune_score[idx], self.beam_size - 1)
             sel = idx[part[:self.beam_size]]
         else:
             sel = np.flatnonzero(m)
+        if self.dynamic_beam is not None:
+            self.dynamic_beam.update(int(m.sum()))
         self._b_state, self._b_hist = a_state[sel], a_hist[sel]
         self._b_score, self._b_trace = a_score[sel], a_trace[sel]
         self._b_bframe, self._b_bscore = a_bf[sel], a_bs[sel]
@@ -491,10 +553,30 @@ class WordConditionedTreeSearch:
 
     # -- segment api --------------------------------------------------------------
 
+    def set_lookahead_scores(self, scores: np.ndarray) -> None:
+        """Precompute the acoustic-lookahead table from the full (T, S)
+        emission matrix: la[t, s] = mean emission score of s over the next
+        `acoustic_lookahead` frames (one cumsum — the batched equivalent
+        of AcousticLookAhead.cc's sparse lookahead pass)."""
+        if self.acoustic_lookahead <= 0:
+            self._la = None
+            return
+        s = np.asarray(scores, np.float64)
+        L = self.acoustic_lookahead
+        c = np.concatenate([np.zeros((1,) + s.shape[1:]), np.cumsum(s, 0)])
+        T = len(s)
+        hi = np.minimum(np.arange(T) + L, T)
+        lo = np.arange(T)
+        count = np.maximum(hi - lo, 1).astype(np.float64)[:, None]
+        self._la = (c[hi] - c[lo]) / count
+
     def recognize(self, scores: np.ndarray) -> List[str]:
         """scores: (T, S_emissions) emission score matrix (from GmmScorer
         or NN posteriors)."""
         self.reset()
+        self.set_lookahead_scores(scores)
+        if self.dynamic_beam is not None:
+            self.dynamic_beam.reset()
         for t in range(scores.shape[0]):
             self.feed(scores[t])
         return self.best_words()

@@ -259,3 +259,43 @@ class TestRecombinationAndScale:
         # mid-utterance silence survives even though [SILENCE] is not an
         # LM token
         assert search.recognize(scores) == ["AB", "BA"]
+
+
+class TestLookaheadAndDynamicBeam:
+    """Acoustic lookahead biases pruning only (results unchanged at wide
+    beams, search space shrinks at tight ones); dynamic beam holds the
+    active count inside its band (reference AcousticLookAhead.cc,
+    DynamicBeamPruningStrategy.cc)."""
+
+    def _scores(self, am, scorer_and_means):
+        scorer, means = scorer_and_means
+        feats = synth_features(means, [6, 0, 1, 2, 3, 4, 5, 6])
+        return np.asarray(scorer.score(feats))
+
+    def test_lookahead_preserves_result_at_wide_beam(self, am,
+                                                     scorer_and_means):
+        scores = self._scores(am, scorer_and_means)
+        base = WordConditionedTreeSearch(am, beam_size=512)
+        la = WordConditionedTreeSearch(am, beam_size=512,
+                                       acoustic_lookahead=5)
+        assert base.recognize(scores) == la.recognize(scores) == ["AB"]
+        assert la._la is not None and la._la.shape == scores.shape
+
+    def test_dynamic_beam_tightens_under_load(self, am, scorer_and_means):
+        from rasr_tpu.search.hmm_timesync import DynamicBeamStrategy
+        scores = self._scores(am, scorer_and_means)
+        strategy = DynamicBeamStrategy(base_threshold=200.0, min_active=1,
+                                       max_active=4, shrink=0.5)
+        s = WordConditionedTreeSearch(am, beam_size=512,
+                                      score_threshold=200.0,
+                                      dynamic_beam=strategy)
+        s.recognize(scores)
+        assert strategy._scale < 1.0  # load exceeded max_active
+        # and with a generous band nothing tightens
+        strategy2 = DynamicBeamStrategy(base_threshold=200.0,
+                                        min_active=0, max_active=10 ** 9)
+        s2 = WordConditionedTreeSearch(am, beam_size=512,
+                                       score_threshold=200.0,
+                                       dynamic_beam=strategy2)
+        s2.recognize(scores)
+        assert strategy2._scale == 1.0
