@@ -63,6 +63,9 @@ class GmmWordRecognizer:
         feats = np.concatenate(self._feats)
         scores = np.asarray(self._gmm.score(feats))
         self._search.reset()
+        self._search.set_lookahead_scores(scores)
+        if self._search.dynamic_beam is not None:
+            self._search.dynamic_beam.reset()
         for t in range(scores.shape[0]):
             self._search.feed(scores[t])
 
@@ -113,10 +116,24 @@ def _gmm_word_recognizer(config: Configuration, model_combination):
     sa = config.sub("search-algorithm")
     beam, _blank, thr, we_beam = _pruning(sa)
     lm = model_combination.language_model
+    la_frames = int(sa.get("acoustic-lookahead") or 0)
+    la_scale = float(sa.get("acoustic-lookahead-scale") or 0.5)
+    dyn = None
+    if (sa.get("dynamic-beam") or "").lower() in ("true", "yes", "1"):
+        from .hmm_timesync import DynamicBeamStrategy
+        dyn = DynamicBeamStrategy(
+            base_threshold=thr if math.isfinite(thr) else 1e6,
+            min_active=int(sa.get("dynamic-beam-min-active") or 256),
+            max_active=int(sa.get("dynamic-beam-max-active") or 4096))
     search = WordConditionedTreeSearch(
         am, lm=lm.lm if lm else None,
         lm_scale=lm.scale if lm else 1.0,
-        beam_size=beam, word_end_beam_size=we_beam, score_threshold=thr)
+        beam_size=beam, word_end_beam_size=we_beam, score_threshold=thr,
+        across_word=(sa.get("across-word") or "").lower()
+        in ("true", "yes", "1"),
+        tree_image=sa.get("tree-image") or None,
+        acoustic_lookahead=la_frames, acoustic_lookahead_scale=la_scale,
+        dynamic_beam=dyn)
     return GmmWordRecognizer(search, gmm)
 
 
