@@ -139,6 +139,10 @@ def main() -> int:
     ap.add_argument("--target-wer", type=float, default=0.02)
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--batch", type=int, default=48)
+    ap.add_argument("--specaugment-after", type=int, default=1500,
+                    help="enable SpecAugment only after this step "
+                         "(masking from step 0 keeps deep models in the "
+                         "insertion-spam regime)")
     ap.add_argument("--d-model", type=int, default=MODEL_CFG["d_model"])
     ap.add_argument("--layers", type=int, default=MODEL_CFG["n_layers"])
     ap.add_argument("--heads", type=int, default=MODEL_CFG["n_heads"])
@@ -207,7 +211,8 @@ def main() -> int:
             idx = rng.integers(0, P, size=BATCH)
         f, fl, lab, ll = take(pool_feats, pool_flens, pool_labels,
                               pool_lens, jnp.asarray(idx, jnp.int32))
-        f = augment(jax.random.PRNGKey(step), f, fl)
+        if step >= args.specaugment_after:
+            f = augment(jax.random.PRNGKey(step), f, fl)
         loss = trainer.train_step(f, fl, lab, ll)
         if (step + 1) % 50 == 0:
             dt = time.time() - t_report
