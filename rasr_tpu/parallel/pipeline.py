@@ -70,12 +70,15 @@ def split_layers_into_stages(layer_params: list, n_stages: int) -> list:
 
 def pipeline_apply(mesh: Mesh, stage_fn: Callable, stacked_params: Any,
                    x: jnp.ndarray, n_microbatches: int,
-                   stage_axis: str = "stage") -> jnp.ndarray:
+                   stage_axis: str = "stage",
+                   data_axis: str = None) -> jnp.ndarray:
     """Run `stage_fn(stage_params, h) -> h` through an S-stage pipeline.
 
     stacked_params: pytree with leading stage axis S (sharded over
     `stage_axis`).  x: (B, ...) global batch, B % n_microbatches == 0.
-    Returns (B, ...) outputs (replicated across stages).
+    data_axis: optional second mesh axis sharding the within-microbatch
+    batch dimension — pipeline and data parallelism compose in one SPMD
+    program.  Returns (B, ...) outputs (replicated across stages).
     """
     S = mesh.shape[stage_axis]
     B = x.shape[0]
@@ -86,6 +89,7 @@ def pipeline_apply(mesh: Mesh, stage_fn: Callable, stacked_params: Any,
 
     param_specs = jax.tree_util.tree_map(lambda _: P(stage_axis),
                                          stacked_params)
+    x_spec = P(None, data_axis) if data_axis else P()
     perm = [(s, (s + 1) % S) for s in range(S)]  # ring: stage s -> s+1
 
     def per_stage(params, xm_local):
@@ -125,8 +129,8 @@ def pipeline_apply(mesh: Mesh, stage_fn: Callable, stacked_params: Any,
         return outputs
 
     out = shard_map(per_stage, mesh=mesh,
-                    in_specs=(param_specs, P()),
-                    out_specs=P(),
+                    in_specs=(param_specs, x_spec),
+                    out_specs=x_spec,
                     check_rep=False)(stacked_params, xm)
     return out.reshape((B,) + out.shape[2:])
 

@@ -95,3 +95,26 @@ def test_pipeline_rejects_bad_shapes(mesh):
     x = jnp.zeros((6, 8))
     with pytest.raises(ValueError):
         pipeline_apply(mesh, layer_fn, stacked, x, n_microbatches=4)
+
+
+def test_pipeline_composes_with_data_parallelism():
+    """2-D (stage, data) mesh: microbatches pipeline over 'stage' while
+    the intra-microbatch batch axis shards over 'data' — pipeline + dp in
+    one SPMD program (ROADMAP scale-out item)."""
+    import numpy as np
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from rasr_tpu.parallel.pipeline import pipeline_apply
+
+    devices = np.asarray(jax.devices()[:8]).reshape(4, 2)
+    mesh = Mesh(devices, ("stage", "data"))
+    d, B = 8, 8
+    layers = make_layers(4, d, jax.random.PRNGKey(7))
+    stacked = stack_stage_params(layers)
+    x = jax.random.normal(jax.random.PRNGKey(8), (B, d))
+    # shard the global batch over 'data' before entering the pipeline
+    x_sharded = jax.device_put(x, NamedSharding(mesh, P("data")))
+    y = pipeline_apply(mesh, layer_fn, stacked, x_sharded,
+                       n_microbatches=2, data_axis="data")
+    ref = sequential(layers, x)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
