@@ -81,6 +81,12 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # persistent compile cache: the 12x512 program takes ~10 min to build
+    # through the remote-compile tunnel; cached executables load in seconds
+    os.makedirs("/root/.cache/jax_compile", exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_compile")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from rasr_tpu.bliss.evaluation import Evaluator
     from rasr_tpu.data import SynthSpeechTask
     from rasr_tpu.models import ConformerCtc
