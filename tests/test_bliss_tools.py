@@ -190,3 +190,25 @@ def test_corpus_tool_from_stm(tmp_path, capsys):
     assert segs[0].orth == "hello world"
     assert segs[0].speaker.name == "spkA"
     assert segs[2].track == 1
+
+
+def test_xml_tool_roundtrip(tmp_path, capsys):
+    from rasr_tpu.tools import xml_tool
+    import io
+    xml = ('<?xml version="1.0"?>\n<log name="run">\n'
+           '  <wer type="word">12.5</wer>\n'
+           '  <empty/>\n</log>\n')
+    lines = io.StringIO()
+    xml_tool.xml2line(io.BytesIO(xml.encode()), lines)
+    text = lines.getvalue()
+    assert "/log log S" in text
+    assert "/log log A name run" in text
+    assert "/log/wer wer C 12.5" in text
+    assert "/log/empty empty E" in text
+    back = io.StringIO()
+    xml_tool.line2xml(io.StringIO(text), back)
+    import xml.etree.ElementTree as ET
+    root = ET.fromstring(back.getvalue())
+    assert root.tag == "log" and root.get("name") == "run"
+    assert root.find("wer").text.strip() == "12.5"
+    assert root.find("empty") is not None
