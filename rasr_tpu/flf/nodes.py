@@ -919,3 +919,297 @@ class DrawerNode(FlfNode):
         with open(fn, "w", encoding="utf-8") as fh:
             fh.write("\n".join(out) + "\n")
         return self.source(0).pull()
+
+
+# ---------------------------------------------------------------------------
+# third tier: structure/compose/decode/alignment nodes
+# (reference NodeRegistration.hh: append, filter, clean-up, map-alphabet,
+# compose-with-fsa, dump-all-pairs-best, local-cost-decoder,
+# forced-alignment, segment-builder)
+# ---------------------------------------------------------------------------
+
+
+@register_node("append")
+class AppendNode(FlfNode):
+    """Sequential concatenation of two lattices (reference append node):
+    every path of lattice 0 followed by every path of lattice 1."""
+
+    def work(self):
+        return self.pull_lattice(0).concatenate(self.pull_lattice(1))
+
+
+@register_node("filter")
+class FilterNode(FlfNode):
+    """Segment gate (reference filter node): pass the lattice only for
+    segments matching `segment-list` (file of full names) and/or with at
+    least `min-arcs` arcs; otherwise emit an empty lattice."""
+
+    def __init__(self, *a, **k):
+        super().__init__(*a, **k)
+        self.allowed = None
+        seg_list = self.config.get("segment-list")
+        if seg_list:
+            with open(seg_list) as fh:
+                self.allowed = {l.strip() for l in fh if l.strip()}
+        self.min_arcs = int(self.config.get("min-arcs") or 0)
+
+    def work(self):
+        lat = self.pull_lattice(0)
+        seg = self.network.current_segment
+        ok = (self.allowed is None or seg.full_name in self.allowed) \
+            and lat.n_arcs >= self.min_arcs
+        if ok:
+            return lat
+        empty = FlfLattice(semiring=lat.semiring, n_states=1,
+                           words=lat.words)
+        empty.final_states = np.asarray([0], np.int32)
+        empty.final_scores = np.zeros((1, lat.semiring.n))
+        return empty
+
+
+@register_node("clean-up")
+class CleanUpNode(FlfNode):
+    """Trim + normalize (reference clean-up): drop states off accepting
+    paths and remove epsilon arcs."""
+
+    def work(self):
+        return self.pull_lattice(0).connect().remove_epsilons()
+
+
+@register_node("map-alphabet")
+class MapAlphabetNode(FlfNode):
+    """Relabel arcs through a mapping file of `from to` word pairs
+    (reference map-alphabet); unmapped labels pass through; mapping to
+    `<eps>` erases the label."""
+
+    def __init__(self, *a, **k):
+        super().__init__(*a, **k)
+        self.mapping: Dict[str, str] = {}
+        path = self.config.get("mapping-file")
+        if path:
+            with open(path, encoding="utf-8") as fh:
+                for line in fh:
+                    parts = line.split()
+                    if len(parts) == 2:
+                        self.mapping[parts[0]] = parts[1]
+
+    def work(self):
+        lat = self.pull_lattice(0).copy()
+        words = dict(lat.words or {})
+        rev = {w: i for i, w in words.items()}
+        labels = lat.labels.copy()
+        for k in range(lat.n_arcs):
+            lab = int(labels[k])
+            if lab == EPS:
+                continue
+            word = words.get(lab, "")
+            to = self.mapping.get(word)
+            if to is None:
+                continue
+            if to == "<eps>":
+                labels[k] = EPS
+            else:
+                if to not in rev:
+                    new_id = max(words) + 1 if words else 1
+                    words[new_id] = to
+                    rev[to] = new_id
+                labels[k] = rev[to]
+        lat.labels = labels
+        lat.words = words
+        return lat
+
+
+@register_node("compose-with-fsa")
+@register_node("compose")
+class ComposeWithFsaNode(FlfNode):
+    """Compose the lattice's acceptor view with an AT&T FSA from `file`
+    (reference compose-with-fsa / compose-matching): constrains paths and
+    adds the automaton's weights into dimension `key` (default: the
+    semiring's lm dimension, else 0)."""
+
+    def __init__(self, *a, **k):
+        super().__init__(*a, **k)
+        from ..fsa.io import read_att
+        path = self.config.get("file")
+        self.fsa = read_att(path) if path else None
+        self.key = self.config.get("key") or None
+
+    def work(self):
+        from ..fsa.automaton import compose as fsa_compose
+        lat = self.pull_lattice(0)
+        if self.fsa is None:
+            return lat
+        # relabel the constraint automaton's symbols into lattice ids
+        rev = {w: i for i, w in (lat.words or {}).items()}
+        g = self.fsa
+        relabeled = type(g)(semiring=g.semiring)
+        for _ in range(g.n_states):
+            relabeled.add_state()
+        relabeled.initial = g.initial
+        relabeled.final = dict(g.final)
+        sym = g.input_alphabet or {}
+        for s in range(g.n_states):
+            for arc in g.arcs[s]:
+                word = sym.get(arc.ilabel, str(arc.ilabel))
+                lab = EPS if arc.ilabel == EPS else rev.get(word, -1)
+                if lab >= 0:
+                    relabeled.add_arc(s, arc.target, lab, lab, arc.weight)
+        composed = fsa_compose(lat.to_automaton(), relabeled)
+        dim = (lat.semiring.id_of(self.key)
+               if self.key else lat.semiring.n - 1)
+        out = FlfLattice(semiring=lat.semiring,
+                         n_states=composed.n_states, words=lat.words)
+        src, tgt, labs, scores = [], [], [], []
+        for s in range(composed.n_states):
+            for arc in composed.arcs[s]:
+                src.append(s)
+                tgt.append(arc.target)
+                labs.append(arc.ilabel)
+                vec = np.zeros(lat.semiring.n)
+                vec[dim] = arc.weight
+                scores.append(vec)
+        out.sources = np.asarray(src, np.int32)
+        out.targets = np.asarray(tgt, np.int32)
+        out.labels = np.asarray(labs, np.int32)
+        out.scores = np.asarray(scores).reshape(len(src), lat.semiring.n)
+        out.final_states = np.asarray(sorted(composed.final), np.int32)
+        out.final_scores = np.zeros((len(composed.final), lat.semiring.n))
+        for i, s in enumerate(out.final_states):
+            out.final_scores[i, dim] = composed.final[int(s)]
+        out.boundaries = np.zeros(out.n_states, np.int32)
+        return out.connect()
+
+
+@register_node("dump-all-pairs-best")
+class DumpAllPairsBestNode(FlfNode):
+    """Best score between every state pair (reference dump-all-pairs-best;
+    used to inspect lattice connectivity): tropical all-pairs shortest
+    distance dumped to `path` (gzip text when .gz)."""
+
+    def __init__(self, *a, **k):
+        super().__init__(*a, **k)
+        self.path = self.config.get("path") or ""
+
+    def work(self):
+        lat = self.pull_lattice(0)
+        n = lat.n_states
+        w = lat.semiring.project(lat.scores)
+        INF = math.inf
+        dist = np.full((n, n), INF)
+        np.fill_diagonal(dist, 0.0)
+        for k in range(lat.n_arcs):
+            s, t = int(lat.sources[k]), int(lat.targets[k])
+            dist[s, t] = min(dist[s, t], float(w[k]))
+        order = lat.topological()
+        # DAG relaxation in topological order (lattices are acyclic)
+        for u in order:
+            row = dist[:, u][:, None] + dist[u][None, :]
+            np.minimum(dist, row, out=dist)
+        lines = [f"{i} {j} {dist[i, j]:.6f}"
+                 for i in range(n) for j in range(n)
+                 if np.isfinite(dist[i, j])]
+        text = "\n".join(lines) + "\n"
+        if self.path:
+            import gzip
+            opener = gzip.open if self.path.endswith(".gz") else open
+            with opener(self.path, "at", encoding="utf-8") as fh:
+                fh.write(f"# {self.network.current_segment.full_name}\n")
+                fh.write(text)
+        return self.source(0).pull()
+
+
+@register_node("local-cost-decoder")
+class LocalCostDecoderNode(FlfNode):
+    """Minimum-local-cost decoding (reference local-cost-decoder):
+    replace each arc's weight by -log of its posterior and take the best
+    path — approximates the MAP word sequence under local costs."""
+
+    def work(self):
+        lat = self.pull_lattice(0)
+        post = lat.posteriors()
+        out = lat.copy()
+        weights = np.zeros_like(out.scores)
+        weights[:, 0] = -np.log(np.maximum(post, 1e-30))
+        out.scores = weights
+        return out
+
+
+@register_node("forced-alignment")
+class ForcedAlignmentNode(FlfNode):
+    """Constrain the lattice to the segment's reference orthography and
+    take the best path (reference forced-alignment): yields reference
+    word time boundaries from the lattice."""
+
+    def work(self):
+        lat = self.pull_lattice(0)
+        seg = self.network.current_segment
+        ref = (seg.orth or "").split()
+        rev = {w: i for i, w in (lat.words or {}).items()}
+        ref_ids = [rev.get(w, -1) for w in ref]
+        if any(i < 0 for i in ref_ids):
+            return lat  # reference word missing from lattice: pass through
+        from ..fsa.automaton import Automaton, compose as fsa_compose
+        linear = Automaton()
+        for _ in range(len(ref_ids) + 1):
+            linear.add_state()
+        for i, lab in enumerate(ref_ids):
+            linear.add_arc(i, i + 1, lab, lab, 0.0)
+        # lattice-side epsilon arcs advance alone through the epsilon
+        # filter in fsa.compose — no eps self-loops needed here
+        linear.set_final(len(ref_ids), 0.0)
+        composed = fsa_compose(lat.to_automaton(), linear)
+        out = FlfLattice(semiring=lat.semiring,
+                         n_states=composed.n_states, words=lat.words)
+        src, tgt, labs, wts = [], [], [], []
+        for s in range(composed.n_states):
+            for arc in composed.arcs[s]:
+                src.append(s)
+                tgt.append(arc.target)
+                labs.append(arc.ilabel)
+                wts.append(arc.weight)
+        out.sources = np.asarray(src, np.int32)
+        out.targets = np.asarray(tgt, np.int32)
+        out.labels = np.asarray(labs, np.int32)
+        D = lat.semiring.n
+        out.scores = np.zeros((len(src), D))
+        if len(src):
+            out.scores[:, 0] = wts
+        out.final_states = np.asarray(sorted(composed.final), np.int32)
+        out.final_scores = np.zeros((len(composed.final), D))
+        out.boundaries = np.zeros(out.n_states, np.int32)
+        return out.connect()
+
+
+@register_node("segment-builder")
+class SegmentBuilderNode(FlfNode):
+    """Write per-word sub-segments from the best path's time boundaries
+    (reference segment-builder): `path` receives
+    `full-name start end word` lines usable as a corpus segment list."""
+
+    def __init__(self, *a, **k):
+        super().__init__(*a, **k)
+        self.path = self.config.get("path") or ""
+        self.frame_shift = float(self.config.get("frame-shift") or 0.01)
+        self._lines: List[str] = []
+
+    def work(self):
+        lat = self.pull_lattice(0)
+        seg = self.network.current_segment
+        labels, _score, bounds = lat.best()
+        t = 0.0
+        for i, lab in enumerate(labels):
+            if int(lab) == EPS:
+                continue
+            t0 = bounds[i] * self.frame_shift if i < len(bounds) else t
+            t1 = (bounds[i + 1] * self.frame_shift
+                  if i + 1 < len(bounds) else t0)
+            self._lines.append(
+                f"{seg.full_name}/{i} {t0:.2f} {t1:.2f} "
+                f"{lat.word_of(int(lab))}")
+            t = t1
+        return self.source(0).pull()
+
+    def finalize(self):
+        if self.path:
+            with open(self.path, "w", encoding="utf-8") as fh:
+                fh.write("\n".join(self._lines) + "\n")

@@ -299,3 +299,139 @@ class TestIoNodes:
                                          links="src", path=arch,
                                          format="flf")], lat)
         np.testing.assert_allclose(out.scores, lat.scores)
+
+
+class TestThirdTierNodes:
+    """append / filter / clean-up / map-alphabet / compose-with-fsa /
+    local-cost-decoder / forced-alignment / segment-builder /
+    dump-all-pairs-best (reference NodeRegistration.hh third tier)."""
+
+    def _simple_lattice(self, words=("a", "b"), scores=(1.0, 2.0)):
+        from rasr_tpu.flf.lattice import FlfLattice
+        from rasr_tpu.flf.semiring import FlfSemiring
+        sr = FlfSemiring(keys=("am", "lm"))
+        lat = FlfLattice(semiring=sr, n_states=len(words) + 1,
+                         words={i + 1: w for i, w in enumerate(words)})
+        n = len(words)
+        lat.sources = np.arange(n, dtype=np.int32)
+        lat.targets = np.arange(1, n + 1, dtype=np.int32)
+        lat.labels = np.arange(1, n + 1, dtype=np.int32)
+        lat.scores = np.stack([np.asarray(scores), np.zeros(n)], axis=1)
+        lat.boundaries = np.arange(n + 1, dtype=np.int32) * 10
+        lat.final_states = np.asarray([n], np.int32)
+        lat.final_scores = np.zeros((1, 2))
+        return lat
+
+    def _run_node(self, name, lat, config=None, orth=""):
+        from rasr_tpu.flf.processor import NodeFactory as NODE_TYPES
+        cls = NODE_TYPES[name]
+
+        class Seg:
+            full_name = "c/r/1"
+
+        Seg.orth = orth
+
+        class Net:
+            current_segment = Seg()
+
+        class Src:
+            def __init__(self, lat):
+                self._lat = lat
+
+            def pull(self):
+                return self._lat
+
+        from rasr_tpu.core.configuration import Configuration
+        cfg = Configuration(name="n")
+        for k, v in (config or {}).items():
+            cfg.set("*." + k, v)
+        node = cls("n", cfg.sub("n"), None)
+        node.network = Net()
+        node._sources = {0: Src(lat), 1: Src(lat)}
+        node.source = lambda i: node._sources[i]
+        return node
+
+    def test_append_concatenates(self):
+        lat = self._simple_lattice()
+        node = self._run_node("append", lat)
+        out = node.work()
+        labels, _s, _b = out.best()
+        words = [out.word_of(int(l)) for l in labels if int(l) != 0]
+        assert words == ["a", "b", "a", "b"]
+
+    def test_clean_up_connects(self):
+        lat = self._simple_lattice()
+        # add a dead-end state + arc
+        lat.n_states += 1
+        lat.boundaries = np.append(lat.boundaries, 0).astype(np.int32)
+        lat.sources = np.append(lat.sources, 0).astype(np.int32)
+        lat.targets = np.append(lat.targets, lat.n_states - 1).astype(np.int32)
+        lat.labels = np.append(lat.labels, 1).astype(np.int32)
+        lat.scores = np.vstack([lat.scores, [[0.5, 0.0]]])
+        out = self._run_node("clean-up", lat).work()
+        assert out.n_arcs == 2  # dead arc dropped
+
+    def test_map_alphabet(self, tmp_path):
+        mapping = tmp_path / "map.txt"
+        mapping.write_text("a x\nb <eps>\n")
+        lat = self._simple_lattice()
+        node = self._run_node("map-alphabet", lat,
+                              {"mapping-file": str(mapping)})
+        out = node.work()
+        names = [out.word_of(int(l)) for l in out.labels if int(l) != 0]
+        assert names == ["x"]
+        assert (out.labels == 0).sum() == 1  # 'b' erased
+
+    def test_local_cost_decoder_posteriors(self):
+        lat = self._simple_lattice()
+        out = self._run_node("local-cost-decoder", lat).work()
+        # single path: posterior 1 -> weight ~0
+        assert np.allclose(out.scores[:, 0], 0.0, atol=1e-6)
+
+    def test_forced_alignment_selects_reference(self):
+        from rasr_tpu.flf.lattice import FlfLattice
+        from rasr_tpu.flf.semiring import FlfSemiring
+        sr = FlfSemiring(keys=("am", "lm"))
+        # two parallel paths: a-b and a-c; reference picks a-c
+        lat = FlfLattice(semiring=sr, n_states=3,
+                         words={1: "a", 2: "b", 3: "c"})
+        lat.sources = np.asarray([0, 1, 1], np.int32)
+        lat.targets = np.asarray([1, 2, 2], np.int32)
+        lat.labels = np.asarray([1, 2, 3], np.int32)
+        lat.scores = np.asarray([[1.0, 0], [0.5, 0], [2.0, 0]])
+        lat.boundaries = np.asarray([0, 10, 20], np.int32)
+        lat.final_states = np.asarray([2], np.int32)
+        lat.final_scores = np.zeros((1, 2))
+        node = self._run_node("forced-alignment", lat, orth="a c")
+        out = node.work()
+        labels, _s, _b = out.best()
+        words = [out.word_of(int(l)) for l in labels if int(l) != 0]
+        assert words == ["a", "c"]
+
+    def test_segment_builder_writes_word_segments(self, tmp_path):
+        out_file = tmp_path / "segs.txt"
+        lat = self._simple_lattice()
+        node = self._run_node("segment-builder", lat,
+                              {"path": str(out_file)})
+        node.work()
+        node.finalize()
+        lines = out_file.read_text().splitlines()
+        assert len(lines) == 2 and lines[0].endswith(" a")
+
+    def test_dump_all_pairs_best(self, tmp_path):
+        out_file = tmp_path / "pairs.txt"
+        lat = self._simple_lattice()
+        node = self._run_node("dump-all-pairs-best", lat,
+                              {"path": str(out_file)})
+        node.work()
+        text = out_file.read_text()
+        assert "0 2 3.000000" in text  # 1.0 + 2.0 along the path
+
+    def test_filter_gates_by_segment_list(self, tmp_path):
+        allow = tmp_path / "allow.txt"
+        allow.write_text("other/segment\n")
+        lat = self._simple_lattice()
+        node = self._run_node("filter", lat,
+                              {"segment-list": str(allow)})
+        out = node.work()
+        assert out.n_arcs == 0  # current segment not in the list
