@@ -77,7 +77,12 @@ class CtcTrainer:
         label_pad = (jnp.arange(L)[None, :] >= label_lens[:, None]).astype(jnp.float32)
         per_seq = optax.ctc_loss(logits, logit_pad, labels, label_pad,
                                  blank_id=0)
-        return jnp.mean(per_seq)
+        # per-label normalization: raw sequence losses are O(100) and kept
+        # global-norm clipping permanently active on deep models (updates
+        # degenerate to direction-only steps — the 12-layer divergence);
+        # normalized losses put gradients in clip-free range
+        per_label = per_seq / jnp.maximum(label_lens.astype(jnp.float32), 1.0)
+        return jnp.mean(per_label)
 
     def _build_train_step(self):
         mesh = self.mesh

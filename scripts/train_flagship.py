@@ -38,7 +38,7 @@ FEAT_DIM = 80
 L_MAX = 48              # 14 words x 3 units + margin
 POOL_LONG = 4096        # full-length utterances (8-14 words)
 POOL_SHORT = 512        # curriculum utterances (2-4 words)
-CURRICULUM_STEPS = 300
+CURRICULUM_STEPS = 600
 
 
 def feature_pipeline():
@@ -139,7 +139,7 @@ def main() -> int:
     ap.add_argument("--target-wer", type=float, default=0.02)
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--batch", type=int, default=48)
-    ap.add_argument("--specaugment-after", type=int, default=1500,
+    ap.add_argument("--specaugment-after", type=int, default=2500,
                     help="enable SpecAugment only after this step "
                          "(masking from step 0 keeps deep models in the "
                          "insertion-spam regime)")

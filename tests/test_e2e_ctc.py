@@ -49,9 +49,11 @@ def trained():
     trainer = CtcTrainer(model, mesh, optimizer=optax.adam(3e-3),
                          example_shape=(B, T, D))
     losses = []
-    for _ in range(150):
+    for _ in range(300):
         losses.append(trainer.train_step(feats, feat_lens, labels, label_lens))
-        if losses[-1] < 0.1:
+        # loss is per-label normalized; 0.02/label is a crisp fit (the
+        # repeated-label case needs a confident blank between repeats)
+        if losses[-1] < 0.02:
             break
     return trainer, feats, feat_lens, labels, losses
 
