@@ -1213,3 +1213,87 @@ class SegmentBuilderNode(FlfNode):
         if self.path:
             with open(self.path, "w", encoding="utf-8") as fh:
                 fh.write("\n".join(self._lines) + "\n")
+
+
+# aliases: the reference's matching/sequencing composition filters are
+# both realized by the epsilon-filter compose in fsa.automaton
+register_node("compose-matching")(ComposeWithFsaNode)
+register_node("compose-sequencing")(ComposeWithFsaNode)
+
+
+@register_node("approximated-risk-scorer")
+class ApproximatedRiskScorerNode(FlfNode):
+    """Adds an approximate Bayes-risk dimension: risk(arc) = 1 - posterior
+    (reference approximated-risk-scorer; the local-cost approximation of
+    the MBR arc risk)."""
+
+    def work(self):
+        lat = self.pull_lattice(0)
+        post = lat.posteriors()
+        key = self.config.get("key") or "risk"
+        return lat.extend_dim(key, arc_values=1.0 - post,
+                              scale=float(self.config.get("scale") or 1.0))
+
+
+@register_node("dump-conditional-posteriors")
+class DumpConditionalPosteriorsNode(FlfNode):
+    """Per-arc posterior dump: `source target word posterior` lines per
+    segment to `path` (reference dump-conditional-posteriors)."""
+
+    def __init__(self, *a, **k):
+        super().__init__(*a, **k)
+        self.path = self.config.get("path") or ""
+
+    def work(self):
+        lat = self.pull_lattice(0)
+        post = lat.posteriors()
+        lines = [f"{int(lat.sources[k])} {int(lat.targets[k])} "
+                 f"{lat.word_of(int(lat.labels[k]))} {post[k]:.6f}"
+                 for k in range(lat.n_arcs)]
+        text = "\n".join(lines) + "\n"
+        if self.path:
+            with open(self.path, "at", encoding="utf-8") as fh:
+                fh.write(f"# {self.network.current_segment.full_name}\n")
+                fh.write(text)
+        else:
+            print(text, end="")
+        return self.source(0).pull()
+
+
+@register_node("lattice-union-decoder")
+@register_node("lattice-decoder")
+class LatticeUnionDecoderNode(FlfNode):
+    """System combination by union (reference lattice-union-decoder /
+    lattice-decoder): union all connected inputs, decode the best path of
+    the combined posterior mass."""
+
+    def work(self):
+        lat = self.pull_lattice(0)
+        i = 1
+        while True:
+            try:
+                other = self.pull_lattice(i)
+            except (IndexError, KeyError):
+                break
+            lat = lat.union(other)
+            i += 1
+        return lat
+
+
+@register_node("lattice-intersection-decoder")
+class LatticeIntersectionDecoderNode(FlfNode):
+    """System combination by intersection (reference
+    lattice-intersection-decoder): keep word sequences accepted by every
+    input system."""
+
+    def work(self):
+        lat = self.pull_lattice(0)
+        i = 1
+        while True:
+            try:
+                other = self.pull_lattice(i)
+            except (IndexError, KeyError):
+                break
+            lat = lat.intersection(other)
+            i += 1
+        return lat

@@ -435,3 +435,30 @@ class TestThirdTierNodes:
                               {"segment-list": str(allow)})
         out = node.work()
         assert out.n_arcs == 0  # current segment not in the list
+
+    def test_union_decoder_combines_systems(self):
+        lat1 = self._simple_lattice(("a", "b"), (1.0, 1.0))
+        lat2 = self._simple_lattice(("c", "d"), (0.2, 0.2))
+        node = self._run_node("lattice-union-decoder", lat1)
+        node._sources = {0: node._sources[0],
+                         1: type(node._sources[0])(lat2)}
+        out = node.work()
+        labels, _s, _b = out.best()
+        words = [out.word_of(int(l)) for l in labels if int(l) != 0]
+        assert words == ["c", "d"]  # cheaper system wins
+
+    def test_risk_scorer_adds_dimension(self):
+        lat = self._simple_lattice()
+        out = self._run_node("approximated-risk-scorer", lat).work()
+        assert "risk" in out.semiring.keys
+        d = out.semiring.id_of("risk")
+        # single-path lattice: posterior 1 -> risk 0
+        assert np.allclose(out.scores[:, d], 0.0, atol=1e-6)
+
+    def test_dump_conditional_posteriors(self, tmp_path):
+        f = tmp_path / "post.txt"
+        lat = self._simple_lattice()
+        self._run_node("dump-conditional-posteriors", lat,
+                       {"path": str(f)}).work()
+        text = f.read_text()
+        assert "0 1 a 1.000000" in text
