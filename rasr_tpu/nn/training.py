@@ -11,6 +11,7 @@ CTC loss uses optax.ctc_loss (blank index 0, matching ConformerCtc).
 
 from __future__ import annotations
 
+import math
 from functools import partial
 from typing import Any, Callable, Dict, Optional, Tuple
 
@@ -36,6 +37,51 @@ def make_optimizer(learning_rate: float = 1e-3, warmup_steps: int = 1000,
         optax.adamw(schedule, weight_decay=weight_decay))
 
 
+def make_dynamic_optimizer(weight_decay: float = 1e-6,
+                           clip_norm: float = 5.0):
+    """AdamW whose learning rate is a RUNTIME hyperparameter (fed per
+    step by the trainer), so schedule changes never recompile the train
+    step — compiles through the remote tunnel cost 15-35 min, and the
+    lr/warmup values would otherwise be baked into the program as
+    constants."""
+    return optax.chain(
+        optax.clip_by_global_norm(clip_norm),
+        optax.inject_hyperparams(optax.adamw)(
+            learning_rate=0.0, weight_decay=weight_decay))
+
+
+def warmup_cosine(peak_lr: float, warmup_steps: int,
+                  decay_steps: int = 100_000, end_frac: float = 0.05):
+    """Host-side schedule for make_dynamic_optimizer."""
+
+    def fn(step: int) -> float:
+        if step < warmup_steps:
+            return peak_lr * step / max(warmup_steps, 1)
+        t = min((step - warmup_steps) / max(decay_steps - warmup_steps, 1),
+                1.0)
+        cos = 0.5 * (1.0 + math.cos(math.pi * t))
+        return peak_lr * (end_frac + (1.0 - end_frac) * cos)
+
+    return fn
+
+
+def _set_learning_rate(opt_state, lr: float):
+    """Update the injected learning-rate leaf of the optimizer state
+    (value-only change: shapes identical, no recompilation)."""
+
+    def visit(node):
+        if hasattr(node, "hyperparams") and "learning_rate" in \
+                getattr(node, "hyperparams", {}):
+            hp = dict(node.hyperparams)
+            hp["learning_rate"] = jnp.asarray(lr, jnp.float32)
+            return node._replace(hyperparams=hp)
+        if isinstance(node, tuple) and type(node) is tuple:
+            return tuple(visit(x) for x in node)
+        return node
+
+    return visit(opt_state)
+
+
 class CtcTrainer:
     """Owns model params + optimizer state; train_step is jit-compiled with
     mesh shardings (batch along 'data', wide params along 'model')."""
@@ -43,10 +89,14 @@ class CtcTrainer:
     def __init__(self, model: ConformerCtc, mesh: Mesh,
                  optimizer: Optional[optax.GradientTransformation] = None,
                  rng_seed: int = 0,
-                 example_shape: Tuple[int, int, int] = (2, 64, 80)):
+                 example_shape: Tuple[int, int, int] = (2, 64, 80),
+                 lr_schedule: Optional[Callable[[int], float]] = None):
         self.model = model
         self.mesh = mesh
         self.optimizer = optimizer or make_optimizer()
+        #: host-side schedule feeding an inject_hyperparams learning rate
+        #: (use with make_dynamic_optimizer; value-only, never recompiles)
+        self.lr_schedule = lr_schedule
         B, T, D = example_shape
         rng = jax.random.PRNGKey(rng_seed)
         feats = jnp.zeros((B, T, D), jnp.float32)
@@ -137,6 +187,9 @@ class CtcTrainer:
         batch = (jnp.asarray(feats), jnp.asarray(feat_lens, jnp.int32),
                  jnp.asarray(labels, jnp.int32),
                  jnp.asarray(label_lens, jnp.int32))
+        if self.lr_schedule is not None:
+            self.opt_state = _set_learning_rate(
+                self.opt_state, self.lr_schedule(self.step))
         self.params, self.opt_state, loss = self._train_step(
             self.params, self.opt_state, batch, rng)
         self.step += 1

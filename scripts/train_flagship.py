@@ -138,6 +138,10 @@ def main() -> int:
     ap.add_argument("--eval-every", type=int, default=250)
     ap.add_argument("--target-wer", type=float, default=0.02)
     ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--curriculum", type=int, default=1000)
+    ap.add_argument("--warmup", type=int, default=2000,
+                    help="deep stacks need long warmup; 500 was enough "
+                         "for 4 layers but left 12 layers at chance")
     ap.add_argument("--batch", type=int, default=48)
     ap.add_argument("--specaugment-after", type=int, default=2500,
                     help="enable SpecAugment only after this step "
@@ -161,7 +165,8 @@ def main() -> int:
     from rasr_tpu.data import SynthSpeechTask
     from rasr_tpu.models import ConformerCtc
     from rasr_tpu.nn.checkpoint import CheckpointManager
-    from rasr_tpu.nn.training import CtcTrainer, make_optimizer, spec_augment
+    from rasr_tpu.nn.training import (CtcTrainer, make_dynamic_optimizer,
+                                      spec_augment, warmup_cosine)
     from rasr_tpu.parallel import make_mesh
 
     cfg = dict(MODEL_CFG, d_model=args.d_model, n_layers=args.layers,
@@ -175,9 +180,11 @@ def main() -> int:
     N = int(TRAIN_SECONDS * SAMPLE_RATE)
     T_feat = pipe.n_frames(N)
     BATCH = args.batch
-    trainer = CtcTrainer(model, mesh,
-                         optimizer=make_optimizer(args.lr, warmup_steps=500),
-                         example_shape=(BATCH, T_feat, FEAT_DIM))
+    trainer = CtcTrainer(
+        model, mesh, optimizer=make_dynamic_optimizer(),
+        lr_schedule=warmup_cosine(args.lr, args.warmup,
+                                  decay_steps=args.steps),
+        example_shape=(BATCH, T_feat, FEAT_DIM))
     ckpt = CheckpointManager(args.asset_dir, max_to_keep=1)
     start = ckpt.latest_step()
     if start is not None:
@@ -211,7 +218,7 @@ def main() -> int:
     t_report = time.time()
     best_wer = 1.0
     for step in range(trainer.step, args.steps):
-        if step < CURRICULUM_STEPS and n_short > 0:
+        if step < args.curriculum and n_short > 0:
             idx = rng.integers(0, n_short, size=BATCH)
         else:
             idx = rng.integers(0, P, size=BATCH)
