@@ -277,3 +277,11 @@ def test_mean_estimator_node(tmp_path):
     _run("signal-mean-estimator", x, {"file": f})
     mean = np.loadtxt(f)
     np.testing.assert_allclose(mean, np.asarray(x.data).mean(0), atol=1e-5)
+
+
+def test_kaiser_window():
+    w = dsp.window_function("kaiser", 33)
+    np.testing.assert_allclose(w, np.kaiser(33, 4.86), atol=1e-12)
+    w2 = dsp.window_function("kaiser:8.0", 17)
+    np.testing.assert_allclose(w2, np.kaiser(17, 8.0), atol=1e-12)
+    assert w.max() <= 1.0 and w[0] < 0.1
