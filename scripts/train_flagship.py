@@ -218,10 +218,20 @@ def main() -> int:
     t_report = time.time()
     best_wer = 1.0
     for step in range(trainer.step, args.steps):
-        if step < args.curriculum and n_short > 0:
-            idx = rng.integers(0, n_short, size=BATCH)
+        # soft curriculum: a decaying BIAS toward the short-utterance
+        # sub-pool instead of a hard switch — switching distributions
+        # abruptly mid-warmup collapsed the long-utterance loss back to
+        # chance (catastrophic forgetting at rising lr); mixing keeps
+        # long-utterance gradients present from step 0
+        if n_short > 0:
+            p_short = max(0.8 * (1.0 - step / max(args.curriculum, 1)),
+                          n_short / P)
         else:
-            idx = rng.integers(0, P, size=BATCH)
+            p_short = 0.0
+        take_short = rng.random(BATCH) < p_short
+        idx = np.where(take_short,
+                       rng.integers(0, max(n_short, 1), size=BATCH),
+                       rng.integers(0, P, size=BATCH))
         f, fl, lab, ll = take(pool_feats, pool_flens, pool_labels,
                               pool_lens, jnp.asarray(idx, jnp.int32))
         if step >= args.specaugment_after:
