@@ -168,6 +168,9 @@ class ConformerEncoder(nn.Module):
     dropout: float = 0.1
     dtype: Dtype = jnp.bfloat16
     causal: bool = False
+    #: when > 0, the hidden states after this block are sown into the
+    #: "intermediates" collection as "inter_h" (InterCTC support)
+    intermediate_layer: int = 0
 
     @nn.compact
     def __call__(self, features, lengths, deterministic: bool = True):
@@ -184,11 +187,20 @@ class ConformerEncoder(nn.Module):
                                self.dropout, self.dtype, self.causal,
                                name=f"block{i}")(h, mask, deterministic)
             h = h.astype(self.dtype)
+            if self.intermediate_layer and i + 1 == self.intermediate_layer:
+                self.sow("intermediates", "inter_h",
+                         h.astype(jnp.float32))
         return h.astype(jnp.float32), out_lengths, mask
 
 
 class ConformerCtc(nn.Module):
-    """Conformer encoder + CTC output head; vocab index 0 = blank."""
+    """Conformer encoder + CTC output head; vocab index 0 = blank.
+
+    intermediate_ctc_layer > 0 enables InterCTC (Lee & Watanabe 2021):
+    a second CTC head reads the hidden states after that block and its
+    logits are sown into the "intermediates" collection — the standard
+    regularizer that makes deep CTC stacks trainable (gradients reach
+    lower layers directly instead of through 12 blocks)."""
     vocab_size: int = 1024
     d_model: int = 256
     n_layers: int = 12
@@ -197,18 +209,32 @@ class ConformerCtc(nn.Module):
     dropout: float = 0.1
     dtype: Dtype = jnp.bfloat16
     causal: bool = False
+    intermediate_ctc_layer: int = 0
 
     @nn.compact
     def __call__(self, features, lengths, deterministic: bool = True):
-        h, out_lengths, mask = ConformerEncoder(
+        encoder = ConformerEncoder(
             self.d_model, self.n_layers, self.n_heads, self.conv_kernel,
-            self.dropout, self.dtype, self.causal, name="encoder")(
-                features, lengths, deterministic)
+            self.dropout, self.dtype, self.causal,
+            intermediate_layer=self.intermediate_ctc_layer, name="encoder")
+        h, out_lengths, mask = encoder(features, lengths, deterministic)
         logits = nn.Dense(self.vocab_size, dtype=jnp.float32,
                           kernel_init=nn.with_partitioning(
                               nn.initializers.lecun_normal(),
                               ("embed", "vocab")),
                           name="ctc_head")(h)
+        if self.intermediate_ctc_layer:
+            inter_h = encoder.get_variable("intermediates", "inter_h")
+            if inter_h is not None:
+                inter = inter_h[0] if isinstance(inter_h, (tuple, list)) \
+                    else inter_h
+                inter_logits = nn.Dense(
+                    self.vocab_size, dtype=jnp.float32,
+                    kernel_init=nn.with_partitioning(
+                        nn.initializers.lecun_normal(),
+                        ("embed", "vocab")),
+                    name="inter_ctc_head")(inter)
+                self.sow("intermediates", "inter_ctc_logits", inter_logits)
         return logits, out_lengths, mask
 
     def log_probs(self, features, lengths):

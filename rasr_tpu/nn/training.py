@@ -101,8 +101,11 @@ class CtcTrainer:
         rng = jax.random.PRNGKey(rng_seed)
         feats = jnp.zeros((B, T, D), jnp.float32)
         lens = jnp.full((B,), T, jnp.int32)
+        # intermediates must be mutable at init or the InterCTC head's
+        # params are never created (flax denies 'intermediates' by default)
         variables = model.init({"params": rng, "dropout": rng},
-                               feats, lens, deterministic=True)
+                               feats, lens, deterministic=True,
+                               mutable=["params", "intermediates"])
         params = variables["params"]
         params = shard_params(params, mesh)
         self.params = params
@@ -116,23 +119,45 @@ class CtcTrainer:
 
     # -- loss ---------------------------------------------------------------
 
+    #: InterCTC mixing weight (loss = (1-w)*final + w*intermediate)
+    inter_ctc_weight: float = 0.3
+
     def _loss_fn(self, params, batch, dropout_rng):
         feats, feat_lens, labels, label_lens = batch
-        logits, out_lens, _ = self.model.apply(
-            {"params": params}, feats, feat_lens, deterministic=False,
-            rngs={"dropout": dropout_rng})
+        use_inter = bool(getattr(self.model, "intermediate_ctc_layer", 0))
+        if use_inter:
+            (logits, out_lens, _), mut = self.model.apply(
+                {"params": params}, feats, feat_lens, deterministic=False,
+                rngs={"dropout": dropout_rng}, mutable=["intermediates"])
+        else:
+            logits, out_lens, _ = self.model.apply(
+                {"params": params}, feats, feat_lens, deterministic=False,
+                rngs={"dropout": dropout_rng})
         T = logits.shape[1]
         logit_pad = (jnp.arange(T)[None, :] >= out_lens[:, None]).astype(jnp.float32)
         L = labels.shape[1]
         label_pad = (jnp.arange(L)[None, :] >= label_lens[:, None]).astype(jnp.float32)
-        per_seq = optax.ctc_loss(logits, logit_pad, labels, label_pad,
-                                 blank_id=0)
-        # per-label normalization: raw sequence losses are O(100) and kept
-        # global-norm clipping permanently active on deep models (updates
-        # degenerate to direction-only steps — the 12-layer divergence);
-        # normalized losses put gradients in clip-free range
-        per_label = per_seq / jnp.maximum(label_lens.astype(jnp.float32), 1.0)
-        return jnp.mean(per_label)
+
+        def per_label_loss(lg):
+            per_seq = optax.ctc_loss(lg, logit_pad, labels, label_pad,
+                                     blank_id=0)
+            # per-label normalization: raw sequence losses are O(100) and
+            # kept global-norm clipping permanently active on deep models
+            # (updates degenerate to direction-only steps); normalized
+            # losses put gradients in clip-free range
+            return jnp.mean(per_seq / jnp.maximum(
+                label_lens.astype(jnp.float32), 1.0))
+
+        loss = per_label_loss(logits)
+        if use_inter:
+            inter_logits = [x for x in jax.tree_util.tree_leaves(
+                mut["intermediates"]) if x.ndim == 3 and
+                x.shape[-1] == logits.shape[-1]]
+            if inter_logits:
+                w = self.inter_ctc_weight
+                loss = (1.0 - w) * loss \
+                    + w * per_label_loss(inter_logits[0])
+        return loss
 
     def _build_train_step(self):
         mesh = self.mesh

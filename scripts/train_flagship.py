@@ -139,6 +139,9 @@ def main() -> int:
     ap.add_argument("--target-wer", type=float, default=0.02)
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--curriculum", type=int, default=1000)
+    ap.add_argument("--inter-ctc", type=int, default=6,
+                    help="InterCTC auxiliary head after this block "
+                         "(0 = off); makes the deep stack trainable")
     ap.add_argument("--warmup", type=int, default=2000,
                     help="deep stacks need long warmup; 500 was enough "
                          "for 4 layers but left 12 layers at chance")
@@ -171,11 +174,12 @@ def main() -> int:
 
     cfg = dict(MODEL_CFG, d_model=args.d_model, n_layers=args.layers,
                n_heads=args.heads)
+    train_cfg = dict(cfg, intermediate_ctc_layer=args.inter_ctc)
     os.makedirs(args.asset_dir, exist_ok=True)
     task = SynthSpeechTask()
     mesh = make_mesh(n_devices=len(jax.devices()),
                      data_parallel=len(jax.devices()))
-    model = ConformerCtc(**cfg)
+    model = ConformerCtc(**train_cfg)
     pipe, feats_of = feature_pipeline()
     N = int(TRAIN_SECONDS * SAMPLE_RATE)
     T_feat = pipe.n_frames(N)
