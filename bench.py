@@ -55,7 +55,8 @@ def load_flagship_params(model, dtype):
 
     feats0 = jnp.zeros((1, 16, 80), jnp.float32)
     variables = model.init(jax.random.PRNGKey(0), feats0,
-                           jnp.full((1,), 16, jnp.int32))
+                           jnp.full((1,), 16, jnp.int32),
+                           mutable=["params", "intermediates"])
     template = unbox(variables["params"])
 
     f16_path = os.path.join(ASSET_DIR, "flagship_f16.msgpack")
@@ -95,7 +96,12 @@ def main():
     from rasr_tpu.signal.dsp import MfccPipeline
 
     task = SynthSpeechTask()
-    model = ConformerCtc(dtype=jnp.bfloat16, **MODEL_CFG)
+    cfg = dict(MODEL_CFG)
+    task_json = os.path.join(ASSET_DIR, "task.json")
+    if os.path.exists(task_json):
+        with open(task_json) as fh:
+            cfg.update(json.load(fh).get("model", {}))
+    model = ConformerCtc(dtype=jnp.bfloat16, **cfg)
     params, trained = load_flagship_params(model, jnp.bfloat16)
 
     pipe = MfccPipeline(sample_rate=SAMPLE_RATE, filter_width=70.0)

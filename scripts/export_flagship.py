@@ -22,6 +22,8 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--asset-dir",
                     default=os.path.join(REPO, "assets", "flagship"))
+    ap.add_argument("--inter-ctc", type=int, default=6,
+                    help="must match the trained checkpoint's setting")
     args = ap.parse_args()
 
     import jax
@@ -39,10 +41,12 @@ def main() -> int:
     if step is None:
         print("no checkpoint found", file=sys.stderr)
         return 1
-    model = ConformerCtc(**MODEL_CFG)
+    cfg = dict(MODEL_CFG, intermediate_ctc_layer=args.inter_ctc)
+    model = ConformerCtc(**cfg)
     feats0 = jnp.zeros((1, 16, FEAT_DIM), jnp.float32)
     variables = model.init(jax.random.PRNGKey(0), feats0,
-                           jnp.full((1,), 16, jnp.int32))
+                           jnp.full((1,), 16, jnp.int32),
+                           mutable=["params", "intermediates"])
     params, _, _ = ckpt.restore(variables["params"])
     raw = jax.tree_util.tree_map(
         lambda x: x.value if isinstance(x, flax.linen.Partitioned) else x,
@@ -55,7 +59,7 @@ def main() -> int:
     save_params(out, f16, step=step)
     task = SynthSpeechTask()
     with open(os.path.join(args.asset_dir, "task.json"), "w") as fh:
-        json.dump({"model": MODEL_CFG, "feat_dim": FEAT_DIM,
+        json.dump({"model": cfg, "feat_dim": FEAT_DIM,
                    "sample_rate": SAMPLE_RATE, "step": step,
                    "task_seed": task.task_seed,
                    "n_units": task.n_units, "n_words": task.n_words},

@@ -273,7 +273,7 @@ def main() -> int:
     save_params(os.path.join(args.asset_dir, "flagship_f16.msgpack"), f16,
                 step=trainer.step)
     with open(os.path.join(args.asset_dir, "task.json"), "w") as fh:
-        json.dump({"model": cfg, "feat_dim": FEAT_DIM,
+        json.dump({"model": train_cfg, "feat_dim": FEAT_DIM,
                    "filter_width": 70.0, "sample_rate": SAMPLE_RATE,
                    "task_seed": task.task_seed,
                    "n_units": task.n_units, "n_words": task.n_words,
