@@ -138,7 +138,11 @@ def main() -> int:
     ap.add_argument("--eval-every", type=int, default=250)
     ap.add_argument("--target-wer", type=float, default=0.02)
     ap.add_argument("--lr", type=float, default=1e-3)
-    ap.add_argument("--curriculum", type=int, default=1000)
+    ap.add_argument("--curriculum", type=int, default=6000,
+                    help="anneal horizon for the short-utterance bias")
+    ap.add_argument("--short-floor", type=float, default=0.3,
+                    help="minimum share of short utterances per batch "
+                         "(guards against forgetting)")
     ap.add_argument("--inter-ctc", type=int, default=6,
                     help="InterCTC auxiliary head after this block "
                          "(0 = off); makes the deep stack trainable")
@@ -229,7 +233,7 @@ def main() -> int:
         # long-utterance gradients present from step 0
         if n_short > 0:
             p_short = max(0.8 * (1.0 - step / max(args.curriculum, 1)),
-                          n_short / P)
+                          args.short_floor)
         else:
             p_short = 0.0
         take_short = rng.random(BATCH) < p_short
