@@ -166,7 +166,7 @@ def main():
         for i in range(ev_batch))
 
     # -- throughput ----------------------------------------------------------
-    batch = 128
+    batch = 256
     rng = np.random.default_rng(0)
     reps = rng.integers(0, ev_batch, size=batch)
     big = jnp.asarray(pad[reps])
