@@ -1297,3 +1297,37 @@ class LatticeIntersectionDecoderNode(FlfNode):
             lat = lat.intersection(other)
             i += 1
         return lat
+
+
+@register_node("aligner")
+class AlignerNode(FlfNode):
+    """Word-level alignment lattice (reference aligner node): constrain
+    the input lattice to the segment's reference orthography and emit the
+    best path as a linear lattice with time boundaries."""
+
+    def work(self):
+        fa = ForcedAlignmentNode(self.name + "-fa", self.config,
+                                 self.network)
+        fa.links = self.links
+        fa.source = self.source
+        constrained = fa.work()
+        labels, score, bounds = constrained.best()
+        non_eps = [(lab, bounds[i] if i < len(bounds) else 0)
+                   for i, lab in enumerate(labels) if int(lab) != EPS]
+        out = FlfLattice(semiring=constrained.semiring,
+                         n_states=len(non_eps) + 1,
+                         words=constrained.words)
+        n = len(non_eps)
+        out.sources = np.arange(n, dtype=np.int32)
+        out.targets = np.arange(1, n + 1, dtype=np.int32)
+        out.labels = np.asarray([lab for lab, _ in non_eps], np.int32)
+        out.scores = np.zeros((n, constrained.semiring.n))
+        if n:
+            out.scores[0, 0] = score
+        out.boundaries = np.asarray(
+            [b for _, b in non_eps] + [constrained.boundaries.max()
+                                       if len(constrained.boundaries)
+                                       else 0], np.int32)
+        out.final_states = np.asarray([n], np.int32)
+        out.final_scores = np.zeros((1, constrained.semiring.n))
+        return out

@@ -162,9 +162,12 @@ class ArchiveWriterNode(FlfNode):
 
 
 @register_node("recognizer-v2")
+@register_node("recognizer")
 class RecognizerNode(FlfNode):
     """Runs a SearchAlgorithmV2 over the segment's features and emits the
-    result lattice (reference RecognizerNodeV2, src/Flf/RecognizerV2.cc:43).
+    result lattice (reference RecognizerNodeV2, src/Flf/RecognizerV2.cc:43;
+    also registered as "recognizer" — the v1 classic word-conditioned
+    recognizer satisfies the same segment protocol).
     Features come from a feature cache; the search object is injected via
     network context (built from config otherwise)."""
 

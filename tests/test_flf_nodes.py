@@ -462,3 +462,23 @@ class TestThirdTierNodes:
                        {"path": str(f)}).work()
         text = f.read_text()
         assert "0 1 a 1.000000" in text
+
+    def test_aligner_emits_linear_alignment(self):
+        from rasr_tpu.flf.lattice import FlfLattice
+        from rasr_tpu.flf.semiring import FlfSemiring
+        sr = FlfSemiring(keys=("am", "lm"))
+        lat = FlfLattice(semiring=sr, n_states=3,
+                         words={1: "a", 2: "b", 3: "c"})
+        lat.sources = np.asarray([0, 1, 1], np.int32)
+        lat.targets = np.asarray([1, 2, 2], np.int32)
+        lat.labels = np.asarray([1, 2, 3], np.int32)
+        lat.scores = np.asarray([[1.0, 0], [0.5, 0], [2.0, 0]])
+        lat.boundaries = np.asarray([0, 10, 20], np.int32)
+        lat.final_states = np.asarray([2], np.int32)
+        lat.final_scores = np.zeros((1, 2))
+        node = self._run_node("aligner", lat, orth="a c")
+        out = node.work()
+        assert out.n_arcs == 2
+        words = [out.word_of(int(l)) for l in out.labels]
+        assert words == ["a", "c"]
+        assert out.boundaries[0] == 0 and out.boundaries[1] == 10
