@@ -1148,35 +1148,58 @@ class ForcedAlignmentNode(FlfNode):
         ref_ids = [rev.get(w, -1) for w in ref]
         if any(i < 0 for i in ref_ids):
             return lat  # reference word missing from lattice: pass through
-        from ..fsa.automaton import Automaton, compose as fsa_compose
-        linear = Automaton()
-        for _ in range(len(ref_ids) + 1):
-            linear.add_state()
-        for i, lab in enumerate(ref_ids):
-            linear.add_arc(i, i + 1, lab, lab, 0.0)
-        # lattice-side epsilon arcs advance alone through the epsilon
-        # filter in fsa.compose — no eps self-loops needed here
-        linear.set_final(len(ref_ids), 0.0)
-        composed = fsa_compose(lat.to_automaton(), linear)
-        out = FlfLattice(semiring=lat.semiring,
-                         n_states=composed.n_states, words=lat.words)
-        src, tgt, labs, wts = [], [], [], []
-        for s in range(composed.n_states):
-            for arc in composed.arcs[s]:
-                src.append(s)
-                tgt.append(arc.target)
-                labs.append(arc.ilabel)
-                wts.append(arc.weight)
+        # direct product DP over (lattice state, reference position):
+        # preserves full score vectors AND state time boundaries (a
+        # composition through the acceptor view would lose both)
+        R = len(ref_ids)
+        ids: Dict[Tuple[int, int], int] = {}
+        bounds: List[int] = []
+
+        def sid(state: int, pos: int) -> int:
+            key = (state, pos)
+            if key not in ids:
+                ids[key] = len(ids)
+                bounds.append(int(lat.boundaries[state])
+                              if state < len(lat.boundaries) else 0)
+            return ids[key]
+
+        by_src: Dict[int, List[int]] = {}
+        for k in range(lat.n_arcs):
+            by_src.setdefault(int(lat.sources[k]), []).append(k)
+        src, tgt, labs, scores = [], [], [], []
+        stack = [(int(lat.initial), 0)]
+        seen = set()
+        while stack:
+            state, pos = stack.pop()
+            if (state, pos) in seen:
+                continue
+            seen.add((state, pos))
+            for k in by_src.get(state, ()):
+                lab = int(lat.labels[k])
+                nxts = []
+                if lab == EPS:
+                    nxts.append(pos)
+                elif pos < R and lab == ref_ids[pos]:
+                    nxts.append(pos + 1)
+                for npos in nxts:
+                    src.append(sid(state, pos))
+                    tgt.append(sid(int(lat.targets[k]), npos))
+                    labs.append(lab)
+                    scores.append(lat.scores[k])
+                    stack.append((int(lat.targets[k]), npos))
+        D = lat.semiring.n
+        finals = [sid(int(s), R) for s in lat.final_states
+                  if (int(s), R) in ids]
+        out = FlfLattice(semiring=lat.semiring, n_states=max(len(ids), 1),
+                         words=lat.words)
         out.sources = np.asarray(src, np.int32)
         out.targets = np.asarray(tgt, np.int32)
         out.labels = np.asarray(labs, np.int32)
-        D = lat.semiring.n
-        out.scores = np.zeros((len(src), D))
-        if len(src):
-            out.scores[:, 0] = wts
-        out.final_states = np.asarray(sorted(composed.final), np.int32)
-        out.final_scores = np.zeros((len(composed.final), D))
-        out.boundaries = np.zeros(out.n_states, np.int32)
+        out.scores = (np.asarray(scores).reshape(len(src), D)
+                      if src else np.zeros((0, D)))
+        out.boundaries = np.asarray(bounds or [0], np.int32)
+        out.final_states = np.asarray(finals, np.int32)
+        out.final_scores = np.zeros((len(finals), D))
         return out.connect()
 
 
@@ -1195,18 +1218,20 @@ class SegmentBuilderNode(FlfNode):
     def work(self):
         lat = self.pull_lattice(0)
         seg = self.network.current_segment
-        labels, _score, bounds = lat.best()
-        t = 0.0
-        for i, lab in enumerate(labels):
-            if int(lab) == EPS:
+        _labels, _score, path = lat.best()   # path = arc indices
+        i = 0
+        for k in path:
+            lab = int(lat.labels[k])
+            if lab == EPS:
                 continue
-            t0 = bounds[i] * self.frame_shift if i < len(bounds) else t
-            t1 = (bounds[i + 1] * self.frame_shift
-                  if i + 1 < len(bounds) else t0)
+            t0 = float(lat.boundaries[int(lat.sources[k])]) \
+                * self.frame_shift
+            t1 = float(lat.boundaries[int(lat.targets[k])]) \
+                * self.frame_shift
             self._lines.append(
                 f"{seg.full_name}/{i} {t0:.2f} {t1:.2f} "
-                f"{lat.word_of(int(lab))}")
-            t = t1
+                f"{lat.word_of(lab)}")
+            i += 1
         return self.source(0).pull()
 
     def finalize(self):
@@ -1311,23 +1336,23 @@ class AlignerNode(FlfNode):
         fa.links = self.links
         fa.source = self.source
         constrained = fa.work()
-        labels, score, bounds = constrained.best()
-        non_eps = [(lab, bounds[i] if i < len(bounds) else 0)
-                   for i, lab in enumerate(labels) if int(lab) != EPS]
-        out = FlfLattice(semiring=constrained.semiring,
-                         n_states=len(non_eps) + 1,
+        _labels, score, path = constrained.best()   # path = arc indices
+        words = [(int(constrained.labels[k]),
+                  int(constrained.boundaries[int(constrained.sources[k])]),
+                  int(constrained.boundaries[int(constrained.targets[k])]))
+                 for k in path if int(constrained.labels[k]) != EPS]
+        n = len(words)
+        out = FlfLattice(semiring=constrained.semiring, n_states=n + 1,
                          words=constrained.words)
-        n = len(non_eps)
         out.sources = np.arange(n, dtype=np.int32)
         out.targets = np.arange(1, n + 1, dtype=np.int32)
-        out.labels = np.asarray([lab for lab, _ in non_eps], np.int32)
+        out.labels = np.asarray([lab for lab, _t0, _t1 in words], np.int32)
         out.scores = np.zeros((n, constrained.semiring.n))
         if n:
             out.scores[0, 0] = score
         out.boundaries = np.asarray(
-            [b for _, b in non_eps] + [constrained.boundaries.max()
-                                       if len(constrained.boundaries)
-                                       else 0], np.int32)
+            [t0 for _lab, t0, _t1 in words]
+            + [words[-1][2] if words else 0], np.int32)
         out.final_states = np.asarray([n], np.int32)
         out.final_scores = np.zeros((1, constrained.semiring.n))
         return out
