@@ -45,12 +45,21 @@ def _encoder_only_from_config(config: Configuration) -> EncoderOnlyLabelScorer:
         vocab_size=vocab,
         d_model=int(model_cfg.get("d-model") or 256),
         n_layers=int(model_cfg.get("n-layers") or 12),
-        n_heads=int(model_cfg.get("n-heads") or 4))
+        n_heads=int(model_cfg.get("n-heads") or 4),
+        # checkpoints trained with an InterCTC auxiliary head carry its
+        # params; the restore template must match
+        intermediate_ctc_layer=int(
+            model_cfg.get("intermediate-ctc-layer") or 0))
     dummy_d = int(model_cfg.get("feature-dim") or 80)
     template = model.init(jax.random.PRNGKey(0),
                           jnp.zeros((1, 8, dummy_d)),
-                          jnp.asarray([8]))["params"]
+                          jnp.asarray([8]),
+                          mutable=["params", "intermediates"])["params"]
     params, _ = load_params(ckpt, template)
+    # stored f16 exports cast back to f32 at load
+    params = jax.tree_util.tree_map(
+        lambda x: jnp.asarray(x, jnp.float32)
+        if np.asarray(x).dtype == np.float16 else x, params)
 
     @jax.jit
     def fwd(feats, lens):
