@@ -163,6 +163,7 @@ class ArchiveWriterNode(FlfNode):
 
 @register_node("recognizer-v2")
 @register_node("recognizer")
+@register_node("incremental-recognizer")
 class RecognizerNode(FlfNode):
     """Runs a SearchAlgorithmV2 over the segment's features and emits the
     result lattice (reference RecognizerNodeV2, src/Flf/RecognizerV2.cc:43;
@@ -187,7 +188,17 @@ class RecognizerNode(FlfNode):
             feats = self._feature_cache.features(seg.full_name)
         search = self._search
         search.enter_segment()
-        search.put_features(feats)
+        chunk = int(self.config.get("chunk-frames") or 0)
+        if chunk > 0:
+            # incremental mode (reference IncrementalRecognizer): feed
+            # fixed-size feature chunks, decoding between chunks so
+            # partial results are available during the segment
+            for t0 in range(0, len(feats), chunk):
+                search.put_features(feats[t0:t0 + chunk])
+                if hasattr(search, "decode_many_steps"):
+                    search.decode_many_steps()
+        else:
+            search.put_features(feats)
         search.finish_segment()
         if hasattr(search, "create_lattice"):
             return search.create_lattice()
