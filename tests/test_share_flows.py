@@ -22,6 +22,7 @@ SAMPLES = rng.standard_normal(16000).astype(np.float32)
     ("mrasta.flow", {}, 120),
     ("vtln-mfcc.flow", {"warping-factor": "1.1",
                         "nr-cepstrum-coefficients": "16"}, 16),
+    ("logmel.flow", {}, 60),
 ])
 def test_share_flow_compiles_and_runs(name, params, min_dim):
     pipe = flow.compile_network(os.path.join(SHARE, name), params=params)
