@@ -91,6 +91,9 @@ class MHSA(nn.Module):
     dropout: float = 0.1
     dtype: Dtype = jnp.bfloat16
     causal: bool = False
+    #: "xla" (default) or "pallas" — the fused whole-sequence-in-VMEM
+    #: kernel (ops/attention_kernel.py); pallas requires non-causal
+    attention_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x, mask, deterministic: bool):
@@ -99,8 +102,13 @@ class MHSA(nn.Module):
         if self.causal:
             T = x.shape[1]
             attn_mask = attn_mask & jnp.tril(jnp.ones((T, T), bool))[None, None]
+        attention_fn = nn.dot_product_attention
+        if self.attention_impl == "pallas" and not self.causal:
+            from ..ops.attention_kernel import make_flax_attention_fn
+            attention_fn = make_flax_attention_fn()
         h = nn.MultiHeadDotProductAttention(
             num_heads=self.n_heads, dtype=self.dtype,
+            attention_fn=attention_fn,
             kernel_init=nn.with_partitioning(
                 nn.initializers.lecun_normal(), ("embed", "heads")),
             name="attn")(h, h, mask=attn_mask,
@@ -139,14 +147,17 @@ class ConformerBlock(nn.Module):
     dropout: float = 0.1
     dtype: Dtype = jnp.bfloat16
     causal: bool = False
+    attention_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x, mask, deterministic: bool):
         x = x + 0.5 * FeedForward(self.d_model, dropout=self.dropout,
                                   dtype=self.dtype, name="ff1")(x, deterministic)
         x = x + MHSA(self.d_model, self.n_heads, self.dropout,
-                     self.dtype, self.causal, name="mhsa")(x, mask,
-                                                           deterministic)
+                     self.dtype, self.causal,
+                     attention_impl=self.attention_impl,
+                     name="mhsa")(x, mask,
+                                  deterministic)
         x = x + ConvModule(self.d_model, self.conv_kernel, self.dropout,
                            self.dtype, self.causal, name="conv")(
                                x, mask, deterministic)
@@ -168,6 +179,7 @@ class ConformerEncoder(nn.Module):
     dropout: float = 0.1
     dtype: Dtype = jnp.bfloat16
     causal: bool = False
+    attention_impl: str = "xla"
     #: when > 0, the hidden states after this block are sown into the
     #: "intermediates" collection as "inter_h" (InterCTC support)
     intermediate_layer: int = 0
@@ -185,6 +197,7 @@ class ConformerEncoder(nn.Module):
         for i in range(self.n_layers):
             h = ConformerBlock(self.d_model, self.n_heads, self.conv_kernel,
                                self.dropout, self.dtype, self.causal,
+                               attention_impl=self.attention_impl,
                                name=f"block{i}")(h, mask, deterministic)
             h = h.astype(self.dtype)
             if self.intermediate_layer and i + 1 == self.intermediate_layer:
@@ -210,12 +223,14 @@ class ConformerCtc(nn.Module):
     dtype: Dtype = jnp.bfloat16
     causal: bool = False
     intermediate_ctc_layer: int = 0
+    attention_impl: str = "xla"
 
     @nn.compact
     def __call__(self, features, lengths, deterministic: bool = True):
         encoder = ConformerEncoder(
             self.d_model, self.n_layers, self.n_heads, self.conv_kernel,
             self.dropout, self.dtype, self.causal,
+            attention_impl=self.attention_impl,
             intermediate_layer=self.intermediate_ctc_layer, name="encoder")
         h, out_lengths, mask = encoder(features, lengths, deterministic)
         logits = nn.Dense(self.vocab_size, dtype=jnp.float32,
