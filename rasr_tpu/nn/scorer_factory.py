@@ -49,7 +49,8 @@ def _encoder_only_from_config(config: Configuration) -> EncoderOnlyLabelScorer:
         # checkpoints trained with an InterCTC auxiliary head carry its
         # params; the restore template must match
         intermediate_ctc_layer=int(
-            model_cfg.get("intermediate-ctc-layer") or 0))
+            model_cfg.get("intermediate-ctc-layer") or 0),
+        attention_impl=model_cfg.get("attention-impl") or "xla")
     dummy_d = int(model_cfg.get("feature-dim") or 80)
     template = model.init(jax.random.PRNGKey(0),
                           jnp.zeros((1, 8, dummy_d)),

@@ -109,8 +109,95 @@ def make_flax_attention_fn(key_mask_of=None, interpret: bool = False):
             key_mask = jnp.any(mask, axis=(1, 2))   # (B, T_k)
         else:
             key_mask = jnp.ones(key.shape[:2], bool)
-        out = fused_attention(query, key, value, key_mask,
-                              interpret=interpret)
+        out = fused_attention_vjp(query, key, value, key_mask, interpret)
         return out.astype(dtype or query.dtype)
 
     return attention_fn
+
+
+# ---------------------------------------------------------------------------
+# custom VJP: makes the fused kernel trainable (the backward recomputes
+# the probabilities on-chip — nothing is saved from the forward except
+# the inputs, the flash-attention memory recipe)
+# ---------------------------------------------------------------------------
+
+
+def _attn_bwd_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref,
+                     dq_ref, dk_ref, dv_ref, *, scale):
+    hp = jax.lax.Precision.HIGHEST
+    q = q_ref[0, 0].astype(jnp.float32)
+    k = k_ref[0, 0].astype(jnp.float32)
+    v = v_ref[0, 0].astype(jnp.float32)
+    do = do_ref[0, 0].astype(jnp.float32)
+    scores = jnp.dot(q, k.T, precision=hp,
+                     preferred_element_type=jnp.float32) * scale
+    valid = mask_ref[0, 0] > 0
+    scores = jnp.where(valid, scores, NEG)
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    e = jnp.exp(scores - m)
+    e = jnp.where(valid, e, 0.0)
+    denom = jnp.maximum(jnp.sum(e, axis=-1, keepdims=True), 1e-30)
+    p = e / denom                                       # (T, T)
+    dv = jnp.dot(p.T, do, precision=hp,
+                 preferred_element_type=jnp.float32)
+    dp = jnp.dot(do, v.T, precision=hp,
+                 preferred_element_type=jnp.float32)
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    dq = jnp.dot(ds, k, precision=hp,
+                 preferred_element_type=jnp.float32) * scale
+    dk = jnp.dot(ds.T, q, precision=hp,
+                 preferred_element_type=jnp.float32) * scale
+    dq_ref[0, 0] = dq.astype(dq_ref.dtype)
+    dk_ref[0, 0] = dk.astype(dk_ref.dtype)
+    dv_ref[0, 0] = dv.astype(dv_ref.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def fused_attention_vjp(query, key, value, key_mask,
+                        interpret: bool = False):
+    """fused_attention with a Pallas backward pass — usable in training
+    (the plain fused_attention is forward-only)."""
+    return fused_attention(query, key, value, key_mask,
+                           interpret=interpret)
+
+
+def _vjp_fwd(query, key, value, key_mask, interpret):
+    out = fused_attention(query, key, value, key_mask, interpret=interpret)
+    return out, (query, key, value, key_mask)
+
+
+def _vjp_bwd(interpret, residuals, d_out):
+    query, key, value, key_mask = residuals
+    B, T, H, Dh = query.shape
+    scale = 1.0 / math.sqrt(Dh)
+    Tp = -(-T // 8) * 8
+    Dp = -(-Dh // 128) * 128
+
+    def prep(x):
+        x = jnp.moveaxis(x, 2, 1)
+        return jnp.pad(x, ((0, 0), (0, 0), (0, Tp - T), (0, Dp - Dh)))
+
+    q, k, v, do = prep(query), prep(key), prep(value), prep(d_out)
+    mask = jnp.pad(key_mask.astype(jnp.float32), ((0, 0), (0, Tp - T)))
+    mask = mask[:, None, None, :]
+    kernel = functools.partial(_attn_bwd_kernel, scale=scale)
+    spec = pl.BlockSpec((1, 1, Tp, Dp), lambda b, h: (b, h, 0, 0),
+                        memory_space=pltpu.VMEM)
+    mspec = pl.BlockSpec((1, 1, 1, Tp), lambda b, h: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
+    shp = jax.ShapeDtypeStruct((B, H, Tp, Dp), query.dtype)
+    dq, dk, dv = pl.pallas_call(
+        kernel, grid=(B, H),
+        in_specs=[spec, spec, spec, mspec, spec],
+        out_specs=(spec, spec, spec),
+        out_shape=(shp, shp, shp),
+        interpret=interpret,
+    )(q, k, v, mask, do)
+
+    def unprep(x):
+        return jnp.moveaxis(x[:, :, :T, :Dh], 1, 2)
+
+    return unprep(dq), unprep(dk), unprep(dv), None
+
+
+fused_attention_vjp.defvjp(_vjp_fwd, _vjp_bwd)

@@ -54,3 +54,29 @@ def test_conformer_attention_impl_equivalence(monkeypatch):
         np.testing.assert_allclose(np.asarray(lx)[b, :int(ox[b])],
                                    np.asarray(lp)[b, :int(ox[b])],
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_custom_vjp_gradients_match_reference():
+    from rasr_tpu.ops.attention_kernel import fused_attention_vjp
+    rng = np.random.default_rng(2)
+    B, T, H, Dh = 2, 24, 2, 32
+    q = jnp.asarray(rng.standard_normal((B, T, H, Dh)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((B, T, H, Dh)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((B, T, H, Dh)).astype(np.float32))
+    lens = np.asarray([24, 13])
+    mask = jnp.asarray(np.arange(T)[None, :] < lens[:, None])
+    qmask = mask[..., None, None].astype(jnp.float32)
+
+    def loss_pallas(q, k, v):
+        out = fused_attention_vjp(q, k, v, mask, True)
+        return jnp.sum((out * qmask) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum((ref_attn(q, k, v, mask, Dh) * qmask) ** 2)
+
+    gp = jax.grad(loss_pallas, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gp, gr):
+        np.testing.assert_allclose(np.asarray(a) * np.asarray(qmask),
+                                   np.asarray(b) * np.asarray(qmask),
+                                   rtol=1e-4, atol=1e-4)
