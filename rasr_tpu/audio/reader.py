@@ -80,6 +80,9 @@ def read_audio(path: str, **kw) -> Tuple[np.ndarray, float]:
         return read_wav(path, **kw)
     if ext in (".raw", ".pcm"):
         return read_raw(path, **kw)
+    if ext == ".flac":
+        from rasr_tpu.audio.flac import read_flac
+        return read_flac(path, **kw)
     raise ValueError(f"unsupported audio format: {path}")
 
 

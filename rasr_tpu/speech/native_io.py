@@ -28,9 +28,11 @@ def _ensure_built() -> Optional[ctypes.CDLL]:
     if _lib is not None or _build_failed:
         return _lib
     try:
-        src = os.path.join(_NATIVE_DIR, "rasr_io.cpp")
+        srcs = [os.path.join(_NATIVE_DIR, f)
+                for f in ("rasr_io.cpp", "rasr_flac.cpp")]
         if (not os.path.exists(_LIB_PATH)
-                or os.path.getmtime(_LIB_PATH) < os.path.getmtime(src)):
+                or any(os.path.getmtime(_LIB_PATH) < os.path.getmtime(s)
+                       for s in srcs if os.path.exists(s))):
             subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
                            capture_output=True)
         lib = ctypes.CDLL(_LIB_PATH)
@@ -169,6 +171,30 @@ def native_read_wav(path: str, track: int = 0
     lib.rasr_wav_read(path.encode(), track,
                       buf.ctypes.data_as(ctypes.c_void_p), n,
                       ctypes.byref(rate))
+    return buf, float(rate.value)
+
+
+def native_read_flac(path: str, track: int = 0
+                     ) -> Optional[Tuple[np.ndarray, float]]:
+    """Native FLAC decode (native/rasr_flac.cpp); None when the library
+    is unavailable or the stream can't be parsed."""
+    lib = _ensure_built()
+    if lib is None:
+        return None
+    if not getattr(lib, "_flac_bound", False):
+        lib.rasr_flac_read.restype = ctypes.c_int64
+        lib.rasr_flac_read.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint32)]
+        lib._flac_bound = True
+    rate = ctypes.c_uint32(0)
+    n = lib.rasr_flac_read(path.encode(), track, None, 0, ctypes.byref(rate))
+    if n < 0:
+        return None
+    buf = np.zeros(int(n), dtype=np.float32)
+    lib.rasr_flac_read(path.encode(), track,
+                       buf.ctypes.data_as(ctypes.c_void_p), n,
+                       ctypes.byref(rate))
     return buf, float(rate.value)
 
 
