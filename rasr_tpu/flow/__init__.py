@@ -7,6 +7,8 @@ from .data import (Attributes, END_OF_STREAM, OUT_OF_DATA, Stream,
 from .network import NetworkDef, NodeDef, LinkDef, parse_network, parse_network_string
 from .nodes import Node, Registry, register
 from . import nodes_ext  # noqa: F401  (second-tier filter registrations)
+from . import nodes_generic  # noqa: F401  (third tier: generic Flow filters)
+from . import nodes_signal2  # noqa: F401  (third tier: Signal filters)
 
 __all__ = [
     "FlowError", "FlowPipeline", "compile_network",
