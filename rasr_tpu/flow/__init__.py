@@ -9,6 +9,7 @@ from .nodes import Node, Registry, register
 from . import nodes_ext  # noqa: F401  (second-tier filter registrations)
 from . import nodes_generic  # noqa: F401  (third tier: generic Flow filters)
 from . import nodes_signal2  # noqa: F401  (third tier: Signal filters)
+from . import nodes_speech  # noqa: F401  (Speech-layer filters)
 
 __all__ = [
     "FlowError", "FlowPipeline", "compile_network",

@@ -217,6 +217,11 @@ class FlowPipeline:
                                     start_time=0.0)
         if not self.jit:
             return self._trace(streams)
+        if any(n.host_only for n in self._nodes.values()):
+            # mixed network: host-only nodes (file IO, dynamic shapes,
+            # python objects) run eagerly; each maximal run of device
+            # nodes between them is jitted as one fused program
+            return self._staged_call(streams, start_time)
 
         key = tuple(sorted((k, tuple(s.data.shape), str(s.data.dtype),
                             s.sample_rate) for k, s in streams.items()))
@@ -238,6 +243,115 @@ class FlowPipeline:
         return {k: meta[k].with_data(
             arrays[k], start_time=meta[k].start_time + start_time)
             for k in arrays}
+
+    # -- staged execution (mixed host/device networks) ------------------------
+
+    def _staged_call(self, inputs: Dict[str, Stream], start_time: float
+                     ) -> Dict[str, Stream]:
+        """Execute the network in stages: host-only nodes eagerly, each
+        maximal contiguous run of device nodes as one jitted program
+        (cached per run + input-shape signature)."""
+        net_name = self.net.name
+        values: Dict[Tuple[str, str], Stream] = {
+            (net_name, k): s for k, s in inputs.items()}
+        in_links: Dict[str, List[LinkDef]] = {n: [] for n in self._nodes}
+        for link in self.net.links:
+            if link.to_node in in_links:
+                in_links[link.to_node].append(link)
+
+        def gather(node_name):
+            out = {}
+            for link in in_links[node_name]:
+                src = (link.from_node, link.from_port)
+                if src not in values:
+                    raise FlowError(
+                        f"node {node_name}: input {src} not produced")
+                out[link.to_port] = values[src]
+            return out
+
+        i = 0
+        while i < len(self._topo):
+            name = self._topo[i]
+            if self._nodes[name].host_only:
+                for port, stream in self._nodes[name].apply(
+                        gather(name)).items():
+                    values[(name, port)] = stream
+                i += 1
+                continue
+            run = [name]
+            j = i + 1
+            while j < len(self._topo) and \
+                    not self._nodes[self._topo[j]].host_only:
+                run.append(self._topo[j])
+                j += 1
+            self._run_device_stage(run, values, gather)
+            i = j
+
+        outputs: Dict[str, Stream] = {}
+        for link in self.net.links:
+            if link.to_node == net_name:
+                s = values[(link.from_node, link.from_port)]
+                outputs[link.to_port] = s.with_data(
+                    s.data, start_time=s.start_time + start_time)
+        missing = [o for o in self.net.outputs if o not in outputs]
+        if missing:
+            raise FlowError(f"network outputs not linked: {missing}")
+        return outputs
+
+    def _run_device_stage(self, run, values, gather) -> None:
+        """jit one contiguous run of device nodes as a single program."""
+        run_set = set(run)
+        # stage inputs: every (src, port) a run node reads that was
+        # produced outside the run
+        needed: List[Tuple[str, str]] = []
+        for name in run:
+            for link in self.net.links:
+                if link.to_node == name and link.from_node not in run_set:
+                    src = (link.from_node, link.from_port)
+                    if src not in needed:
+                        needed.append(src)
+        in_streams = {src: values[src] for src in needed}
+
+        def run_nodes(local):
+            for name in run:
+                node_in = {}
+                for link in self.net.links:
+                    if link.to_node == name:
+                        node_in[link.to_port] = local[
+                            (link.from_node, link.from_port)]
+                for port, stream in self._nodes[name].apply(
+                        node_in).items():
+                    local[(name, port)] = stream
+            return {(n, p): s for (n, p), s in local.items() if n in run_set}
+
+        def is_array(x):
+            return hasattr(x, "shape") and hasattr(x, "dtype")
+
+        if not all(is_array(s.data) for s in in_streams.values()):
+            # a python-object payload feeds this run: execute eagerly
+            values.update(run_nodes(dict(in_streams)))
+            return
+
+        key = (tuple(run), tuple(
+            (src, tuple(s.data.shape), str(s.data.dtype))
+            for src, s in in_streams.items()))
+        if key not in self._compiled:
+            meta_out: Dict[Tuple[str, str], Stream] = {}
+
+            def fn(data):
+                local = {src: in_streams[src].with_data(arr)
+                         for src, arr in data.items()}
+                outs = run_nodes(local)
+                meta_out.update(outs)
+                return {np_: s.data for np_, s in outs.items()}
+
+            jitted = jax.jit(fn)
+            _ = jitted.lower({src: s.data for src, s in in_streams.items()})
+            self._compiled[key] = (jitted, dict(meta_out))
+        jitted, meta = self._compiled[key]
+        arrays = jitted({src: s.data for src, s in in_streams.items()})
+        for np_, arr in arrays.items():
+            values[np_] = meta[np_].with_data(arr)
 
 
 def compile_network(path_or_def, params: Optional[Dict[str, str]] = None,

@@ -1,0 +1,254 @@
+"""Speech-layer Flow filter tests (flow/nodes_speech.py): alignment
+transforms with reference weight math, aligned caches, model-backed
+scoring, and the lattice node family."""
+
+import numpy as np
+import pytest
+
+from rasr_tpu.flow.data import Stream
+from rasr_tpu.flow.nodes import Registry
+from rasr_tpu.lattice.word_lattice import WordLattice
+from rasr_tpu.speech.alignment import Alignment
+
+
+def S(data, **meta):
+    return Stream(data=data, sample_rate=100.0, meta=meta)
+
+
+def run(name, data, attrs=None, extra=None, port=""):
+    node = Registry[name](name, attrs or {})
+    inp = {"": S(data) if not isinstance(data, Stream) else data}
+    if extra:
+        inp.update(extra)
+    return node.apply(inp)[port].data
+
+
+@pytest.fixture
+def ali():
+    return Alignment(np.array([0, 1, 1, 2]), np.array([5, 5, 6, 7]),
+                     np.array([1.0, 0.5, 0.5, 2.0], np.float32))
+
+
+def test_weight_transforms(ali):
+    out = run("speech-alignment-add-weight", ali, {"weight": "1"})
+    assert np.allclose(out.weights, [2.0, 1.5, 1.5, 3.0])
+    out = run("speech-alignment-multiply-weights", ali, {"factor": "2"})
+    assert np.allclose(out.weights, [2.0, 1.0, 1.0, 4.0])
+    out = run("speech-alignment-clip-weights", ali,
+              {"minimum-weight": "0.6", "maximum-weight": "1.5"})
+    assert np.allclose(out.weights, [1.0, 0.6, 0.6, 1.5])
+    out = run("speech-alignment-filter-weights", ali,
+              {"minimum-weight": "0.6", "maximum-weight": "1.5"})
+    assert len(out) == 1 and out.state_ids[0] == 5
+    out = run("speech-alignment-reset-weights", ali)
+    assert np.allclose(out.weights, 1.0)
+
+
+def test_expm_and_gamma(ali):
+    a2 = Alignment(ali.frames, ali.state_ids,
+                   np.array([0.0, np.inf, 1.0, 2.0], np.float32))
+    out = run("speech-alignment-expm", a2)
+    assert np.allclose(out.weights,
+                       [1.0, 0.0, np.exp(-1.0), np.exp(-2.0)], atol=1e-6)
+    out = run("speech-alignment-gamma-correction", ali, {"exponent": "2"})
+    assert np.allclose(out.weights, [1.0, 0.25, 0.25, 4.0], atol=1e-6)
+    # with per-frame normalization
+    out = run("speech-alignment-gamma-correction", ali,
+              {"exponent": "1", "normalize": "true"})
+    assert np.allclose(out.weights[1] + out.weights[2], 1.0, atol=1e-6)
+
+
+def test_combine_items():
+    a = Alignment(np.array([0, 0, 1]), np.array([3, 3, 4]),
+                  np.array([0.25, 0.5, 1.0], np.float32))
+    out = run("speech-alignment-combine-items", a)
+    assert len(out) == 2 and np.allclose(out.weights[0], 0.75)
+    out = run("speech-alignment-combine-items", a,
+              {"semiring-type": "tropical"})
+    assert np.allclose(out.weights[0], 0.25)
+
+
+def test_multiply_alignments(ali):
+    other = Alignment(np.array([0, 1]), np.array([5, 5]),
+                      np.array([0.5, 0.5], np.float32))
+    node = Registry["speech-alignment-multiply-alignments"]("m", {})
+    out = node.apply({"a": S(ali), "b": S(other)})[""].data
+    assert len(out) == 2
+    assert np.allclose(sorted(out.weights), [0.25, 0.5])
+
+
+def test_map_alphabet_and_tied_weights(tmp_path, ali):
+    f = tmp_path / "map.txt"
+    f.write_text("5 50\n6 60\n")
+    out = run("speech-alignment-map-alphabet", ali, {"map-file": str(f)})
+    assert list(out.state_ids) == [50, 50, 60, 7]
+    src = Alignment(np.array([0, 2]), np.array([5, 7]),
+                    np.array([0.9, 0.1], np.float32))
+    node = Registry["alignment-weights-by-tied-state-alignment-weights"](
+        "w", {"default-weight": "0.5"})
+    out = node.apply({"": S(ali), "weights": S(src)})[""].data
+    assert np.allclose(out.weights, [0.9, 0.5, 0.5, 0.1])
+
+
+def test_sequence_selection_and_linear_segmentation(ali):
+    sel = run("speech-alignment-to-sequence-selection", ali,
+              {"discard-states": "5"})
+    assert list(sel) == [False, True, True]
+    feats = np.zeros((10, 4), np.float32)
+    out = run("speech-linear-segmentation", feats, {"states": "1 2"})
+    assert len(out) == 10
+    assert list(out.state_ids[:5]) == [1] * 5
+    assert list(out.state_ids[5:]) == [2] * 5
+
+
+def test_alignment_cache_roundtrip(tmp_path, ali):
+    path = str(tmp_path / "ali.cache")
+    wnode = Registry["speech-aligned-feature-cache-writer"](
+        "w", {"path": path})
+    feats = S(np.zeros((3, 4), np.float32), corpus_key="c/r/s1")
+    wnode.apply({"": feats, "alignment": S(ali)})
+    wnode._writers[path].archive.archive.flush() \
+        if hasattr(wnode._writers[path].archive, "archive") else None
+    wnode._writers[path].close()
+    del wnode._writers[path]
+    out = Registry["speech-alignment"]("a", {"alignment-cache": path}).apply(
+        {"": feats})[""].data
+    assert list(out.state_ids) == list(ali.state_ids)
+
+
+def test_feature_scorer_nodes():
+    from rasr_tpu.mm.mixture_set import MixtureSet
+    # build a tiny 2-class mixture set programmatically via the scorer hook
+    class FakeScorer:
+        def score(self, x):
+            d = np.stack([np.sum((x - 0.0) ** 2, -1),
+                          np.sum((x - 1.0) ** 2, -1)], -1)
+            return d
+    x = np.random.RandomState(0).rand(6, 3).astype(np.float32)
+    out = run("feature-scorer", x, {"_scorer": FakeScorer()})
+    assert out.shape == (6, 2)
+    post = run("state-posterior-feature-scorer", x, {"_scorer": FakeScorer()})
+    assert np.allclose(post.sum(-1), 1.0, atol=1e-5)
+
+
+@pytest.fixture
+def lat():
+    lat = WordLattice(words={1: "a", 2: "b"})
+    s0 = lat.add_state(0)
+    s1 = lat.add_state(5)
+    s2 = lat.add_state(10)
+    lat.initial = s0
+    lat.add_arc(s0, s1, 1, am_score=1.0, lm_score=0.5)
+    lat.add_arc(s0, s1, 2, am_score=2.0, lm_score=0.5)
+    lat.add_arc(s1, s2, 2, am_score=1.0, lm_score=0.2)
+    lat.set_final(s2)
+    return lat
+
+
+def test_lattice_semiring_and_modification(lat):
+    out = run("lattice-semiring", lat, {"am-scale": "2", "lm-scale": "0"})
+    assert out.arcs[0][0].am_score == 2.0 and out.arcs[0][0].lm_score == 0.0
+    out = run("lattice-simple-modification", lat,
+              {"part": "lm", "scale": "2", "offset": "1"})
+    assert out.arcs[0][0].lm_score == 2.0
+    # original untouched (deep copy)
+    assert lat.arcs[0][0].am_score == 1.0
+
+
+def test_lattice_expm_and_posterior(lat):
+    out = run("lattice-expm", lat)
+    assert np.isclose(out.arcs[0][0].am_score, np.exp(-1.0))
+    out = run("lattice-word-posterior", lat)
+    p = [a.am_score for a in out.arcs[0]]
+    assert np.isclose(sum(p), 1.0, atol=1e-5)
+    assert np.isclose(out.arcs[1][0].am_score, 1.0, atol=1e-5)
+
+
+def test_lattice_nbest_and_ctm(tmp_path, lat):
+    out = run("lattice-nbest", lat, {"n": "1"})
+    words, _ = out.best()
+    assert [w for w in words if w] == [1, 2]
+    f = tmp_path / "out.ctm"
+    run("lattice-dump-ctm", S(lat, corpus_key="c/r/s1"), {"file": str(f)})
+    text = f.read_text()
+    assert "a" in text and "b" in text and "0.05" in text
+
+
+def test_lattice_archive_roundtrip(tmp_path, lat):
+    path = str(tmp_path / "lat.cache")
+    st = S(lat, corpus_key="c/r/s1")
+    wnode = Registry["lattice-write"]("w", {"archive": path})
+    wnode.apply({"": st})
+    wnode._writers[path].close()
+    del wnode._writers[path]
+    out = Registry["lattice-read"]("r", {"archive": path}).apply(
+        {"": S(np.zeros((1, 1)), corpus_key="c/r/s1")})[""].data
+    assert out.n_states == lat.n_states and out.n_arcs == lat.n_arcs
+
+
+def test_accuracy_nodes(lat):
+    ref = [(1, 0, 5), (2, 5, 10)]
+    out = Registry["lattice-approximate-phone-accuracy"]("p", {}).apply(
+        {"": S(lat), "reference": S(ref)})[""].data
+    # correct-word full-overlap arcs get accuracy 1
+    assert np.isclose(out.arcs[0][0].am_score, 1.0)
+    assert out.arcs[0][1].am_score < 1.0
+    ali = np.array([1] * 5 + [2] * 5)
+    out = Registry["lattice-frame-phone-accuracy"]("f", {}).apply(
+        {"": S(lat), "reference": S(ali)})[""].data
+    assert np.isclose(out.arcs[0][0].am_score, 5.0)
+    assert np.isclose(out.arcs[0][1].am_score, 0.0)
+
+
+def test_numerator_from_denominator(lat):
+    out = Registry["lattice-numerator-from-denominator"]("n", {}).apply(
+        {"": S(lat), "reference": S(np.array([1, 2]))})[""].data
+    # only the a-b path survives
+    assert out.n_arcs == 2
+    words, _ = out.best()
+    assert [w for w in words if w] == [1, 2]
+
+
+def test_staged_mixed_host_device_network():
+    """Host-only nodes run eagerly between jitted device stages
+    (FlowPipeline._staged_call)."""
+    import textwrap
+    from rasr_tpu.flow import compile_network, parse_network_string
+    net = parse_network_string(textwrap.dedent("""\
+        <network name="n">
+          <in name="feat"/>
+          <out name="filtered"/>
+          <node name="absn" filter="generic-vector-f32-abs"/>
+          <link from="n:feat" to="absn"/>
+          <node name="seg" filter="speech-linear-segmentation"
+                states="0 1"/>
+          <link from="absn" to="seg"/>
+          <node name="selnode"
+                filter="speech-alignment-to-sequence-selection"
+                discard-states="0"/>
+          <link from="seg" to="selnode"/>
+          <node name="filt" filter="generic-sequence-filter"/>
+          <link from="absn" to="filt"/>
+          <link from="selnode" to="filt:selection"/>
+          <node name="scale" filter="generic-vector-f32-multiplication"
+                value="2.0"/>
+          <link from="filt" to="scale"/>
+          <link from="scale" to="n:filtered"/>
+        </network>
+    """))
+    pipe = compile_network(net)
+    x = -np.ones((6, 2), np.float32)
+    out = pipe(feat=Stream(data=x, sample_rate=100.0))
+    f = np.asarray(out["filtered"].data)
+    assert f.shape == (3, 2) and np.allclose(f, 2.0)
+    # second call exercises the staged jit cache
+    out2 = pipe(feat=Stream(data=2 * x, sample_rate=100.0))
+    assert np.allclose(np.asarray(out2["filtered"].data), 4.0)
+
+
+def test_alignment_from_lattice(lat):
+    out = run("speech-alignment-from-lattice", lat)
+    assert len(out) > 0
+    # frame 0 covered by both competing arcs -> two items
+    f0 = out.weights[np.asarray(out.frames) == 0]
+    assert np.isclose(f0.sum(), 1.0, atol=1e-5)
