@@ -71,14 +71,20 @@ def split_layers_into_stages(layer_params: list, n_stages: int) -> list:
 def pipeline_apply(mesh: Mesh, stage_fn: Callable, stacked_params: Any,
                    x: jnp.ndarray, n_microbatches: int,
                    stage_axis: str = "stage",
-                   data_axis: str = None) -> jnp.ndarray:
+                   data_axis: str = None,
+                   param_specs: Any = None) -> jnp.ndarray:
     """Run `stage_fn(stage_params, h) -> h` through an S-stage pipeline.
 
     stacked_params: pytree with leading stage axis S (sharded over
     `stage_axis`).  x: (B, ...) global batch, B % n_microbatches == 0.
     data_axis: optional second mesh axis sharding the within-microbatch
     batch dimension — pipeline and data parallelism compose in one SPMD
-    program.  Returns (B, ...) outputs (replicated across stages).
+    program.  param_specs: optional pytree of PartitionSpecs describing
+    each leaf's layout BELOW the stage axis (tensor parallelism: shard
+    weight matrices over a 'model' axis; `stage_fn` must then close its
+    contractions with psum over that axis — see `column_row_stage_fn`).
+    With all three, one SPMD program runs stage x data x model (3-D)
+    parallelism.  Returns (B, ...) outputs (replicated across stages).
     """
     S = mesh.shape[stage_axis]
     B = x.shape[0]
@@ -87,8 +93,13 @@ def pipeline_apply(mesh: Mesh, stage_fn: Callable, stacked_params: Any,
     mb = B // n_microbatches
     xm = x.reshape((n_microbatches, mb) + x.shape[1:])
 
-    param_specs = jax.tree_util.tree_map(lambda _: P(stage_axis),
-                                         stacked_params)
+    if param_specs is None:
+        param_specs = jax.tree_util.tree_map(lambda _: P(stage_axis),
+                                             stacked_params)
+    else:
+        param_specs = jax.tree_util.tree_map(
+            lambda spec: P(stage_axis, *spec), param_specs,
+            is_leaf=lambda v: isinstance(v, P))
     x_spec = P(None, data_axis) if data_axis else P()
     perm = [(s, (s + 1) % S) for s in range(S)]  # ring: stage s -> s+1
 
@@ -152,3 +163,55 @@ def scan_stage_fn(layer_fn: Callable) -> Callable:
 def make_pipeline_mesh(n_devices: int, stage_axis: str = "stage") -> Mesh:
     devices = np.asarray(jax.devices()[:n_devices])
     return Mesh(devices, (stage_axis,))
+
+
+def make_3d_mesh(n_stages: int, data_parallel: int, model_parallel: int,
+                 axis_names=("stage", "data", "model")) -> Mesh:
+    """stage x data x model device mesh for 3-D-parallel pipelines.
+
+    Axis order puts `model` innermost so tensor-parallel collectives ride
+    the fastest ICI links, then `data`, with `stage` outermost (pipeline
+    ppermute tolerates the longest hops) — the standard mesh layout of
+    the scaling playbook."""
+    n = n_stages * data_parallel * model_parallel
+    devices = jax.devices()
+    if len(devices) < n:
+        raise ValueError(f"need {n} devices, have {len(devices)}")
+    grid = np.asarray(devices[:n]).reshape(
+        (n_stages, data_parallel, model_parallel))
+    return Mesh(grid, axis_names)
+
+
+def column_row_stage_fn(layer_fn: Callable = None, *,
+                        model_axis: str = "model") -> Callable:
+    """Tensor-parallel two-matmul block for pipeline stages (the classic
+    column-parallel -> row-parallel MLP split):
+
+        h1 = act(h @ W1 + b1)   W1 (D, F/mp) column-sharded: no comm
+        y  = psum(h1 @ W2) + b2 W2 (F/mp, D) row-sharded: one psum
+
+    Stage params: {"w1": (L, D, F), "b1": (L, F), "w2": (L, F, D),
+    "b2": (L, D)} stacked over L layers per stage; shard F over `model`
+    via pipeline_apply's param_specs.  Matches the reference's scale-out
+    intent with XLA collectives instead of NCCL (SURVEY §2.20)."""
+
+    def one_layer(p, h):
+        h1 = jnp.tanh(h @ p["w1"] + p["b1"])
+        partial_ = h1 @ p["w2"]
+        return jax.lax.psum(partial_, model_axis) + p["b2"]
+
+    def stage_fn(stacked, h):
+        def body(carry, layer_params):
+            return one_layer(layer_params, carry), None
+
+        out, _ = jax.lax.scan(body, h, stacked)
+        return out
+
+    return stage_fn
+
+
+def column_row_param_specs(model_axis: str = "model"):
+    """param_specs matching column_row_stage_fn's layout: below the
+    stage axis each leaf is (L, ...) with the F dimension sharded."""
+    return {"w1": P(None, None, model_axis), "b1": P(None, model_axis),
+            "w2": P(None, model_axis, None), "b2": P(None, None)}

@@ -118,3 +118,55 @@ def test_pipeline_composes_with_data_parallelism():
     ref = sequential(layers, x)
     np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_3d_stage_data_model_pipeline():
+    """2x2x2 (stage, data, model) mesh: one SPMD program runs pipeline,
+    data, and tensor parallelism together; values and grads match a
+    single-device reference (ROADMAP 3-D scale-out item)."""
+    import numpy as np
+    from jax.sharding import PartitionSpec as P
+    from rasr_tpu.parallel.pipeline import (
+        column_row_param_specs, column_row_stage_fn, make_3d_mesh,
+        pipeline_apply, split_layers_into_stages, stack_stage_params)
+
+    mesh = make_3d_mesh(2, 2, 2)
+    D, F, L = 8, 16, 4
+    rng = np.random.default_rng(0)
+    layers = [{"w1": jnp.asarray(rng.standard_normal((D, F)), jnp.float32) * 0.3,
+               "b1": jnp.asarray(rng.standard_normal((F,)), jnp.float32) * 0.1,
+               "w2": jnp.asarray(rng.standard_normal((F, D)), jnp.float32) * 0.3,
+               "b2": jnp.asarray(rng.standard_normal((D,)), jnp.float32) * 0.1}
+              for _ in range(L)]
+    stacked = stack_stage_params(split_layers_into_stages(layers, 2))
+    x = jnp.asarray(rng.standard_normal((8, D)), jnp.float32)
+    stage_fn = column_row_stage_fn()
+
+    def loss3d(stacked, x):
+        y = pipeline_apply(mesh, stage_fn, stacked, x, n_microbatches=4,
+                           data_axis="data",
+                           param_specs=column_row_param_specs())
+        return jnp.mean(y ** 2), y
+
+    (val, y), grads = jax.jit(
+        jax.value_and_grad(loss3d, has_aux=True))(stacked, x)
+
+    h = x
+    for l in layers:
+        h = jnp.tanh(h @ l["w1"] + l["b1"]) @ l["w2"] + l["b2"]
+    np.testing.assert_allclose(np.asarray(y), np.asarray(h),
+                               rtol=2e-5, atol=2e-5)
+
+    def ref_loss(stacked):
+        h = x
+        for s in range(2):
+            for i in range(2):
+                l = {k: stacked[k][s][i] for k in stacked}
+                h = jnp.tanh(h @ l["w1"] + l["b1"]) @ l["w2"] + l["b2"]
+        return jnp.mean(h ** 2)
+
+    g_ref = jax.grad(ref_loss)(stacked)
+    for k in grads:
+        np.testing.assert_allclose(np.asarray(grads[k]),
+                                   np.asarray(g_ref[k]),
+                                   rtol=2e-4, atol=2e-5)
