@@ -1356,3 +1356,176 @@ class AlignerNode(FlfNode):
         out.final_states = np.asarray([n], np.int32)
         out.final_scores = np.zeros((1, constrained.semiring.n))
         return out
+
+
+# ---------------------------------------------------------------------------
+# batch source, transit expansion, forced arc alignment
+# (the last three reference registrations: NodeRegistration.hh:98 "batch",
+# :867 "expand-transits", :2303 "forced-arc-alignment")
+# ---------------------------------------------------------------------------
+
+
+@register_node("batch")
+class BatchNode(FlfNode):
+    """Argument-list source: reads `file` (one whitespace-separated
+    argument list per line, `encoding` honored) or inline `args`; the
+    current segment index selects the line, `pull_argument(x)` / config
+    `port` selects the column (reference batch node reads argument lists
+    either from command line or file)."""
+
+    def __init__(self, *a, **k):
+        super().__init__(*a, **k)
+        path = self.config.get("file") or ""
+        enc = self.config.get("encoding") or "utf-8"
+        if path:
+            with open(path, encoding=enc) as fh:
+                self.lines = [ln.split() for ln in fh
+                              if ln.strip() and not ln.startswith("#")]
+        else:
+            self.lines = [(self.config.get("args") or "").split()]
+        self.port = int(self.config.get("port") or 0)
+
+    def pull_argument(self, x: int):
+        args = self.lines[self.network.segment_counter % len(self.lines)]
+        return args[x] if x < len(args) else ""
+
+    def work(self):
+        return self.pull_argument(self.port)
+
+
+@register_node("expand-transits")
+class ExpandTransitsNode(FlfNode):
+    """Splits states so every state has a unique entering word — each
+    transit (word boundary) gets its own state, repairing word boundary
+    times that a decoder merged (reference expand-transits expands
+    coarticulated-phoneme transits; word granularity here, which is the
+    level our lattices carry)."""
+
+    def work(self) -> FlfLattice:
+        lat = self.pull_lattice(0)
+        # group arcs by (target, label): each distinct entering label gets
+        # its own copy of the target state
+        state_of: Dict[Tuple[int, int], int] = {}
+        n_new = 0
+        boundaries: List[int] = []
+
+        def new_state(orig: int, lab: int) -> int:
+            nonlocal n_new
+            key = (orig, lab)
+            if key not in state_of:
+                state_of[key] = n_new
+                boundaries.append(int(lat.boundaries[orig]))
+                n_new += 1
+            return state_of[key]
+
+        init = new_state(lat.initial, -1)
+        arcs: List[Tuple[int, int, int, np.ndarray]] = []
+        # source copies: every copy of a source state emits all its
+        # outgoing arcs; targets keyed by the arc's own label
+        out_of: Dict[int, List[int]] = {}
+        for k in range(lat.n_arcs):
+            out_of.setdefault(int(lat.sources[k]), []).append(k)
+        # BFS over (orig state, entering label) copies
+        stack = [(int(lat.initial), -1)]
+        seen = {(int(lat.initial), -1)}
+        while stack:
+            orig, lab = stack.pop()
+            src = state_of[(orig, lab)]
+            for k in out_of.get(orig, ()):  # expand outgoing arcs
+                albl = int(lat.labels[k])
+                tgt_orig = int(lat.targets[k])
+                tgt = new_state(tgt_orig, albl)
+                arcs.append((src, tgt, albl, lat.scores[k]))
+                if (tgt_orig, albl) not in seen:
+                    seen.add((tgt_orig, albl))
+                    stack.append((tgt_orig, albl))
+        finals: Dict[int, np.ndarray] = {}
+        fin_score = {int(s): lat.final_scores[i]
+                     for i, s in enumerate(lat.final_states)}
+        for (orig, lab), s in state_of.items():
+            if orig in fin_score:
+                finals[s] = fin_score[orig]
+        return FlfLattice.build(lat.semiring, n_new, arcs,
+                                boundaries=boundaries, initial=init,
+                                finals=finals, words=lat.words)
+
+
+@register_node("forced-arc-alignment")
+class ForcedArcAlignmentNode(FlfNode):
+    """Splits every word arc into its pronunciation's phoneme sub-arcs.
+    With an aligner in the network context (`arc-aligner`: callable
+    (lattice, arc_index, phonemes) -> frame counts) the split is
+    acoustic; otherwise the arc's frame span is divided evenly across
+    the phonemes (reference forced-arc-alignment aligns arcs acoustically
+    to phoneme or subword units; the lexicon provides pronunciations)."""
+
+    def work(self) -> FlfLattice:
+        lat = self.pull_lattice(0)
+        lexicon = self.network.context.get("lexicon")
+        aligner = self.network.context.get("arc-aligner")
+        words = lat.words or {}
+        # phoneme label ids live above the word ids
+        next_label = (int(max(words)) + 1) if words else 1
+        phon_label: Dict[str, int] = {}
+        out_words = dict(words)
+
+        def label_for(ph: str) -> int:
+            nonlocal next_label
+            if ph not in phon_label:
+                phon_label[ph] = next_label
+                out_words[next_label] = ph
+                next_label += 1
+            return phon_label[ph]
+
+        def phonemes_of(lab: int) -> List[str]:
+            orth = words.get(lab)
+            if lexicon is not None and orth:
+                lemmas = lexicon.lemmas_by_orth(orth)
+                if lemmas and lemmas[0].pronunciations:
+                    return list(lemmas[0].pronunciations[0].phonemes)
+            return [words.get(lab, f"w{lab}")]
+
+        D = lat.semiring.n
+        arcs: List[Tuple[int, int, int, np.ndarray]] = []
+        boundaries = [int(b) for b in lat.boundaries]
+        n_states = lat.n_states
+
+        for k in range(lat.n_arcs):
+            src, tgt = int(lat.sources[k]), int(lat.targets[k])
+            lab = int(lat.labels[k])
+            if lab == EPS:
+                arcs.append((src, tgt, lab, lat.scores[k]))
+                continue
+            phones = phonemes_of(lab)
+            t0, t1 = boundaries[src], boundaries[tgt]
+            if len(phones) <= 1:
+                arcs.append((src, tgt, label_for(phones[0]) if phones
+                             else lab, lat.scores[k]))
+                continue
+            if callable(aligner):
+                durs = list(aligner(lat, k, phones))
+            else:
+                span = max(t1 - t0, 0)
+                base = span // len(phones)
+                durs = [base] * len(phones)
+                for i in range(span - base * len(phones)):
+                    durs[i] += 1
+            per = lat.scores[k] / len(phones)
+            prev, t = src, t0
+            for i, ph in enumerate(phones):
+                last = i == len(phones) - 1
+                t = t1 if last else t + int(durs[i])
+                if last:
+                    nxt = tgt
+                else:
+                    nxt = n_states
+                    n_states += 1
+                    boundaries.append(t)
+                arcs.append((prev, nxt, label_for(ph), per))
+                prev = nxt
+
+        finals = {int(s): lat.final_scores[i]
+                  for i, s in enumerate(lat.final_states)}
+        return FlfLattice.build(lat.semiring, n_states, arcs,
+                                boundaries=boundaries, initial=lat.initial,
+                                finals=finals, words=out_words)

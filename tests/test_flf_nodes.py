@@ -482,3 +482,75 @@ class TestThirdTierNodes:
         words = [out.word_of(int(l)) for l in out.labels]
         assert words == ["a", "c"]
         assert out.boundaries[0] == 0 and out.boundaries[1] == 10
+
+
+class TestFinalThreeNodes:
+    """batch / expand-transits / forced-arc-alignment — the last three
+    reference registrations (NodeRegistration.hh:98,867,2303)."""
+
+    def test_batch_reads_argument_lists(self, tmp_path):
+        f = tmp_path / "batch.txt"
+        f.write_text("seg1 model-a\nseg2 model-b\n")
+        lat = two_path_lattice()
+        cfg = Configuration()
+        cfg.set("network.nodes", "b out")
+        cfg.set("network.b.type", "batch")
+        cfg.set("network.b.file", str(f))
+        cfg.set("network.b.port", "1")
+        cfg.set("network.out.type", "sink")
+        cfg.set("network.out.links", "b")
+        net = FlfNetwork(cfg, context={})
+        vals = []
+        for i in range(2):
+            net.segment_counter = i
+            vals.append(net.node("b").pull())
+        assert vals == ["model-a", "model-b"]
+        assert net.node("b").pull_argument(0) == "seg2"
+
+    def test_expand_transits_unique_entering_word(self, tmp_path):
+        lat = two_path_lattice()
+        out, = run_chain(tmp_path, [dict(type="expand-transits")], lat)
+        # state 2 (entered by 'b' and 'x') must split into two copies
+        assert out.n_states == lat.n_states + 1
+        assert out.n_arcs == lat.n_arcs + 1  # 'c' duplicated per copy
+        # every state now has exactly one distinct entering label
+        entering = {}
+        for k in range(out.n_arcs):
+            entering.setdefault(int(out.targets[k]), set()).add(
+                int(out.labels[k]))
+        assert all(len(v) == 1 for v in entering.values())
+        # best path unchanged
+        import numpy as np
+        labels_before, score_before, _ = lat.best()
+        labels_after, score_after, _ = out.best()
+        assert score_before == pytest.approx(score_after)
+
+    def test_forced_arc_alignment_splits_pronunciations(self, tmp_path):
+        import numpy as np
+
+        class Pron:
+            phonemes = ["ah", "b"]
+            score = 0.0
+
+        class Lemma:
+            pronunciations = [Pron()]
+
+        class Lexicon:
+            def lemmas_by_orth(self, orth):
+                return [Lemma()] if orth == "b" else []
+
+        lat = two_path_lattice()
+        out, = run_chain(tmp_path, [dict(type="forced-arc-alignment")],
+                         lat, context={"lexicon": Lexicon()})
+        # the 'b' arc (frames 2..5) splits into two phoneme arcs
+        assert out.n_arcs == lat.n_arcs + 1
+        phon_labels = [out.words[int(l)] for l in out.labels]
+        assert "ah" in phon_labels
+        # time budget preserved: sub-arc boundaries partition [2, 5]
+        ah = list(out.labels).index(
+            [k for k, v in out.words.items() if v == "ah"][0])
+        s, t = int(out.sources[ah]), int(out.targets[ah])
+        assert int(out.boundaries[s]) == 2
+        assert 2 < int(out.boundaries[t]) < 5
+        # scores split evenly
+        np.testing.assert_allclose(out.scores[ah, 0], 0.5)
