@@ -212,3 +212,15 @@ def test_xml_tool_roundtrip(tmp_path, capsys):
     assert root.tag == "log" and root.get("name") == "run"
     assert root.find("wer").text.strip() == "12.5"
     assert root.find("empty") is not None
+
+
+def test_ger_tool(tmp_path, capsys):
+    """ger CLI: WER + GER aggregation (reference src/Tools/Ger/ger.py)."""
+    from rasr_tpu.tools.ger import main
+    ref = tmp_path / "ref.txt"
+    hyp = tmp_path / "hyp.txt"
+    ref.write_text("u1 hello world\nu2 foo bar baz\n")
+    hyp.write_text("u2 foo baz\nu1 hello word\n")
+    assert main([f"--ref={ref}", f"--hyp={hyp}", "--by-id"]) == 0
+    out = capsys.readouterr().out
+    assert "WER: 40.00%" in out and "GER:" in out
