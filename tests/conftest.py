@@ -69,6 +69,7 @@ FAST_MODULES = {
     "test_analog.py", "test_am_trainer.py", "test_sparse_cachemgr.py",
     "test_checkpoint_manager.py", "test_native_io.py",
     "test_bliss_tools.py", "test_mt_aligner.py", "test_archive.py",
+    "test_flow_tier3.py", "test_flow_speech_nodes.py",
 }
 
 
