@@ -27,6 +27,35 @@ import numpy as np
 
 Dtype = Any
 
+# Trace-time toggle for parameter partitioning metadata.  Inside
+# shard_map bodies (parallel.pipeline stages) flax's Partitioned boxes
+# would re-apply their logical-axis sharding constraints against the
+# shard_map mesh, whose axes ('stage', 'data') don't carry the logical
+# names — so pipelined execution traces the same modules with plain
+# initializers (models.pipelined.plain_params).
+import contextlib as _contextlib
+import contextvars as _contextvars
+
+_PARTITION_PARAMS = _contextvars.ContextVar("conformer_partition_params",
+                                            default=True)
+
+
+def partitioned_init(init: Callable, axes: Tuple[Optional[str], ...]
+                     ) -> Callable:
+    if _PARTITION_PARAMS.get():
+        return nn.with_partitioning(init, axes)
+    return init
+
+
+@_contextlib.contextmanager
+def plain_params():
+    """Trace module applications without Partitioned metadata."""
+    token = _PARTITION_PARAMS.set(False)
+    try:
+        yield
+    finally:
+        _PARTITION_PARAMS.reset(token)
+
 
 def _pos_mask(lengths: jnp.ndarray, T: int) -> jnp.ndarray:
     """(B, T) validity mask from lengths."""
@@ -55,7 +84,7 @@ class ConvSubsampling(nn.Module):
         B2, T2, D2, C = h.shape
         h = h.reshape(B2, T2, D2 * C)
         h = nn.Dense(self.d_model, dtype=self.dtype,
-                     kernel_init=nn.with_partitioning(
+                     kernel_init=partitioned_init(
                          nn.initializers.lecun_normal(), (None, "embed")),
                      name="proj")(h)
         out_lengths = (lengths + 1) // 2
@@ -73,13 +102,13 @@ class FeedForward(nn.Module):
     def __call__(self, x, deterministic: bool):
         h = nn.LayerNorm(dtype=jnp.float32, name="ln")(x).astype(self.dtype)
         h = nn.Dense(self.d_model * self.expansion, dtype=self.dtype,
-                     kernel_init=nn.with_partitioning(
+                     kernel_init=partitioned_init(
                          nn.initializers.lecun_normal(), ("embed", "mlp")),
                      name="wi")(h)
         h = nn.swish(h)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         h = nn.Dense(self.d_model, dtype=self.dtype,
-                     kernel_init=nn.with_partitioning(
+                     kernel_init=partitioned_init(
                          nn.initializers.lecun_normal(), ("mlp", "embed")),
                      name="wo")(h)
         return nn.Dropout(self.dropout)(h, deterministic=deterministic)
@@ -109,7 +138,7 @@ class MHSA(nn.Module):
         h = nn.MultiHeadDotProductAttention(
             num_heads=self.n_heads, dtype=self.dtype,
             attention_fn=attention_fn,
-            kernel_init=nn.with_partitioning(
+            kernel_init=partitioned_init(
                 nn.initializers.lecun_normal(), ("embed", "heads")),
             name="attn")(h, h, mask=attn_mask,
                          deterministic=deterministic)
@@ -234,7 +263,7 @@ class ConformerCtc(nn.Module):
             intermediate_layer=self.intermediate_ctc_layer, name="encoder")
         h, out_lengths, mask = encoder(features, lengths, deterministic)
         logits = nn.Dense(self.vocab_size, dtype=jnp.float32,
-                          kernel_init=nn.with_partitioning(
+                          kernel_init=partitioned_init(
                               nn.initializers.lecun_normal(),
                               ("embed", "vocab")),
                           name="ctc_head")(h)
@@ -245,7 +274,7 @@ class ConformerCtc(nn.Module):
                     else inter_h
                 inter_logits = nn.Dense(
                     self.vocab_size, dtype=jnp.float32,
-                    kernel_init=nn.with_partitioning(
+                    kernel_init=partitioned_init(
                         nn.initializers.lecun_normal(),
                         ("embed", "vocab")),
                     name="inter_ctc_head")(inter)

@@ -87,11 +87,16 @@ def pipeline_apply(mesh: Mesh, stage_fn: Callable, stacked_params: Any,
     parallelism.  Returns (B, ...) outputs (replicated across stages).
     """
     S = mesh.shape[stage_axis]
-    B = x.shape[0]
+    tree = jax.tree_util
+    x_leaves = tree.tree_leaves(x)
+    B = x_leaves[0].shape[0]
     if B % n_microbatches != 0:
         raise ValueError(f"batch {B} not divisible by {n_microbatches}")
     mb = B // n_microbatches
-    xm = x.reshape((n_microbatches, mb) + x.shape[1:])
+    # x may be a pytree (e.g. (hidden, mask)): every leaf carries the
+    # batch dim and is microbatched together
+    xm = tree.tree_map(
+        lambda a: a.reshape((n_microbatches, mb) + a.shape[1:]), x)
 
     if param_specs is None:
         param_specs = jax.tree_util.tree_map(lambda _: P(stage_axis),
@@ -100,50 +105,63 @@ def pipeline_apply(mesh: Mesh, stage_fn: Callable, stacked_params: Any,
         param_specs = jax.tree_util.tree_map(
             lambda spec: P(stage_axis, *spec), param_specs,
             is_leaf=lambda v: isinstance(v, P))
-    x_spec = P(None, data_axis) if data_axis else P()
+    x_one_spec = P(None, data_axis) if data_axis else P()
+    x_spec = tree.tree_map(lambda _: x_one_spec, xm)
     perm = [(s, (s + 1) % S) for s in range(S)]  # ring: stage s -> s+1
 
     def per_stage(params, xm_local):
         # params: (1, ...) slice of the stage stack; xm replicated
-        p = jax.tree_util.tree_map(lambda a: a[0], params)
+        p = tree.tree_map(lambda a: a[0], params)
         stage = jax.lax.axis_index(stage_axis)
         n_ticks = n_microbatches + S - 1
-        h_shape = xm_local.shape[1:]
 
         def tick(carry, t):
             recv, out_acc = carry
             # stage 0 ingests microbatch t (while valid); others take recv
             mb_idx = jnp.clip(t, 0, n_microbatches - 1)
-            ingest = jax.lax.dynamic_index_in_dim(xm_local, mb_idx, 0,
-                                                  keepdims=False)
-            h_in = jnp.where(stage == 0, ingest, recv)
+            ingest = tree.tree_map(
+                lambda a: jax.lax.dynamic_index_in_dim(a, mb_idx, 0,
+                                                       keepdims=False),
+                xm_local)
+            h_in = tree.tree_map(
+                lambda a, b: jnp.where(stage == 0, a, b), ingest, recv)
             h_out = stage_fn(p, h_in)
             # last stage writes its finished microbatch t - (S - 1)
             done_idx = t - (S - 1)
             valid = jnp.logical_and(stage == S - 1, done_idx >= 0)
             out_acc = jax.lax.cond(
                 valid,
-                lambda acc: jax.lax.dynamic_update_index_in_dim(
-                    acc, h_out, jnp.maximum(done_idx, 0), 0),
+                lambda acc: tree.tree_map(
+                    lambda a, v: jax.lax.dynamic_update_index_in_dim(
+                        a, v, jnp.maximum(done_idx, 0), 0),
+                    acc, h_out),
                 lambda acc: acc, out_acc)
-            nxt = jax.lax.ppermute(h_out, stage_axis, perm)
+            nxt = tree.tree_map(
+                lambda a: jax.lax.ppermute(a, stage_axis, perm), h_out)
             return (nxt, out_acc), None
 
-        init = (jnp.zeros(h_shape, xm_local.dtype),
-                jnp.zeros((n_microbatches,) + h_shape, xm_local.dtype))
+        init = (tree.tree_map(lambda a: jnp.zeros(a.shape[1:], a.dtype),
+                              xm_local),
+                tree.tree_map(jnp.zeros_like, xm_local))
         (_, outputs), _ = jax.lax.scan(tick, init,
                                        jnp.arange(n_ticks))
         # replicate outputs to every stage: only the last stage holds them
-        outputs = jax.lax.psum(
-            jnp.where(stage == S - 1, outputs, jnp.zeros_like(outputs)),
-            stage_axis)
+        def replicate(a):
+            masked = jnp.where(stage == S - 1, a, jnp.zeros_like(a))
+            if a.dtype == jnp.bool_:  # psum has no bool reduction
+                return jax.lax.psum(masked.astype(jnp.int32),
+                                    stage_axis) != 0
+            return jax.lax.psum(masked, stage_axis)
+
+        outputs = tree.tree_map(replicate, outputs)
         return outputs
 
     out = shard_map(per_stage, mesh=mesh,
                     in_specs=(param_specs, x_spec),
                     out_specs=x_spec,
                     check_rep=False)(stacked_params, xm)
-    return out.reshape((B,) + out.shape[2:])
+    return tree.tree_map(
+        lambda a: a.reshape((B,) + a.shape[2:]), out)
 
 
 def scan_stage_fn(layer_fn: Callable) -> Callable:

@@ -170,3 +170,44 @@ def test_3d_stage_data_model_pipeline():
         np.testing.assert_allclose(np.asarray(grads[k]),
                                    np.asarray(g_ref[k]),
                                    rtol=2e-4, atol=2e-5)
+
+
+def test_pipelined_conformer_matches_apply():
+    """The flagship architecture's block stack runs as a (stage, data)
+    GPipe pipeline with bit-matching outputs and flowing gradients
+    (models.pipelined)."""
+    import numpy as np
+    from jax.sharding import Mesh
+    from rasr_tpu.models import ConformerCtc
+    from rasr_tpu.models.pipelined import pipelined_ctc_forward, unbox
+
+    model = ConformerCtc(vocab_size=32, d_model=16, n_layers=4, n_heads=2,
+                         dtype=jnp.float32)
+    B, T, D = 8, 32, 8
+    feats = np.random.default_rng(0).standard_normal(
+        (B, T, D)).astype(np.float32)
+    lens = np.full((B,), T, np.int32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(feats),
+                           jnp.asarray(lens))
+    params = unbox(variables["params"])
+    ref_logits, ref_lens, _ = model.apply({"params": params}, feats, lens,
+                                          deterministic=True)
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(4, 2),
+                ("stage", "data"))
+    logits, out_lens = jax.jit(lambda p, f, l: pipelined_ctc_forward(
+        model, p, f, l, mesh, n_microbatches=4, data_axis="data"))(
+        params, jnp.asarray(feats), jnp.asarray(lens))
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(ref_logits),
+                               rtol=1e-4, atol=1e-5)
+    assert np.array_equal(np.asarray(out_lens), np.asarray(ref_lens))
+
+    def loss(p):
+        lg, _ = pipelined_ctc_forward(model, p, jnp.asarray(feats),
+                                      jnp.asarray(lens), mesh, 4,
+                                      data_axis="data")
+        return jnp.mean(jax.nn.logsumexp(lg, -1))
+
+    g = jax.jit(jax.grad(loss))(params)
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(np.isfinite(np.asarray(x)).all() for x in leaves)
+    assert all(float(np.abs(np.asarray(x)).sum()) > 0 for x in leaves)
