@@ -59,13 +59,20 @@ def pipelined_ctc_forward(model: ConformerCtc, params: Any,
                           features: jnp.ndarray, lengths: jnp.ndarray,
                           mesh: Mesh, n_microbatches: int,
                           stacked_blocks: Any = None,
-                          data_axis: str = None
-                          ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """(log-softmax-ready) logits + output lengths, block stack pipelined
-    over `mesh`'s 'stage' axis.  Pass `stacked_blocks` (from
-    stack_conformer_blocks) to avoid re-stacking per call."""
+                          data_axis: str = None,
+                          dropout_rng: Any = None
+                          ) -> Tuple[jnp.ndarray, jnp.ndarray, Any]:
+    """(logits, output lengths, inter_logits-or-None), block stack
+    pipelined over `mesh`'s 'stage' axis.  Pass `stacked_blocks` (from
+    stack_conformer_blocks) to avoid re-stacking per call.  With
+    `dropout_rng` the blocks run non-deterministic: keys fold in (stage,
+    layer, microbatch) so masks differ across depth and microbatches.
+    inter_logits are produced when model.intermediate_ctc_layer > 0
+    (InterCTC): the hidden states after that block ride the carry out of
+    the pipeline."""
     params = unbox(params)
     S = mesh.shape["stage"]
+    per = model.n_layers // S
     if stacked_blocks is None:
         stacked_blocks = stack_conformer_blocks(params, model.n_layers, S)
 
@@ -80,27 +87,51 @@ def pipelined_ctc_forward(model: ConformerCtc, params: Any,
     block = ConformerBlock(model.d_model, model.n_heads, model.conv_kernel,
                            model.dropout, model.dtype, model.causal,
                            attention_impl=model.attention_impl)
+    inter_layer = int(getattr(model, "intermediate_ctc_layer", 0) or 0)
+    B = h.shape[0]
+    mb_ids = jnp.arange(B, dtype=jnp.int32)  # -> microbatch-distinct seeds
 
     def stage_fn(stacked_layers, carry):
-        hid, msk = carry
+        hid, msk, ids, inter = carry
+        stage = jax.lax.axis_index("stage")
 
-        def body(c, layer_params):
-            # plain_params: inside the shard_map stage the mesh axes are
-            # (stage, data) — flax must not re-apply 'embed'/'heads'
-            # sharding constraints during its shape-validation trace
+        def body(c, xs):
+            layer_params, local_i = xs
+            hid_c, inter_c = c
+            global_i = stage * per + local_i
             with plain_params():
-                out = block.apply({"params": layer_params}, c, msk, True)
-            return out.astype(model.dtype), None
+                if dropout_rng is None:
+                    out = block.apply({"params": layer_params}, hid_c,
+                                      msk, True)
+                else:
+                    key = jax.random.fold_in(
+                        jax.random.fold_in(
+                            jax.random.fold_in(dropout_rng, global_i),
+                            stage), ids[0])
+                    out = block.apply({"params": layer_params}, hid_c,
+                                      msk, False, rngs={"dropout": key})
+            out = out.astype(model.dtype)
+            if inter_layer:
+                inter_c = jnp.where(global_i + 1 == inter_layer,
+                                    out.astype(inter_c.dtype), inter_c)
+            return (out, inter_c), None
 
-        hid, _ = jax.lax.scan(body, hid, stacked_layers)
-        return (hid, msk)
+        (hid, inter), _ = jax.lax.scan(
+            body, (hid, inter),
+            (stacked_layers, jnp.arange(per, dtype=jnp.int32)))
+        return (hid, msk, ids, inter)
 
-    h, mask = pipeline_apply(mesh, stage_fn, stacked_blocks,
-                             (h, mask), n_microbatches,
-                             data_axis=data_axis)
+    inter0 = jnp.zeros_like(h)
+    h, mask, _, inter_h = pipeline_apply(
+        mesh, stage_fn, stacked_blocks, (h, mask, mb_ids, inter0),
+        n_microbatches, data_axis=data_axis)
 
     import flax.linen as nn
     dense = nn.Dense(model.vocab_size, dtype=jnp.float32)
-    logits = dense.apply({"params": unbox(params["ctc_head"])},
+    logits = dense.apply({"params": params["ctc_head"]},
                          h.astype(jnp.float32))
-    return logits, out_lengths
+    inter_logits = None
+    if inter_layer and "inter_ctc_head" in params:
+        inter_logits = dense.apply({"params": params["inter_ctc_head"]},
+                                   inter_h.astype(jnp.float32))
+    return logits, out_lengths, inter_logits

@@ -265,3 +265,95 @@ def spec_augment(rng, feats, feat_lens, n_freq_masks: int = 2,
     tmask = jnp.any((t >= t0[..., None]) & (t < (t0 + width)[..., None]),
                     axis=1)                                   # (B, T)
     return jnp.where(tmask[:, :, None], 0.0, out)
+
+
+class PipelinedCtcTrainer:
+    """CTC training with the conformer block stack pipeline-staged over a
+    (stage, data) mesh (models.pipelined) — GPipe microbatching + data
+    parallelism in one SPMD program.  Same loss as CtcTrainer (per-label
+    normalization, optional InterCTC mixing); dropout keys fold in
+    (stage, layer, microbatch).
+
+    Select from the nn-trainer config with `trainer.pipeline-stages = S`
+    (devices are laid out S x (n_devices // S))."""
+
+    inter_ctc_weight: float = 0.3
+
+    def __init__(self, model: ConformerCtc, n_stages: int,
+                 optimizer: Optional[optax.GradientTransformation] = None,
+                 rng_seed: int = 0,
+                 example_shape: Tuple[int, int, int] = (2, 64, 80),
+                 n_microbatches: int = 2,
+                 n_devices: Optional[int] = None):
+        import numpy as np
+        from ..models.pipelined import unbox as _unbox
+
+        if model.n_layers % n_stages != 0:
+            raise ValueError(f"{model.n_layers} layers not divisible by "
+                             f"{n_stages} stages")
+        n = n_devices or len(jax.devices())
+        if n % n_stages != 0:
+            raise ValueError(f"{n} devices not divisible by "
+                             f"{n_stages} stages")
+        self.model = model
+        self.n_microbatches = n_microbatches
+        self.mesh = Mesh(
+            np.asarray(jax.devices()[:n]).reshape(n_stages, n // n_stages),
+            ("stage", "data"))
+        self.optimizer = optimizer or make_optimizer()
+        B, T, D = example_shape
+        rng = jax.random.PRNGKey(rng_seed)
+        variables = model.init(
+            {"params": rng, "dropout": rng},
+            jnp.zeros((B, T, D), jnp.float32),
+            jnp.full((B,), T, jnp.int32), deterministic=True,
+            mutable=["params", "intermediates"])
+        self.params = _unbox(variables["params"])
+        self.opt_state = self.optimizer.init(self.params)
+        self.step = 0
+        self._train_step = jax.jit(self._make_train_step())
+
+    def _loss(self, params, batch, rng):
+        from ..models.pipelined import pipelined_ctc_forward
+
+        feats, feat_lens, labels, label_lens = batch
+        logits, out_lens, inter_logits = pipelined_ctc_forward(
+            self.model, params, feats, feat_lens, self.mesh,
+            self.n_microbatches, data_axis="data", dropout_rng=rng)
+        T = logits.shape[1]
+        logit_pad = (jnp.arange(T)[None, :]
+                     >= out_lens[:, None]).astype(jnp.float32)
+        L = labels.shape[1]
+        label_pad = (jnp.arange(L)[None, :]
+                     >= label_lens[:, None]).astype(jnp.float32)
+
+        def per_label_loss(lg):
+            per_seq = optax.ctc_loss(lg, logit_pad, labels, label_pad,
+                                     blank_id=0)
+            return jnp.mean(per_seq / jnp.maximum(
+                label_lens.astype(jnp.float32), 1.0))
+
+        loss = per_label_loss(logits)
+        if inter_logits is not None:
+            w = self.inter_ctc_weight
+            loss = (1.0 - w) * loss + w * per_label_loss(inter_logits)
+        return loss
+
+    def _make_train_step(self):
+        def step(params, opt_state, batch, rng):
+            loss, grads = jax.value_and_grad(self._loss)(params, batch, rng)
+            updates, new_opt = self.optimizer.update(grads, opt_state,
+                                                     params)
+            return optax.apply_updates(params, updates), new_opt, loss
+        return step
+
+    def train_step(self, feats, feat_lens, labels, label_lens,
+                   rng: Optional[jax.Array] = None) -> float:
+        if rng is None:
+            rng = jax.random.PRNGKey(self.step)
+        batch = (jnp.asarray(feats), jnp.asarray(feat_lens),
+                 jnp.asarray(labels), jnp.asarray(label_lens))
+        self.params, self.opt_state, loss = self._train_step(
+            self.params, self.opt_state, batch, rng)
+        self.step += 1
+        return float(loss)

@@ -66,6 +66,16 @@ class NnTrainerApp(Application):
             else jnp.float32)
         lr = float(t.get("learning-rate") or 1e-3)
         warmup = int(t.get("warmup-steps") or 1000)
+        stages = t.get("pipeline-stages")
+        if stages:
+            # GPipe pipeline over a (stage, data) mesh (models.pipelined)
+            from ..nn.training import PipelinedCtcTrainer
+            trainer = PipelinedCtcTrainer(
+                model, n_stages=int(stages),
+                optimizer=make_optimizer(lr, warmup),
+                example_shape=(2, 32, dim),
+                n_microbatches=int(t.get("microbatches") or 2))
+            return model, trainer
         dp = t.get("data-parallel")
         mp = t.get("model-parallel")
         if dp:

@@ -54,6 +54,7 @@ SLOW_TESTS = {
     "test_nn_trainer_tool.py::TestNnTrainerTool::"
     "test_supervised_training_and_priors",
     "test_signal.py::TestVoicedness::test_periodic_vs_noise",
+    "test_pipeline_parallel.py::test_pipelined_trainer_converges",
 }
 
 # modules whose (non-slow) tests form the fast gate; includes every

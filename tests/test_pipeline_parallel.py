@@ -194,7 +194,7 @@ def test_pipelined_conformer_matches_apply():
                                           deterministic=True)
     mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(4, 2),
                 ("stage", "data"))
-    logits, out_lens = jax.jit(lambda p, f, l: pipelined_ctc_forward(
+    logits, out_lens, _ = jax.jit(lambda p, f, l: pipelined_ctc_forward(
         model, p, f, l, mesh, n_microbatches=4, data_axis="data"))(
         params, jnp.asarray(feats), jnp.asarray(lens))
     np.testing.assert_allclose(np.asarray(logits), np.asarray(ref_logits),
@@ -202,7 +202,7 @@ def test_pipelined_conformer_matches_apply():
     assert np.array_equal(np.asarray(out_lens), np.asarray(ref_lens))
 
     def loss(p):
-        lg, _ = pipelined_ctc_forward(model, p, jnp.asarray(feats),
+        lg, _, _ = pipelined_ctc_forward(model, p, jnp.asarray(feats),
                                       jnp.asarray(lens), mesh, 4,
                                       data_axis="data")
         return jnp.mean(jax.nn.logsumexp(lg, -1))
@@ -211,3 +211,46 @@ def test_pipelined_conformer_matches_apply():
     leaves = jax.tree_util.tree_leaves(g)
     assert all(np.isfinite(np.asarray(x)).all() for x in leaves)
     assert all(float(np.abs(np.asarray(x)).sum()) > 0 for x in leaves)
+
+
+def test_pipelined_trainer_smoke():
+    """PipelinedCtcTrainer runs CTC steps on a (stage, data) mesh with
+    dropout + InterCTC; losses stay finite (convergence covered by the
+    slow tier)."""
+    import numpy as np
+    import optax
+    from rasr_tpu.models import ConformerCtc
+    from rasr_tpu.nn.training import PipelinedCtcTrainer
+
+    model = ConformerCtc(vocab_size=32, d_model=16, n_layers=4, n_heads=2,
+                         dtype=jnp.float32, intermediate_ctc_layer=2)
+    tr = PipelinedCtcTrainer(model, n_stages=4, example_shape=(8, 32, 8),
+                             n_microbatches=4, optimizer=optax.adam(3e-3))
+    rng = np.random.default_rng(0)
+    feats = rng.standard_normal((8, 32, 8)).astype(np.float32)
+    fl = np.full((8,), 32, np.int32)
+    labels = rng.integers(1, 32, size=(8, 5)).astype(np.int32)
+    ll = np.full((8,), 5, np.int32)
+    losses = [tr.train_step(feats, fl, labels, ll) for _ in range(3)]
+    assert all(np.isfinite(l) for l in losses)
+
+
+def test_pipelined_trainer_converges():
+    """25 adam steps on one batch drive the pipelined CTC loss down
+    (full train loop through the (stage=4, data=2) pipeline)."""
+    import numpy as np
+    import optax
+    from rasr_tpu.models import ConformerCtc
+    from rasr_tpu.nn.training import PipelinedCtcTrainer
+
+    model = ConformerCtc(vocab_size=32, d_model=16, n_layers=4, n_heads=2,
+                         dtype=jnp.float32, intermediate_ctc_layer=2)
+    tr = PipelinedCtcTrainer(model, n_stages=4, example_shape=(8, 32, 8),
+                             n_microbatches=4, optimizer=optax.adam(3e-3))
+    rng = np.random.default_rng(0)
+    feats = rng.standard_normal((8, 32, 8)).astype(np.float32)
+    fl = np.full((8,), 32, np.int32)
+    labels = rng.integers(1, 32, size=(8, 5)).astype(np.int32)
+    ll = np.full((8,), 5, np.int32)
+    losses = [tr.train_step(feats, fl, labels, ll) for _ in range(25)]
+    assert np.mean(losses[-5:]) < np.mean(losses[:5]) - 0.3
