@@ -525,3 +525,33 @@ class CorpusKeyMap(Node):
                 if len(parts) == 2:
                     table[parts[0]] = parts[1].strip()
         return table
+
+
+# --------------------------------------------------------------------------
+# f64 variants (the reference registers a few nodes for Vector<f64> too:
+# MatrixMultiplicationNode<f64>, VectorAbsValDumpNode<f64>, the f64
+# scalar/string converters — src/Flow/Module.cc, src/Signal/Module.cc)
+# --------------------------------------------------------------------------
+
+
+def _alias(name, base_name, doc):
+    from .nodes import Registry as _R
+    base = _R[base_name]
+    cls = type("Alias_" + name.replace("-", "_"), (base,),
+               {"filter_name": name, "__doc__": doc})
+    return register(cls)
+
+
+def _register_f64_aliases():
+    _alias("signal-matrix-multiplication-f64",
+           "signal-matrix-multiplication-f32",
+           "f64 matrix multiplication (same XLA GEMM).")
+    _alias("generic-vector-f64-abs-dump", "generic-vector-f32-abs-dump",
+           "f64 magnitude dump sink.")
+    _alias("generic-convert-string-to-f64", "generic-convert-string-to-f32",
+           "string to f64 scalars.")
+    _alias("generic-convert-f64-to-string", "generic-convert-f32-to-string",
+           "f64 scalars to strings.")
+
+
+_register_f64_aliases()
