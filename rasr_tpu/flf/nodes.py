@@ -1381,6 +1381,10 @@ class BatchNode(FlfNode):
             with open(path, encoding=enc) as fh:
                 self.lines = [ln.split() for ln in fh
                               if ln.strip() and not ln.startswith("#")]
+            if not self.lines:
+                raise ValueError(
+                    f"batch node {self.name}: {path} holds no argument "
+                    "lines (only blanks/comments)")
         else:
             self.lines = [(self.config.get("args") or "").split()]
         self.port = int(self.config.get("port") or 0)

@@ -332,8 +332,17 @@ class FlowPipeline:
             values.update(run_nodes(dict(in_streams)))
             return
 
+        def scalar_meta(s):
+            return tuple(sorted(
+                (k, v) for k, v in s.meta.items()
+                if isinstance(v, (int, float, str, bool))))
+
+        # sample_rate / frame_shift / scalar meta (fft_length, ...) are
+        # baked into the traced program as constants, so they must key the
+        # cache like the whole-network path does
         key = (tuple(run), tuple(
-            (src, tuple(s.data.shape), str(s.data.dtype))
+            (src, tuple(s.data.shape), str(s.data.dtype), s.sample_rate,
+             s.frame_shift, scalar_meta(s))
             for src, s in in_streams.items()))
         if key not in self._compiled:
             meta_out: Dict[Tuple[str, str], Stream] = {}

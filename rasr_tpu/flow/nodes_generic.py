@@ -385,10 +385,12 @@ class StringToScalar(Node):
     filter_name = "generic-convert-string-to-f32"
     host_only = True
     out_datatype = "f32"
+    np_dtype = np.float32
 
     def apply(self, inputs):
         s = inputs[""]
-        vals = np.asarray([float(v) for v in s.data], np.float32)[:, None]
+        vals = np.asarray([float(v) for v in s.data],
+                          self.np_dtype)[:, None]
         return {"": s.with_data(vals)}
 
 
@@ -486,8 +488,13 @@ class SequenceFilter(Node):
         s = inputs[""]
         sel = np.asarray(inputs["selection"].data).reshape(-1).astype(bool)
         x = np.asarray(s.data)
-        n = min(len(sel), x.shape[0])
-        return {"": s.with_data(x[:n][sel[:n]])}
+        if len(sel) < x.shape[0]:
+            # frames past the selection's coverage are kept (the reference
+            # requires full coverage; trailing unaligned frames must not
+            # vanish silently)
+            sel = np.concatenate(
+                [sel, np.ones(x.shape[0] - len(sel), bool)])
+        return {"": s.with_data(x[sel[:x.shape[0]]])}
 
 
 @register
@@ -498,6 +505,7 @@ class CorpusKeyMap(Node):
     it in stream meta for downstream per-key caches (CMVN, adaptation)."""
     filter_name = "generic-coprus-key-map"
     host_only = True
+    _cache: dict = {}
 
     def apply(self, inputs):
         s = inputs[""]
@@ -505,7 +513,10 @@ class CorpusKeyMap(Node):
         key = str(s.meta.get("corpus_key", s.meta.get("id", "")))
         mapped = key
         if path:
-            table = self._load(path)
+            table = self._cache.get(path)
+            if table is None:
+                table = self._load(path)
+                self._cache[path] = table
             mapped = table.get(key, self.attr("default-output", key))
         return {"": s.with_data(s.data,
                                 meta={**s.meta, "corpus_key": mapped})}
@@ -548,8 +559,11 @@ def _register_f64_aliases():
            "f64 matrix multiplication (same XLA GEMM).")
     _alias("generic-vector-f64-abs-dump", "generic-vector-f32-abs-dump",
            "f64 magnitude dump sink.")
-    _alias("generic-convert-string-to-f64", "generic-convert-string-to-f32",
-           "string to f64 scalars.")
+    f64_conv = _alias("generic-convert-string-to-f64",
+                      "generic-convert-string-to-f32",
+                      "string to f64 scalars.")
+    f64_conv.out_datatype = "f64"
+    f64_conv.np_dtype = np.float64
     _alias("generic-convert-f64-to-string", "generic-convert-f32-to-string",
            "f64 scalars to strings.")
 

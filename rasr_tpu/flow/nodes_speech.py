@@ -691,22 +691,57 @@ class LatticeDumpCtmNode(_SpeechNode):
             return {"": s}
         lat = s.data
         shift = self.attr("frame-shift", 0.01, float)
-        from ..fsa.automaton import best_path
-        fsa = lat.automaton()
-        ilabels, _, _ = best_path(fsa)
-        # recover timing by walking best arcs greedily
+        # exact arc-level best path: topological DP with arc backpointers
+        # (word lattices are acyclic); a greedy label walk would pick the
+        # wrong arc when a state emits the same word twice
+        n = lat.n_states
+        INF = float("inf")
+        dist = [INF] * n
+        back = [None] * n  # (prev_state, arc)
+        dist[lat.initial] = 0.0
+        indeg = [0] * n
+        for src in range(n):
+            for a in lat.arcs[src]:
+                indeg[a.target] += 1
+        order = []
+        seen = {lat.initial}
+        # Kahn order restricted to states reachable from initial
+        from collections import deque
+        dq = deque([lat.initial])
+        while dq:
+            u = dq.popleft()
+            order.append(u)
+            for a in lat.arcs[u]:
+                indeg[a.target] -= 1
+                if indeg[a.target] <= 0 and a.target not in seen:
+                    seen.add(a.target)
+                    dq.append(a.target)
+        for u in order:
+            if dist[u] == INF:
+                continue
+            for a in lat.arcs[u]:
+                w = dist[u] + a.am_score + a.lm_score
+                if w < dist[a.target]:
+                    dist[a.target] = w
+                    back[a.target] = (u, a)
+        best_final, best = None, INF
+        for st, fw in lat.final.items():
+            if dist[st] + fw < best:
+                best, best_final = dist[st] + fw, st
         lines = []
-        state, t = lat.initial, 0
-        for lab in ilabels:
-            for a in lat.arcs[state]:
-                if a.word == lab:
-                    t0 = lat.boundaries[state]
-                    t1 = lat.boundaries[a.target]
-                    word = (lat.words or {}).get(lab, str(lab))
-                    lines.append(f"{_segment_key(s)} 1 {t0 * shift:.2f} "
-                                 f"{(t1 - t0) * shift:.2f} {word}\n")
-                    state = a.target
-                    break
+        st = best_final
+        rev = []
+        while st is not None and back[st] is not None:
+            u, a = back[st]
+            rev.append((u, a))
+            st = u
+        for u, a in reversed(rev):
+            if a.word == 0:
+                continue
+            t0, t1 = lat.boundaries[u], lat.boundaries[a.target]
+            word = (lat.words or {}).get(a.word, str(a.word))
+            lines.append(f"{_segment_key(s)} 1 {t0 * shift:.2f} "
+                         f"{(t1 - t0) * shift:.2f} {word}\n")
         with open(path, "a") as fh:
             fh.writelines(lines)
         return {"": s}

@@ -89,42 +89,51 @@ def pipelined_ctc_forward(model: ConformerCtc, params: Any,
                            attention_impl=model.attention_impl)
     inter_layer = int(getattr(model, "intermediate_ctc_layer", 0) or 0)
     B = h.shape[0]
-    mb_ids = jnp.arange(B, dtype=jnp.int32)  # -> microbatch-distinct seeds
+    # carry leaves are built only when needed: the inter hidden tensor
+    # doubles inter-stage ppermute traffic, and the microbatch-id seeds
+    # only matter under dropout
+    carry = {"h": h, "mask": mask}
+    if dropout_rng is not None:
+        carry["ids"] = jnp.arange(B, dtype=jnp.int32)
+    if inter_layer:
+        carry["inter"] = jnp.zeros_like(h)
 
     def stage_fn(stacked_layers, carry):
-        hid, msk, ids, inter = carry
         stage = jax.lax.axis_index("stage")
+        msk = carry["mask"]
 
         def body(c, xs):
             layer_params, local_i = xs
-            hid_c, inter_c = c
             global_i = stage * per + local_i
             with plain_params():
                 if dropout_rng is None:
-                    out = block.apply({"params": layer_params}, hid_c,
+                    out = block.apply({"params": layer_params}, c["h"],
                                       msk, True)
                 else:
                     key = jax.random.fold_in(
                         jax.random.fold_in(
                             jax.random.fold_in(dropout_rng, global_i),
-                            stage), ids[0])
-                    out = block.apply({"params": layer_params}, hid_c,
+                            stage), c["ids"][0])
+                    out = block.apply({"params": layer_params}, c["h"],
                                       msk, False, rngs={"dropout": key})
-            out = out.astype(model.dtype)
+            nxt = dict(c)
+            nxt["h"] = out.astype(model.dtype)
             if inter_layer:
-                inter_c = jnp.where(global_i + 1 == inter_layer,
-                                    out.astype(inter_c.dtype), inter_c)
-            return (out, inter_c), None
+                nxt["inter"] = jnp.where(global_i + 1 == inter_layer,
+                                         out.astype(c["inter"].dtype),
+                                         c["inter"])
+            return nxt, None
 
-        (hid, inter), _ = jax.lax.scan(
-            body, (hid, inter),
+        inner = {k: v for k, v in carry.items() if k != "mask"}
+        inner, _ = jax.lax.scan(
+            body, inner,
             (stacked_layers, jnp.arange(per, dtype=jnp.int32)))
-        return (hid, msk, ids, inter)
+        return {**inner, "mask": msk}
 
-    inter0 = jnp.zeros_like(h)
-    h, mask, _, inter_h = pipeline_apply(
-        mesh, stage_fn, stacked_blocks, (h, mask, mb_ids, inter0),
-        n_microbatches, data_axis=data_axis)
+    out_carry = pipeline_apply(mesh, stage_fn, stacked_blocks, carry,
+                               n_microbatches, data_axis=data_axis)
+    h, mask = out_carry["h"], out_carry["mask"]
+    inter_h = out_carry.get("inter")
 
     import flax.linen as nn
     dense = nn.Dense(model.vocab_size, dtype=jnp.float32)

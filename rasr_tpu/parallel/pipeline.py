@@ -200,8 +200,7 @@ def make_3d_mesh(n_stages: int, data_parallel: int, model_parallel: int,
     return Mesh(grid, axis_names)
 
 
-def column_row_stage_fn(layer_fn: Callable = None, *,
-                        model_axis: str = "model") -> Callable:
+def column_row_stage_fn(*, model_axis: str = "model") -> Callable:
     """Tensor-parallel two-matmul block for pipeline stages (the classic
     column-parallel -> row-parallel MLP split):
 

@@ -252,3 +252,29 @@ def test_alignment_from_lattice(lat):
     # frame 0 covered by both competing arcs -> two items
     f0 = out.weights[np.asarray(out.frames) == 0]
     assert np.isclose(f0.sum(), 1.0, atol=1e-5)
+
+
+def test_staged_cache_keys_on_sample_rate():
+    """Same shapes, different sample rate must not reuse a staged
+    compiled program (the cut node bakes rate-derived indices)."""
+    import textwrap
+    from rasr_tpu.flow import compile_network, parse_network_string
+    net = parse_network_string(textwrap.dedent("""\
+        <network name="n">
+          <in name="feat"/>
+          <out name="o"/>
+          <node name="host"
+                filter="generic-vector-f32-dismiss-malformed"/>
+          <link from="n:feat" to="host"/>
+          <node name="cut" filter="signal-vector-f32-cut-length"
+                first="0" last="0.05"/>
+          <link from="host" to="cut"/>
+          <link from="cut" to="n:o"/>
+        </network>
+    """))
+    pipe = compile_network(net)
+    x = np.ones((5, 20), np.float32)
+    o1 = pipe(feat=Stream(data=x, sample_rate=100.0))["o"]
+    o2 = pipe(feat=Stream(data=x, sample_rate=200.0))["o"]
+    assert np.asarray(o1.data).shape[1] == 6    # rint(0.05*100)+1
+    assert np.asarray(o2.data).shape[1] == 11   # rint(0.05*200)+1
