@@ -958,3 +958,214 @@ class AlignmentFromLatticeNode(_SpeechNode):
                         np.asarray(states, np.uint32),
                         np.asarray(weights, np.float32))
         return {"": s.with_data(ali)}
+
+
+# --------------------------------------------------------------------------
+# acoustic arc rescoring + arc alignment generation
+# (src/Speech/LatticeRescorerNodes.cc AcousticLatticeRescorerNode,
+# AlignmentAcousticLatticeRescorerNode; SegmentwiseAlignmentGenerator)
+# --------------------------------------------------------------------------
+
+
+def _viterbi_span(scores: np.ndarray, states) -> Tuple[float, np.ndarray]:
+    """Left-to-right Viterbi of a state sequence over a frame span.
+    scores: (T, S_emissions) -log emission scores; states: emission ids.
+    Each state consumes >=1 frame (self-loops free).  Returns (score,
+    per-frame state path)."""
+    T = scores.shape[0]
+    J = len(states)
+    if T == 0 or J == 0 or J > T:
+        return float(scores[:, states[0]].sum()) if (T and J) else 0.0, \
+            np.full(T, states[0] if J else 0, np.int64)
+    INF = np.inf
+    D = np.full((T, J), INF)
+    B = np.zeros((T, J), np.int8)  # 1 = advanced from j-1
+    D[0, 0] = scores[0, states[0]]
+    for t in range(1, T):
+        emit = scores[t]
+        stay = D[t - 1]
+        adv = np.concatenate([[INF], D[t - 1, :-1]])
+        take_adv = adv < stay
+        D[t] = np.where(take_adv, adv, stay) + emit[list(states)]
+        B[t] = take_adv
+    j = J - 1
+    path = np.zeros(T, np.int64)
+    for t in range(T - 1, -1, -1):
+        path[t] = states[j]
+        if t and B[t, j]:
+            j -= 1
+    return float(D[T - 1, J - 1]), path
+
+
+from typing import Tuple  # noqa: E402  (used by the helpers above)
+
+
+class _ArcRescorerBase(_SpeechNode):
+    """Shared plumbing: per-arc emission scores from a mixture set (attr
+    `mixture-set.file` / programmatic `_scorer`) and a word -> emission
+    state sequence map (programmatic `_arc_states(word)` or a text file
+    `state-map` of "<word-id> <state> <state> ..." lines)."""
+    in_ports = ("", "features")
+    _scorer_cache: Dict[str, object] = {}
+    _map_cache: Dict[str, Dict[int, list]] = {}
+
+    def _scorer(self):
+        scorer = self.attrs.get("_scorer")
+        if scorer is not None:
+            return scorer
+        path = self.attr("mixture-set.file", self.attr("file", ""))
+        if not path:
+            raise ValueError(f"node {self.name}: needs mixture-set.file "
+                             "or a programmatic _scorer")
+        s = self._scorer_cache.get(path)
+        if s is None:
+            from ..mm.mixture_set import MixtureSet
+            from ..mm.scorer import GmmScorer
+            s = GmmScorer(MixtureSet.read_pms(path))
+            self._scorer_cache[path] = s
+        return s
+
+    def _states_of(self, word: int):
+        fn = self.attrs.get("_arc_states")
+        if fn is not None:
+            return fn(word)
+        path = self.attr("state-map", "")
+        if not path:
+            return [0]
+        table = self._map_cache.get(path)
+        if table is None:
+            table = {}
+            for line in open(path):
+                parts = line.split()
+                if len(parts) >= 2:
+                    table[int(parts[0])] = [int(v) for v in parts[1:]]
+            self._map_cache[path] = table
+        return table.get(word, [0])
+
+    def _frame_scores(self, feat_stream) -> np.ndarray:
+        return np.asarray(self._scorer().score(
+            np.asarray(feat_stream.data, np.float32)))
+
+
+@register
+class AcousticArcRescoringNode(_ArcRescorerBase):
+    """lattice-acoustic-arc-rescoring: replace each word arc's am-score
+    with the Viterbi alignment score of the word's emission-state
+    sequence over the arc's frame span (AcousticLatticeRescorerNode —
+    exact arc-level re-scoring against the acoustic model)."""
+    filter_name = "lattice-acoustic-arc-rescoring"
+    out_datatype = LATTICE_DT
+
+    def apply(self, inputs):
+        import copy
+        s = inputs[""]
+        scores = self._frame_scores(inputs["features"])
+        lat = copy.deepcopy(s.data)
+        for src in range(lat.n_states):
+            t0 = lat.boundaries[src]
+            for a in lat.arcs[src]:
+                if a.word == 0:
+                    continue
+                t1 = lat.boundaries[a.target]
+                span = scores[t0:t1]
+                sc, _ = _viterbi_span(span, self._states_of(a.word))
+                a.am_score = sc
+        return {"": s.with_data(lat)}
+
+
+@register
+class AlignmentAcousticRescoringNode(_ArcRescorerBase):
+    """lattice-alignment-acoustic: arc am-scores summed along a GIVEN
+    alignment's states within each arc span (port `alignment` —
+    AlignmentAcousticLatticeRescorerNode scores against a fixed
+    alignment instead of realigning)."""
+    filter_name = "lattice-alignment-acoustic"
+    in_ports = ("", "features", "alignment")
+    out_datatype = LATTICE_DT
+
+    def apply(self, inputs):
+        import copy
+        s = inputs[""]
+        scores = self._frame_scores(inputs["features"])
+        ali = inputs["alignment"].data
+        state_of = {}
+        for f, st, w in zip(ali.frames, ali.state_ids, ali.weights):
+            state_of[int(f)] = int(st)
+        lat = copy.deepcopy(s.data)
+        for src in range(lat.n_states):
+            t0 = lat.boundaries[src]
+            for a in lat.arcs[src]:
+                if a.word == 0:
+                    continue
+                t1 = lat.boundaries[a.target]
+                total = 0.0
+                for t in range(t0, min(t1, scores.shape[0])):
+                    total += float(scores[t, state_of.get(t, 0)])
+                a.am_score = total
+        return {"": s.with_data(lat)}
+
+
+@register
+class LatticeAlignmentGeneratorNode(_ArcRescorerBase):
+    """speech-lattice-alignment-generator: Viterbi-align the lattice's
+    best path arc by arc and emit the per-frame state Alignment
+    (SegmentwiseAlignmentGenerator over lattice arcs)."""
+    filter_name = "speech-lattice-alignment-generator"
+    in_ports = ("", "features")
+    out_datatype = ALIGN_DT
+
+    def apply(self, inputs):
+        s = inputs[""]
+        scores = self._frame_scores(inputs["features"])
+        lat = s.data
+        # best path arcs (same DP as lattice-dump-ctm)
+        n = lat.n_states
+        INF = float("inf")
+        dist = [INF] * n
+        back = [None] * n
+        dist[lat.initial] = 0.0
+        from collections import deque
+        indeg = [0] * n
+        for src in range(n):
+            for a in lat.arcs[src]:
+                indeg[a.target] += 1
+        dq = deque([lat.initial])
+        order, seen = [], {lat.initial}
+        while dq:
+            u = dq.popleft()
+            order.append(u)
+            for a in lat.arcs[u]:
+                indeg[a.target] -= 1
+                if indeg[a.target] <= 0 and a.target not in seen:
+                    seen.add(a.target)
+                    dq.append(a.target)
+        for u in order:
+            if dist[u] == INF:
+                continue
+            for a in lat.arcs[u]:
+                w = dist[u] + a.am_score + a.lm_score
+                if w < dist[a.target]:
+                    dist[a.target] = w
+                    back[a.target] = (u, a)
+        best_final, best = None, INF
+        for st, fw in lat.final.items():
+            if dist[st] + fw < best:
+                best, best_final = dist[st] + fw, st
+        rev, st = [], best_final
+        while st is not None and back[st] is not None:
+            u, a = back[st]
+            rev.append((u, a))
+            st = u
+        frames, states = [], []
+        for u, a in reversed(rev):
+            if a.word == 0:
+                continue
+            t0, t1 = lat.boundaries[u], min(lat.boundaries[a.target],
+                                            scores.shape[0])
+            if t1 <= t0:
+                continue
+            _, path = _viterbi_span(scores[t0:t1], self._states_of(a.word))
+            frames.extend(range(t0, t1))
+            states.extend(int(v) for v in path)
+        return {"": s.with_data(Alignment(
+            np.asarray(frames, np.uint32), np.asarray(states, np.uint32)))}

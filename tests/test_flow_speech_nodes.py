@@ -278,3 +278,47 @@ def test_staged_cache_keys_on_sample_rate():
     o2 = pipe(feat=Stream(data=x, sample_rate=200.0))["o"]
     assert np.asarray(o1.data).shape[1] == 6    # rint(0.05*100)+1
     assert np.asarray(o2.data).shape[1] == 11   # rint(0.05*200)+1
+
+
+def test_acoustic_arc_rescoring_and_alignment_generator(lat):
+    """lattice-acoustic-arc-rescoring realigns arcs against emission
+    scores; speech-lattice-alignment-generator emits the best path's
+    per-frame state alignment."""
+    class FakeScorer:  # 3 emission classes; class c cheap at frames c*5..
+        def score(self, x):
+            T = x.shape[0]
+            s = np.ones((T, 3), np.float32)
+            s[:5, 1] = 0.1   # word 1's state (1) cheap early
+            s[5:, 2] = 0.2   # word 2's state (2) cheap late
+            return s
+
+    feats = S(np.zeros((10, 4), np.float32))
+    states_of = lambda w: [w]  # word id == its emission state
+    node = Registry["lattice-acoustic-arc-rescoring"](
+        "r", {"_scorer": FakeScorer(), "_arc_states": states_of})
+    out = node.apply({"": S(lat), "features": feats})[""].data
+    assert np.isclose(out.arcs[0][0].am_score, 0.5)   # 5 frames x 0.1
+    assert np.isclose(out.arcs[1][0].am_score, 1.0)   # 5 frames x 0.2
+    # word 2 early (competing arc): expensive (1.0 x 5)
+    assert out.arcs[0][1].am_score > out.arcs[0][0].am_score
+
+    gen = Registry["speech-lattice-alignment-generator"](
+        "g", {"_scorer": FakeScorer(), "_arc_states": states_of})
+    ali = gen.apply({"": S(lat), "features": feats})[""].data
+    assert len(ali) == 10
+    assert list(ali.state_ids[:5]) == [1] * 5
+    assert list(ali.state_ids[5:]) == [2] * 5
+
+
+def test_alignment_acoustic_rescoring(lat):
+    class FakeScorer:
+        def score(self, x):
+            return np.full((x.shape[0], 3), 0.25, np.float32)
+
+    feats = S(np.zeros((10, 4), np.float32))
+    ali = Alignment(np.arange(10), np.array([1] * 5 + [2] * 5))
+    node = Registry["lattice-alignment-acoustic"](
+        "a", {"_scorer": FakeScorer()})
+    out = node.apply({"": S(lat), "features": feats,
+                      "alignment": S(ali)})[""].data
+    assert np.isclose(out.arcs[0][0].am_score, 1.25)  # 5 x 0.25
