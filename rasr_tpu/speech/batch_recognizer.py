@@ -37,7 +37,12 @@ class BatchedCtcRecognizer:
                  beam: int = 8, topk: int = 8,
                  batch_size: int = 64,
                  bucket_frames: int = 128,
-                 evaluator: Optional[Evaluator] = None):
+                 evaluator: Optional[Evaluator] = None,
+                 lm_params=None, lm_bos_id: int = 0,
+                 lm_layers: int = 1, lm_scale: float = 0.0):
+        """lm_params + lm_scale > 0 switch decoding to the LM-fused
+        device beam (search.ctc_decode_lm): the LSTM LM's recurrence runs
+        inside the search scan with per-beam hidden states."""
         self.encode_fn = encode_fn
         self.lexicon = lexicon
         self.beam = beam
@@ -45,6 +50,10 @@ class BatchedCtcRecognizer:
         self.batch_size = batch_size
         self.bucket_frames = bucket_frames
         self.evaluator = evaluator
+        self.lm_params = lm_params
+        self.lm_bos_id = lm_bos_id
+        self.lm_layers = lm_layers
+        self.lm_scale = lm_scale
 
     def _labels_to_orth(self, labels: Sequence[int]) -> str:
         words = []
@@ -85,8 +94,16 @@ class BatchedCtcRecognizer:
                     feats[j, :len(f)] = f
                     lens[j] = len(f)
                 lp, out_lens = self.encode_fn(feats, lens)
-                labels, n_lab, scores = ctc_prefix_beam(
-                    lp, out_lens, beam=self.beam, topk=self.topk)
+                if self.lm_params is not None and self.lm_scale > 0:
+                    from ..search.ctc_decode_lm import ctc_prefix_beam_lm
+                    labels, n_lab, scores = ctc_prefix_beam_lm(
+                        lp, out_lens, self.lm_params,
+                        bos_id=self.lm_bos_id, n_layers=self.lm_layers,
+                        lm_scale=self.lm_scale,
+                        beam=self.beam, topk=self.topk)
+                else:
+                    labels, n_lab, scores = ctc_prefix_beam(
+                        lp, out_lens, beam=self.beam, topk=self.topk)
                 pending.append((chunk, labels, n_lab, scores))
         for chunk, labels, n_lab, scores in pending:
             labels = np.asarray(labels)

@@ -115,3 +115,33 @@ def test_lm_changes_ranking(lm, acoustics):
                                     beam=4, topk=V - 1)
     assert np.isfinite(np.asarray(s1)).any()
     assert not np.array_equal(np.asarray(l0), np.asarray(l1))
+
+
+def test_batch_recognizer_lm_fusion(lm):
+    """BatchedCtcRecognizer switches to the fused beam when lm_params +
+    lm_scale are configured."""
+    from rasr_tpu.speech.batch_recognizer import BatchedCtcRecognizer
+
+    class Lemma:
+        def __init__(self, orth):
+            self.preferred_orth = orth
+            self.special = False
+
+    class Lexicon:
+        lemmas = [Lemma(w) for w in "eps a b c d".split()]
+
+    _, params = lm
+    rng = np.random.default_rng(1)
+
+    def encode_fn(feats, lens):
+        B, T = feats.shape[0], feats.shape[1]
+        lp = jax.nn.log_softmax(
+            jnp.asarray(rng.standard_normal((B, T, V)) * 2.0), -1)
+        return lp, jnp.asarray(lens)
+
+    rec = BatchedCtcRecognizer(encode_fn, Lexicon(), beam=4, topk=V - 1,
+                               lm_params=params, lm_bos_id=BOS,
+                               lm_layers=N_LAYERS, lm_scale=0.5)
+    segs = [("s1", np.zeros((6, 4), np.float32), "")]
+    out = rec.recognize(segs)
+    assert len(out) == 1 and np.isfinite(out[0].score)
