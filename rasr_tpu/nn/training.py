@@ -275,7 +275,11 @@ class PipelinedCtcTrainer:
     (stage, layer, microbatch).
 
     Select from the nn-trainer config with `trainer.pipeline-stages = S`
-    (devices are laid out S x (n_devices // S))."""
+    (devices are laid out S x (n_devices // S)).  With
+    `trainer.model-parallel = M > 1` the mesh becomes 3-D
+    (stage, data, model) and every block's wide contractions are
+    tensor-parallel over 'model' (models.tp_conformer: explicit psums
+    under shard_map)."""
 
     inter_ctc_weight: float = 0.3
 
@@ -284,7 +288,8 @@ class PipelinedCtcTrainer:
                  rng_seed: int = 0,
                  example_shape: Tuple[int, int, int] = (2, 64, 80),
                  n_microbatches: int = 2,
-                 n_devices: Optional[int] = None):
+                 n_devices: Optional[int] = None,
+                 model_parallel: int = 1):
         import numpy as np
         from ..models.pipelined import unbox as _unbox
 
@@ -292,14 +297,22 @@ class PipelinedCtcTrainer:
             raise ValueError(f"{model.n_layers} layers not divisible by "
                              f"{n_stages} stages")
         n = n_devices or len(jax.devices())
-        if n % n_stages != 0:
+        if n % (n_stages * model_parallel) != 0:
             raise ValueError(f"{n} devices not divisible by "
-                             f"{n_stages} stages")
+                             f"{n_stages} stages x {model_parallel} "
+                             f"model-parallel")
         self.model = model
         self.n_microbatches = n_microbatches
-        self.mesh = Mesh(
-            np.asarray(jax.devices()[:n]).reshape(n_stages, n // n_stages),
-            ("stage", "data"))
+        self.model_parallel = model_parallel
+        if model_parallel > 1:
+            from ..parallel.pipeline import make_3d_mesh
+            self.mesh = make_3d_mesh(
+                n_stages, n // (n_stages * model_parallel), model_parallel)
+        else:
+            self.mesh = Mesh(
+                np.asarray(jax.devices()[:n]).reshape(
+                    n_stages, n // n_stages),
+                ("stage", "data"))
         self.optimizer = optimizer or make_optimizer()
         B, T, D = example_shape
         rng = jax.random.PRNGKey(rng_seed)
@@ -314,12 +327,17 @@ class PipelinedCtcTrainer:
         self._train_step = jax.jit(self._make_train_step())
 
     def _loss(self, params, batch, rng):
-        from ..models.pipelined import pipelined_ctc_forward
-
         feats, feat_lens, labels, label_lens = batch
-        logits, out_lens, inter_logits = pipelined_ctc_forward(
-            self.model, params, feats, feat_lens, self.mesh,
-            self.n_microbatches, data_axis="data", dropout_rng=rng)
+        if self.model_parallel > 1:
+            from ..models.tp_conformer import tp_pipelined_ctc_forward
+            logits, out_lens, inter_logits = tp_pipelined_ctc_forward(
+                self.model, params, feats, feat_lens, self.mesh,
+                self.n_microbatches, data_axis="data", dropout_rng=rng)
+        else:
+            from ..models.pipelined import pipelined_ctc_forward
+            logits, out_lens, inter_logits = pipelined_ctc_forward(
+                self.model, params, feats, feat_lens, self.mesh,
+                self.n_microbatches, data_axis="data", dropout_rng=rng)
         T = logits.shape[1]
         logit_pad = (jnp.arange(T)[None, :]
                      >= out_lens[:, None]).astype(jnp.float32)

@@ -68,13 +68,16 @@ class NnTrainerApp(Application):
         warmup = int(t.get("warmup-steps") or 1000)
         stages = t.get("pipeline-stages")
         if stages:
-            # GPipe pipeline over a (stage, data) mesh (models.pipelined)
+            # GPipe pipeline over a (stage, data) mesh (models.pipelined);
+            # with model-parallel > 1 a 3-D (stage, data, model) mesh with
+            # tensor-parallel blocks (models.tp_conformer)
             from ..nn.training import PipelinedCtcTrainer
             trainer = PipelinedCtcTrainer(
                 model, n_stages=int(stages),
                 optimizer=make_optimizer(lr, warmup),
                 example_shape=(2, 32, dim),
-                n_microbatches=int(t.get("microbatches") or 2))
+                n_microbatches=int(t.get("microbatches") or 2),
+                model_parallel=int(t.get("model-parallel") or 1))
             return model, trainer
         dp = t.get("data-parallel")
         mp = t.get("model-parallel")
