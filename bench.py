@@ -107,6 +107,15 @@ def main():
                          **cfg)
     params, trained = load_flagship_params(model, jnp.bfloat16)
 
+    # RASR_BENCH_QUANT=int8: w8a8 projections on the MXU
+    # (models/quantized.py) — same WER gate applies, so the speedup only
+    # counts if quantization costs no accuracy
+    quant = os.environ.get("RASR_BENCH_QUANT", "")
+    if quant == "int8":
+        from rasr_tpu.models.quantized import (quantize_params,
+                                               quantized_ctc_forward)
+        params = quantize_params(params, model.n_layers)
+
     pipe = MfccPipeline(sample_rate=SAMPLE_RATE, filter_width=70.0)
     N = int(SECONDS * SAMPLE_RATE)
     T_feat = pipe.n_frames(N)
@@ -123,8 +132,12 @@ def main():
         mask = (jnp.arange(T_feat)[None, :]
                 < n_frames[:, None]).astype(jnp.float32)
         feats = dsp.normalize_segment(logfb, mask=mask)
-        logits, out_lens, _ = model.apply({"params": params}, feats,
-                                          n_frames, deterministic=True)
+        if quant == "int8":
+            logits, out_lens = quantized_ctc_forward(model, params, feats,
+                                                     n_frames)
+        else:
+            logits, out_lens, _ = model.apply({"params": params}, feats,
+                                              n_frames, deterministic=True)
         lp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
         labels, n_lab, scores = ctc_prefix_beam(lp, out_lens, beam=8, topk=1)
         greedy = jnp.argmax(lp, axis=-1)
@@ -192,8 +205,9 @@ def main():
     gate_ok = (trained and wer <= greedy_wer + WER_DEGRADATION_GATE
                and wer <= WER_ABS_GATE)
     result = {
-        "metric": ("e2e CTC decode, flagship 12x512 conformer bf16 "
-                   "(fused log-mel + device prefix beam), WER-anchored"),
+        "metric": ("e2e CTC decode, flagship 12x512 conformer "
+                   + ("int8" if quant == "int8" else "bf16")
+                   + " (fused log-mel + device prefix beam), WER-anchored"),
         "value": round(rtf_inv, 1),
         "unit": "x real-time per chip",
         "vs_baseline": round(rtf_inv / 50.0, 2) if gate_ok else 0.0,
