@@ -136,3 +136,51 @@ def test_3d_trainer_smoke_and_converges():
     losses = [tr.train_step(feats, fl, labels, ll) for _ in range(20)]
     assert all(np.isfinite(l) for l in losses)
     assert np.mean(losses[-5:]) < np.mean(losses[:5]) - 0.2
+
+
+def test_3d_trainer_from_config(tmp_path):
+    """nn-trainer tool config drives the full 3-D path:
+    trainer.pipeline-stages=2 + trainer.model-parallel=2 on 8 devices."""
+    import textwrap
+    from rasr_tpu.speech.feature_cache import FeatureCacheWriter
+    from rasr_tpu.tools.nn_trainer import main as nn_main
+
+    rng = np.random.default_rng(3)
+    vocab = tmp_path / "labels.txt"
+    vocab.write_text("<blank>\nA\nB\nC\n")
+    lines = ['<corpus name="c">', '<recording name="r" audio="x.wav">']
+    with FeatureCacheWriter(str(tmp_path / "f.cache")) as cache:
+        for i in range(4):
+            feats = rng.standard_normal((40, 8)).astype(np.float32)
+            cache.write(f"c/r/s{i}", feats)
+            orth = ["A B", "B C", "A C", "C"][i]
+            lines.append(f'<segment name="s{i}" start="{i}" end="{i + 1}">'
+                         f'<orth>{orth}</orth></segment>')
+    lines += ["</recording>", "</corpus>"]
+    (tmp_path / "corpus.xml").write_text("\n".join(lines))
+    cfg = tmp_path / "t.config"
+    cfg.write_text(textwrap.dedent(f"""\
+        [*.corpus]
+        file = {tmp_path}/corpus.xml
+        [*.lexicon]
+        file = vocab-text:{vocab}
+        [*.feature-cache]
+        path = {tmp_path}/f.cache
+        [*.model]
+        d-model = 16
+        n-layers = 2
+        n-heads = 2
+        dtype = float32
+        [*.trainer]
+        pipeline-stages = 2
+        model-parallel = 2
+        microbatches = 2
+        batch-size = 4
+        epochs = 1
+        learning-rate = 0.001
+        warmup-steps = 10
+        checkpoint = {tmp_path}/model.msgpack
+    """))
+    status = nn_main([f"--config={cfg}", "--*.action=supervised-training"])
+    assert status == 0
+    assert (tmp_path / "model.msgpack").exists()
