@@ -55,6 +55,9 @@ SLOW_TESTS = {
     "test_supervised_training_and_priors",
     "test_signal.py::TestVoicedness::test_periodic_vs_noise",
     "test_pipeline_parallel.py::test_pipelined_trainer_converges",
+    "test_tp_conformer.py::test_3d_trainer_smoke_and_converges",
+    "test_tp_conformer.py::test_3d_trainer_from_config",
+    "test_tp_conformer.py::test_3d_forward_is_differentiable",
 }
 
 # modules whose (non-slow) tests form the fast gate; includes every
@@ -71,6 +74,7 @@ FAST_MODULES = {
     "test_checkpoint_manager.py", "test_native_io.py",
     "test_bliss_tools.py", "test_mt_aligner.py", "test_archive.py",
     "test_flow_tier3.py", "test_flow_speech_nodes.py",
+    "test_quantized.py",
 }
 
 
