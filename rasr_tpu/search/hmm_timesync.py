@@ -275,7 +275,8 @@ class WordConditionedTreeSearch:
                  tree_image: Optional[str] = None,
                  acoustic_lookahead: int = 0,
                  acoustic_lookahead_scale: float = 0.5,
-                 dynamic_beam: Optional["DynamicBeamStrategy"] = None):
+                 dynamic_beam: Optional["DynamicBeamStrategy"] = None,
+                 use_native: bool = True):
         """acoustic_lookahead: number of future frames whose (averaged)
         emission scores bias PRUNING decisions — hypotheses about to hit
         expensive acoustics are dropped earlier, like the reference's
@@ -308,6 +309,17 @@ class WordConditionedTreeSearch:
         self._orth = {l.id: l.preferred_orth for l in am.lexicon.lemmas}
         # word-end LM transition cache: (hist_id, lemma) -> (score, hist_id)
         self._lm_cache: Dict[Tuple[int, int], Tuple[float, int]] = {}
+        # native expansion kernel (native/rasr_beam.cpp): fused
+        # move/entry generation + recombination + pruning, the
+        # reference's C++ hot core (SearchSpace.cc); numpy fallback
+        self._native = None
+        import os
+        if use_native and os.environ.get("RASR_NATIVE_BEAM", "1") != "0":
+            try:
+                from .native_beam import NativeBeam
+                self._native = NativeBeam(self.net)
+            except Exception:
+                self._native = None
         self.reset()
 
     def reset(self) -> None:
@@ -382,17 +394,21 @@ class WordConditionedTreeSearch:
 
         st, hi, sc = self._b_state, self._b_hist, self._b_score
         tr, bf, bs = self._b_trace, self._b_bframe, self._b_bscore
+        native = self._native
+        exits = None
         if len(st):
-            # within-node moves (vectorized masks over the beam)
-            m = net.loop_ok[st]
-            emit(st[m], hi[m], sc[m] + net.loop_pen[st[m]], tr[m],
-                 bf[m], bs[m])
-            m = net.fwd_in[st]
-            emit(st[m] + 1, hi[m], sc[m] + net.fwd_pen[st[m]], tr[m],
-                 bf[m], bs[m])
-            m = net.skip_in[st]
-            emit(st[m] + 2, hi[m], sc[m] + net.skip_pen[st[m]], tr[m],
-                 bf[m], bs[m])
+            if native is None:
+                # within-node moves (vectorized masks over the beam);
+                # the native kernel generates these itself
+                m = net.loop_ok[st]
+                emit(st[m], hi[m], sc[m] + net.loop_pen[st[m]], tr[m],
+                     bf[m], bs[m])
+                m = net.fwd_in[st]
+                emit(st[m] + 1, hi[m], sc[m] + net.fwd_pen[st[m]], tr[m],
+                     bf[m], bs[m])
+                m = net.skip_in[st]
+                emit(st[m] + 2, hi[m], sc[m] + net.skip_pen[st[m]], tr[m],
+                     bf[m], bs[m])
             # node exits (forward off the last state / skip off the
             # second-to-last)
             ex_sc, ex_nd, ex_hi, ex_tr, ex_bf, ex_bs = [], [], [], [], [], []
@@ -412,13 +428,21 @@ class WordConditionedTreeSearch:
                 e_tr = np.concatenate(ex_tr)
                 e_bf = np.concatenate(ex_bf)
                 e_bs = np.concatenate(ex_bs)
-                # entries into child nodes (within-word continuation)
-                own, states = _csr_expand(net.child_off, net.child_flat,
-                                          e_nd)
-                emit(states, e_hi[own], e_sc[own], e_tr[own], e_bf[own],
-                     e_bs[own])
+                if native is None:
+                    # entries into child nodes (within-word continuation)
+                    own, states = _csr_expand(net.child_off,
+                                              net.child_flat, e_nd)
+                    emit(states, e_hi[own], e_sc[own], e_tr[own],
+                         e_bf[own], e_bs[own])
+                else:
+                    exits = (e_nd, e_hi, e_sc, e_tr, e_bf, e_bs)
                 # word ends
                 self._word_ends(e_sc, e_nd, e_hi, e_tr, e_bf, e_bs, emit)
+
+        if native is not None:
+            self._feed_native(cs, ch, cc, ct, cb, cbs, exits, frame,
+                              len(st))
+            return
 
         if not cs:
             self._t += 1
@@ -471,6 +495,46 @@ class WordConditionedTreeSearch:
         self._b_bframe, self._b_bscore = a_bf[sel], a_bs[sel]
         stats.add("states after pruning", len(sel))
         stats.add("trees after pruning", len(np.unique(self._b_hist)))
+        self._t += 1
+
+    def _feed_native(self, cs, ch, cc, ct, cb, cbs, exits, frame,
+                     n_beam: int) -> None:
+        """Native-kernel tail of feed(): injected candidates are whatever
+        Python emitted (utterance-start entries + word-end re-entries);
+        moves and child entries are generated inside the kernel."""
+        if cs:
+            inj = (np.concatenate(cs), np.concatenate(ch),
+                   np.concatenate(cc), np.concatenate(ct),
+                   np.concatenate(cb), np.concatenate(cbs))
+        else:
+            inj = (np.zeros(0, np.int64), np.zeros(0, np.int64),
+                   np.zeros(0, np.float64), np.zeros(0, np.int64),
+                   np.zeros(0, np.int64), np.zeros(0, np.float64))
+        if n_beam == 0 and len(inj[0]) == 0 and exits is None:
+            self._t += 1
+            return
+        la_row = None
+        if self._la is not None and self._t + 1 < len(self._la):
+            la_row = self._la[self._t + 1]
+        threshold = self.score_threshold
+        if self.dynamic_beam is not None:
+            threshold = self.dynamic_beam.threshold(self.score_threshold)
+        out = self._native.expand(
+            (self._b_state, self._b_hist, self._b_score, self._b_trace,
+             self._b_bframe, self._b_bscore),
+            exits, inj, frame, la_row, self.acoustic_lookahead_scale,
+            len(self._hist_list), threshold, self.beam_size)
+        if out is None:
+            self._t += 1
+            return
+        (self._b_state, self._b_hist, self._b_score, self._b_trace,
+         self._b_bframe, self._b_bscore), stats = out
+        self.statistics.add("states before pruning", stats[0])
+        if self.dynamic_beam is not None:
+            self.dynamic_beam.update(stats[2])
+        self.statistics.add("states after pruning", len(self._b_state))
+        self.statistics.add("trees after pruning",
+                            len(np.unique(self._b_hist)))
         self._t += 1
 
     def _word_ends(self, e_sc, e_nd, e_hi, e_tr, e_bf, e_bs, emit) -> None:
