@@ -217,6 +217,20 @@ class _TraceArena:
         self.lm.append(lm)
         return len(self.parent) - 1
 
+    def extend(self, parents, lemmas, t0s, t1: int, scores, ams, lms
+               ) -> np.ndarray:
+        """Bulk add (one per element); returns the new entry indices."""
+        start = len(self.parent)
+        self.parent.extend(np.asarray(parents, np.int64).tolist())
+        self.lemma.extend(np.asarray(lemmas, np.int64).tolist())
+        self.t0.extend(np.asarray(t0s, np.int64).tolist())
+        n = len(self.parent) - start
+        self.t1.extend([t1] * n)
+        self.score.extend(np.asarray(scores, np.float64).tolist())
+        self.am.extend(np.asarray(ams, np.float64).tolist())
+        self.lm.extend(np.asarray(lms, np.float64).tolist())
+        return np.arange(start, start + n, dtype=np.int64)
+
     def words(self, idx: int) -> List[int]:
         out: List[int] = []
         while idx >= 0:
@@ -570,46 +584,45 @@ class WordConditionedTreeSearch:
             keep = np.arange(len(total))
         self.statistics.add("ending words after pruning", len(keep))
         # arena entries; dedup (parent trace, lemma, successor
-        # history, re-entry group) — the same word ending with different
-        # across-word right contexts stays distinct
+        # history, re-entry group) keeping the best score — the same
+        # word ending with different across-word right contexts stays
+        # distinct (vectorized lexsort + first-per-key, like the beam
+        # recombination)
         groups = net.wend_group[wpos]
-        seen: Dict[Tuple[int, int, int, int], int] = {}
-        for i in keep:
-            i = int(i)
-            parent = int(e_tr[own[i]])
-            lemma = int(lemmas[i])
-            grp = int(groups[i])
-            dkey = (parent, lemma, int(new_hist[i]), grp)
-            prev = seen.get(dkey)
-            if prev is not None and self.arena.score[prev] <= total[i]:
-                continue
-            t0 = int(e_bf[own[i]])
-            am_delta = float(base[i] - e_bs[own[i]])
-            tidx = self.arena.add(parent, lemma, t0, self._t,
-                                  float(total[i]), am_delta,
-                                  float(lm_s[i]))
-            seen[dkey] = tidx
-        if not seen:
+        kp = e_tr[own[keep]]
+        kl = lemmas[keep]
+        kh = new_hist[keep]
+        kg = groups[keep]
+        order = np.lexsort((total[keep], kg, kh, kl, kp))
+        kp_o, kl_o = kp[order], kl[order]
+        kh_o, kg_o = kh[order], kg[order]
+        first = np.ones(len(order), bool)
+        if len(order) > 1:
+            first[1:] = ((kp_o[1:] != kp_o[:-1]) | (kl_o[1:] != kl_o[:-1])
+                         | (kh_o[1:] != kh_o[:-1])
+                         | (kg_o[1:] != kg_o[:-1]))
+        sel = order[first]       # positions within the keep array
+        idx = keep[sel]          # positions within the word-end arrays
+        if len(idx) == 0:
             return
+        tidxs = self.arena.extend(
+            kp[sel], kl[sel], e_bf[own[idx]], self._t, total[idx],
+            base[idx] - e_bs[own[idx]], lm_s[idx])
         # fan each surviving word end into ITS entry group (reference
         # across-word transits: the next word must start with the
         # coarticulated right-context phoneme)
-        per_group: Dict[int, List[Tuple[int, int]]] = {}
-        for (_p, _l, h, grp), t in seen.items():
-            per_group.setdefault(grp, []).append((t, h))
-        for grp, items in per_group.items():
-            entry = net.entry_group_states[grp]
+        hsel, gsel, tsel = kh[sel], kg[sel], total[idx]
+        for grp in np.unique(gsel):
+            entry = net.entry_group_states[int(grp)]
             n_entry = len(entry)
             if n_entry == 0:
                 continue
-            tidxs = np.asarray([t for t, _h in items], np.int64)
-            hist_ids = np.asarray([h for _t, h in items], np.int64)
-            scores = np.asarray([self.arena.score[int(t)]
-                                 for t in tidxs])
-            rep_states = np.tile(entry, len(tidxs))
-            rep_hist = np.repeat(hist_ids, n_entry)
-            rep_score = np.repeat(scores, n_entry)
-            rep_trace = np.repeat(tidxs, n_entry)
+            m = gsel == grp
+            tid, hid, scs = tidxs[m], hsel[m], tsel[m]
+            rep_states = np.tile(entry, len(tid))
+            rep_hist = np.repeat(hid, n_entry)
+            rep_score = np.repeat(scs, n_entry)
+            rep_trace = np.repeat(tid, n_entry)
             rep_bf = np.full(len(rep_states), self._t, np.int64)
             rep_bs = rep_score.copy()
             emit(rep_states, rep_hist, rep_score, rep_trace, rep_bf,
