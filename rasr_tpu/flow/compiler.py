@@ -344,23 +344,34 @@ class FlowPipeline:
             (src, tuple(s.data.shape), str(s.data.dtype), s.sample_rate,
              s.frame_shift, scalar_meta(s))
             for src, s in in_streams.items()))
-        if key not in self._compiled:
-            meta_out: Dict[Tuple[str, str], Stream] = {}
 
-            def fn(data):
-                local = {src: in_streams[src].with_data(arr)
-                         for src, arr in data.items()}
-                outs = run_nodes(local)
-                meta_out.update(outs)
-                return {np_: s.data for np_, s in outs.items()}
+        # metadata (start_time, non-scalar meta objects) is host-level and
+        # not part of the cache key, so it must be re-derived per call; the
+        # closure captures the *current* in_streams each time
+        meta_out: Dict[Tuple[str, str], Stream] = {}
 
+        def fn(data):
+            local = {src: in_streams[src].with_data(arr)
+                     for src, arr in data.items()}
+            outs = run_nodes(local)
+            meta_out.update(outs)
+            return {np_: s.data for np_, s in outs.items()}
+
+        data_in = {src: s.data for src, s in in_streams.items()}
+        jitted = self._compiled.get(key)
+        if jitted is None:
+            # first call: jit traces fn once (populating meta_out) and
+            # compiles; no separate lower() pass
             jitted = jax.jit(fn)
-            _ = jitted.lower({src: s.data for src, s in in_streams.items()})
-            self._compiled[key] = (jitted, dict(meta_out))
-        jitted, meta = self._compiled[key]
-        arrays = jitted({src: s.data for src, s in in_streams.items()})
+            self._compiled[key] = jitted
+            arrays = jitted(data_in)
+        else:
+            # cache hit: abstract trace only (no compile, no compute) to
+            # propagate the current call's metadata through the nodes
+            jax.eval_shape(fn, data_in)
+            arrays = jitted(data_in)
         for np_, arr in arrays.items():
-            values[np_] = meta[np_].with_data(arr)
+            values[np_] = meta_out[np_].with_data(arr)
 
 
 def compile_network(path_or_def, params: Optional[Dict[str, str]] = None,

@@ -16,7 +16,7 @@ normalization stays float (/root/reference/src/Mm/SimdFeatureScorer.hh:44,
 src/Mm/BatchFeatureScorer.hh:34 `batch-diagonal-maximum-int`).
 
 Usage:
-    qparams = quantize_params(params)             # once, host-side
+    qparams = quantize_params(params, model.n_layers)   # once, host-side
     logits, out_lens = quantized_ctc_forward(model, qparams, feats, lens)
 """
 

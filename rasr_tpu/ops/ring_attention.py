@@ -84,7 +84,7 @@ def sequence_sharded_attention(mesh, q, k, v, lengths=None,
     lengths: (B,) valid frame counts (padding masked inside).
     """
     from jax.sharding import PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     T = q.shape[1]
     valid = None

@@ -26,10 +26,7 @@ from typing import Any, Callable
 import jax
 import jax.numpy as jnp
 import numpy as np
-try:  # jax >= 0.4.35 canonical location; experimental path is deprecated
-    from jax import shard_map as _shard_map
-except ImportError:  # pragma: no cover
-    from jax.experimental.shard_map import shard_map as _shard_map
+from jax import shard_map as _shard_map
 
 import inspect as _inspect
 

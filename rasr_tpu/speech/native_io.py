@@ -28,8 +28,12 @@ def _ensure_built() -> Optional[ctypes.CDLL]:
     if _lib is not None or _build_failed:
         return _lib
     try:
-        srcs = [os.path.join(_NATIVE_DIR, f)
-                for f in ("rasr_io.cpp", "rasr_flac.cpp")]
+        # every .cpp the Makefile compiles into the .so participates in the
+        # staleness check (an edited rasr_beam.cpp must trigger a rebuild,
+        # or NativeBeam would run stale kernel code)
+        import glob as _glob
+        srcs = [os.path.join(_NATIVE_DIR, f) for f in ("Makefile",)] + \
+            _glob.glob(os.path.join(_NATIVE_DIR, "*.cpp"))
         if (not os.path.exists(_LIB_PATH)
                 or any(os.path.getmtime(_LIB_PATH) < os.path.getmtime(s)
                        for s in srcs if os.path.exists(s))):

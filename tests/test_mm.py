@@ -165,7 +165,7 @@ class TestEstimator:
         import jax
         import jax.numpy as jnp
         from jax.sharding import Mesh, PartitionSpec as P
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map
 
         devices = np.array(jax.devices()[:4])
         mesh = Mesh(devices, ("data",))
