@@ -5,15 +5,21 @@ decoding per chip *at reference WER* (the reference's LibriSpeech
 test-other operating point).  The environment has no egress, so the
 anchor task is the deterministic synthetic speech task of LibriSpeech
 shape (rasr_tpu/data/synth_speech.py: 16 kHz audio, BPE-1k-style unit
-inventory, multi-second word sequences) with a held-out eval seed
-stream, decoded by the trained flagship ConformerCtc
-(12 layers x d_model 512, assets/flagship/): the measured WER is
-printed alongside throughput, and `vs_baseline` is only credited when
-the decode achieves the quality gate — the timed beam decode's WER may
-not degrade more than 0.5% absolute vs the model's greedy operating
-point (the direct translation of "at reference WER": throughput must
-not come from sacrificed accuracy), and the absolute WER must be below
-15% (the model actually recognizes the task).
+inventory, multi-second word sequences), decoded by the trained
+flagship ConformerCtc (12 layers x d_model 512, assets/flagship/).
+
+The eval condition is deliberately HARD (babble noise at EVAL_SNR_DB +
+speaker warp outside the training range) so the flagship operates at a
+nonzero, test-other-like WER — a saturated 0% anchor cannot detect
+quality regressions.  `vs_baseline` is only credited when the quality
+gate holds:
+
+  * 0 < WER (the anchor is not saturated),
+  * WER <= 15% absolute (the model actually recognizes the task),
+  * beam WER <= greedy WER + 0.5% absolute (throughput must not come
+    from sacrificed accuracy — the direct translation of "at reference
+    WER"; at a nonzero operating point the prefix beam should in fact
+    *beat* greedy).
 
 Pipeline measured end-to-end on device: fused log-mel front-end ->
 conformer encoder (bf16) -> device-side CTC prefix beam search, with a
@@ -21,8 +27,11 @@ forced host sync so async dispatch cannot leak past the timer.
 
 value = audio-seconds decoded per wall-second per chip (x real-time);
 vs_baseline = value / 50 when the WER gate holds, else 0.
+The JSON also reports achieved model TFLOP/s and MFU (encoder FLOPs /
+TPU v5e bf16 peak) so the throughput claim is chip-normalized.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "wer"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline",
+"wer", "greedy_wer", "tflops", "mfu"}.
 """
 
 import json
@@ -39,6 +48,16 @@ SAMPLE_RATE = 16000
 SECONDS = 8.0
 WER_DEGRADATION_GATE = 0.005   # beam may lose <= 0.5% absolute vs greedy
 WER_ABS_GATE = 0.15            # and must actually recognize the task
+
+# hard eval condition: 3-talker babble interference at 30 dB SNR,
+# calibrated (scripts/calibrate_wer.py on the real chip: 25 dB -> 20.5%,
+# 30 dB -> 4.4%, clean -> 0%) so the flagship lands in the 2-10% WER band
+# ("test-other-like" operating point)
+EVAL_CONDITION = dict(snr_db=30.0, noise="babble", warp_range=(0.96, 1.04))
+EVAL_SEED = 10_000_000
+
+# TPU v5e (v5 lite) peak: 197 bf16 TFLOP/s, 394 int8 TOP/s per chip
+PEAK_TFLOPS = {"bf16": 197.0, "int8": 394.0}
 
 
 def load_flagship_params(model, dtype):
@@ -78,7 +97,8 @@ def load_flagship_params(model, dtype):
     return template, False
 
 
-def main():
+def setup(quant: str = ""):
+    """(task, model, params, trained, pipe, decode_fn, T_feat, N)."""
     import jax
     import jax.numpy as jnp
 
@@ -88,7 +108,6 @@ def main():
     jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_compile")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    from rasr_tpu.bliss.evaluation import Evaluator
     from rasr_tpu.data import SynthSpeechTask
     from rasr_tpu.models import ConformerCtc
     from rasr_tpu.search.ctc_decode import ctc_prefix_beam
@@ -110,7 +129,6 @@ def main():
     # RASR_BENCH_QUANT=int8: w8a8 projections on the MXU
     # (models/quantized.py) — same WER gate applies, so the speedup only
     # counts if quantization costs no accuracy
-    quant = os.environ.get("RASR_BENCH_QUANT", "")
     if quant == "int8":
         from rasr_tpu.models.quantized import (quantize_params,
                                                quantized_ctc_forward)
@@ -133,6 +151,7 @@ def main():
                 < n_frames[:, None]).astype(jnp.float32)
         feats = dsp.normalize_segment(logfb, mask=mask)
         if quant == "int8":
+            from rasr_tpu.models.quantized import quantized_ctc_forward
             logits, out_lens = quantized_ctc_forward(model, params, feats,
                                                      n_frames)
         else:
@@ -143,11 +162,19 @@ def main():
         greedy = jnp.argmax(lp, axis=-1)
         return labels, n_lab, scores, greedy, out_lens
 
-    # -- quality gate: WER on the held-out eval stream ----------------------
-    ev_batch = 32
+    return task, model, params, trained, pipe, decode, T_feat, N
+
+
+def eval_wer(task, pipe, decode, params, T_feat, N, ev_batch=32,
+             condition=None, seed=EVAL_SEED):
+    """(wer, greedy_wer, audio_pad, flens) on the held-out eval stream."""
+    import jax.numpy as jnp
+    from rasr_tpu.bliss.evaluation import Evaluator
+
+    cond = dict(EVAL_CONDITION if condition is None else condition)
     audio, ns, _lab, _ll, orths = task.batch(
-        seed=10_000_000, batch_size=ev_batch, max_seconds=SECONDS,
-        min_words=8, max_words=14)
+        seed=seed, batch_size=ev_batch, max_seconds=SECONDS,
+        min_words=8, max_words=14, **cond)
     pad = np.zeros((ev_batch, N), np.float32)
     pad[:, :audio.shape[1]] = audio[:, :N]
     flens = jnp.asarray([min(pipe.n_frames(int(n)), T_feat) for n in ns],
@@ -180,8 +207,47 @@ def main():
     greedy_wer = score_wer(
         task.units_to_orth(collapse(greedy[i, :out_lens[i]]))
         for i in range(ev_batch))
+    return wer, greedy_wer, pad, flens
 
-    # -- throughput ----------------------------------------------------------
+
+def encoder_gflops(model, T_feat: int) -> float:
+    """Analytic forward FLOPs (multiply-add = 2 FLOPs) per utterance for
+    the conformer encoder + CTC head at T_feat input frames."""
+    d = model.d_model
+    v = model.vocab_size
+    T4 = -(-T_feat // 4)      # two stride-2 subsampling stages (ceil)
+    ff = 4 * d                # FFN expansion (models/conformer.py:97)
+    per_layer = (
+        2 * T4 * d * ff * 2 * 2        # two macaron FFNs (wi + wo)
+        + 2 * T4 * d * d * 4           # attention q/k/v/out projections
+        + 2 * T4 * T4 * d * 2          # attention scores + context
+        + 2 * T4 * d * 2 * d           # conv pointwise1 (GLU, 2d out)
+        + 2 * T4 * d * d               # conv pointwise2
+        + 2 * T4 * d * model.conv_kernel  # depthwise conv
+    )
+    head = 2 * T4 * d * v
+    # subsampling: 3x3 conv2d 1->d/4 then d/4->d/4 + Dense(d*20 -> d)
+    c = d // 4
+    sub = (2 * (T_feat // 2) * 40 * 9 * c
+           + 2 * T4 * 20 * 9 * c * c
+           + 2 * T4 * (20 * c) * d)
+    return (model.n_layers * per_layer + head + sub) / 1e9
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    quant = os.environ.get("RASR_BENCH_QUANT", "")
+    task, model, params, trained, pipe, decode, T_feat, N = setup(quant)
+
+    # -- quality gate: WER on the held-out eval stream at the hard
+    # condition (nonzero operating point) -----------------------------------
+    ev_batch = 32
+    wer, greedy_wer, pad, flens = eval_wer(task, pipe, decode, params,
+                                           T_feat, N, ev_batch)
+
+    # -- throughput (measured on the same hard-condition audio) -------------
     batch = 256
     rng = np.random.default_rng(0)
     reps = rng.integers(0, ev_batch, size=batch)
@@ -202,17 +268,25 @@ def main():
 
     audio_seconds = iters * batch * SECONDS
     rtf_inv = audio_seconds / dt
-    gate_ok = (trained and wer <= greedy_wer + WER_DEGRADATION_GATE
-               and wer <= WER_ABS_GATE)
+    gate_ok = (trained and 0.0 < wer <= WER_ABS_GATE
+               and wer <= greedy_wer + WER_DEGRADATION_GATE)
+
+    # chip-normalized throughput: analytic encoder FLOPs / wall time
+    gflops_per_utt = encoder_gflops(model, T_feat)
+    tflops = gflops_per_utt * iters * batch / dt / 1e3
+    peak = PEAK_TFLOPS["int8" if quant == "int8" else "bf16"]
     result = {
         "metric": ("e2e CTC decode, flagship 12x512 conformer "
                    + ("int8" if quant == "int8" else "bf16")
-                   + " (fused log-mel + device prefix beam), WER-anchored"),
+                   + " (fused log-mel + device prefix beam), WER-anchored"
+                   + f" @ babble SNR {EVAL_CONDITION['snr_db']:g} dB"),
         "value": round(rtf_inv, 1),
         "unit": "x real-time per chip",
         "vs_baseline": round(rtf_inv / 50.0, 2) if gate_ok else 0.0,
         "wer": round(wer, 4),
         "greedy_wer": round(greedy_wer, 4),
+        "tflops": round(tflops, 1),
+        "mfu": round(tflops / peak, 4),
     }
     print(json.dumps(result))
 

@@ -85,15 +85,43 @@ class SynthSpeechTask:
         env = np.minimum(env / (0.25 * self.frame_samples), 1.0)
         return x * env
 
+    def _babble(self, rng: np.random.Generator, n: int) -> np.ndarray:
+        """Speech-shaped interference: overlapping renderings of random
+        *other* units (3 simultaneous talkers), so the noise occupies the
+        same formant space as the signal and actually confuses unit
+        identities (white noise only raises the floor)."""
+        out = np.zeros(n, np.float32)
+        for _ in range(3):
+            pos = 0
+            warp = float(rng.uniform(0.9, 1.1))
+            while pos < n:
+                u = int(rng.integers(1, self.n_units + 1))
+                piece = self.render_unit(u, rng, warp,
+                                         int(rng.integers(6, 14)))
+                m = min(len(piece), n - pos)
+                out[pos:pos + m] += piece[:m]
+                pos += m
+        return out
+
     def utterance(self, rng: np.random.Generator,
-                  min_words: int = 4, max_words: int = 14
+                  min_words: int = 4, max_words: int = 14,
+                  snr_db: float | None = None,
+                  noise: str = "babble",
+                  warp_range: Tuple[float, float] = (0.96, 1.04),
                   ) -> Tuple[np.ndarray, str, List[int]]:
-        """(audio float32, orthography, unit label sequence)."""
+        """(audio float32, orthography, unit label sequence).
+
+        snr_db/noise/warp_range define the *evaluation condition*: the
+        clean task (defaults) is what the flagship trains on; the bench
+        anchors WER on a hard condition (additive noise at a fixed SNR +
+        wider speaker warp) so the quality gate sits at a nonzero,
+        test-other-like operating point (reference anchors throughput to
+        in-run WER: /root/reference/src/Bliss/Evaluation.hh:31)."""
         n_w = int(rng.integers(min_words, max_words + 1))
         word_ids = rng.integers(0, self.n_words, size=n_w)
         labels: List[int] = []
         pieces: List[np.ndarray] = []
-        warp = float(rng.uniform(0.96, 1.04))
+        warp = float(rng.uniform(*warp_range))
         gain = float(rng.uniform(0.5, 1.5))
         for w in word_ids:
             for u in self.words[int(w)]:
@@ -106,15 +134,27 @@ class SynthSpeechTask:
                                    * self.frame_samples, np.float32))
         audio = np.concatenate(pieces) * gain
         audio += rng.normal(0.0, 0.01, size=audio.shape).astype(np.float32)
+        if snr_db is not None:
+            p_sig = float(np.mean(np.square(audio)))
+            p_noise = p_sig / (10.0 ** (snr_db / 10.0))
+            if noise == "babble":
+                nz = self._babble(rng, len(audio))
+            else:
+                nz = rng.normal(0.0, 1.0, size=len(audio)).astype(np.float32)
+            nz *= np.sqrt(p_noise / max(float(np.mean(np.square(nz))), 1e-12))
+            audio = audio + nz
         orth = " ".join(f"w{int(w):04d}" for w in word_ids)
         return audio.astype(np.float32), orth, labels
 
     def batch(self, seed: int, batch_size: int, max_seconds: float = 12.0,
-              min_words: int = 4, max_words: int = 14):
+              min_words: int = 4, max_words: int = 14,
+              snr_db: float | None = None, noise: str = "babble",
+              warp_range: Tuple[float, float] = (0.96, 1.04)):
         """Padded batch: (audio (B, N), n_samples (B,), labels (B, L),
         label_lens (B,), orths)."""
         rng = np.random.default_rng(seed)
-        utts = [self.utterance(rng, min_words, max_words)
+        utts = [self.utterance(rng, min_words, max_words, snr_db=snr_db,
+                               noise=noise, warp_range=warp_range)
                 for _ in range(batch_size)]
         n_max = int(max_seconds * self.sample_rate)
         # truncating audio while keeping the full label sequence would make
