@@ -133,6 +133,11 @@ int64_t rasr_beam_expand(
         const double* frame,
         // optional next-frame lookahead row (prune bias) + scale
         const double* la_row, double la_scale,
+        // optional LM lookahead (prune bias): slot-pooled tables
+        // lm_la[slot * n_la_nodes + la_node], per-history slot map
+        // lm_la_slot[hist] and per-state la node lm_la_state[state]
+        const float* lm_la, const int64_t* lm_la_slot,
+        const int64_t* lm_la_state, int64_t n_la_nodes,
         // recombination key space: key = state * hist_count + hist
         int64_t hist_count,
         // pruning
@@ -198,6 +203,9 @@ int64_t rasr_beam_expand(
     for (size_t i = 0; i < cands.size(); ++i) {
         double p = cands[i].score;
         if (la_row) p += la_scale * la_row[net->emis[cands[i].state]];
+        if (lm_la)
+            p += lm_la[lm_la_slot[cands[i].hist] * n_la_nodes
+                       + lm_la_state[cands[i].state]];
         prune[i] = p;
         if (p < best) best = p;
     }

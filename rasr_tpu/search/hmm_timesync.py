@@ -290,7 +290,13 @@ class WordConditionedTreeSearch:
                  acoustic_lookahead: int = 0,
                  acoustic_lookahead_scale: float = 0.5,
                  dynamic_beam: Optional["DynamicBeamStrategy"] = None,
-                 use_native: bool = True):
+                 use_native: bool = True,
+                 lm_lookahead: bool = False,
+                 lm_lookahead_history: int = 1,
+                 lm_lookahead_slots: int = 32,
+                 lm_lookahead_min_hyps: int = 1,
+                 lm_lookahead_max_fills: int = 8,
+                 word_end_threshold: float = math.inf):
         """acoustic_lookahead: number of future frames whose (averaged)
         emission scores bias PRUNING decisions — hypotheses about to hit
         expensive acoustics are dropped earlier, like the reference's
@@ -316,6 +322,19 @@ class WordConditionedTreeSearch:
         self.beam_size = beam_size
         self.word_end_beam = word_end_beam_size or max(beam_size // 2, 8)
         self.score_threshold = score_threshold
+        self.word_end_threshold = word_end_threshold
+        # LM lookahead (reference LanguageModelLookahead.cc): per-history
+        # min-LM tables over the compressed tree bias the pruning score
+        self._lmla = None
+        if lm_lookahead and lm is not None \
+                and hasattr(lm, "score_dense") and hasattr(lm, "token_id"):
+            from .lm_lookahead import LmLookahead
+            self._lmla = LmLookahead(
+                self.tree, self.net, am.lexicon, lm, lm_scale,
+                history_limit=lm_lookahead_history,
+                max_slots=lm_lookahead_slots,
+                min_hyps=lm_lookahead_min_hyps,
+                max_fills_per_frame=lm_lookahead_max_fills)
         self.acoustic_lookahead = int(acoustic_lookahead)
         self.acoustic_lookahead_scale = acoustic_lookahead_scale
         self.dynamic_beam = dynamic_beam
@@ -323,9 +342,40 @@ class WordConditionedTreeSearch:
         self._orth = {l.id: l.preferred_orth for l in am.lexicon.lemmas}
         # word-end LM transition cache: (hist_id, lemma) -> (score, hist_id)
         self._lm_cache: Dict[Tuple[int, int], Tuple[float, int]] = {}
+        # dense word-end scoring (trie all-words rows, LRU-cached per
+        # history): exact batched LM application for every ending word in
+        # one gather — the scale path for big lexica (the reference
+        # batches word-end LM requests: Lm compileBatchRequest/getBatch)
+        self._lm_dense_ok = (lm is not None and hasattr(lm, "score_dense")
+                             and hasattr(lm, "token_id"))
+        if self._lm_dense_ok:
+            from collections import OrderedDict
+            self._dense_cache: "OrderedDict[tuple, np.ndarray]" = \
+                OrderedDict()
+            self._dense_cache_cap = 128
+            tid = lm.token_id
+            toks = []
+            for l in am.lexicon.lemmas:
+                st = l.syntactic_tokens
+                # single-token lemmata score via the dense row; empty
+                # sequences (silence, -1) are 0; multi-token or OOV
+                # (-2) fall back to the scalar cache
+                if not st:
+                    toks.append(-1)
+                elif len(st) == 1 and tid(st[0]) >= 0:
+                    toks.append(tid(st[0]))
+                else:
+                    toks.append(-2)
+            self._lemma_token = np.asarray(toks, np.int64)
         # native expansion kernel (native/rasr_beam.cpp): fused
         # move/entry generation + recombination + pruning, the
-        # reference's C++ hot core (SearchSpace.cc); numpy fallback
+        # reference's C++ hot core (SearchSpace.cc); numpy fallback.
+        # Tie-breaking caveat: on *exactly equal* scores the native path
+        # may keep a different hypothesis than numpy (first-offered in
+        # interleaved loop/fwd/skip order vs blockwise lexsort; C++
+        # nth_element vs np.argpartition at the histogram cut), so
+        # decodes can differ across environments on score ties — both
+        # orders are valid Viterbi recombinations with identical scores.
         self._native = None
         import os
         if use_native and os.environ.get("RASR_NATIVE_BEAM", "1") != "0":
@@ -344,8 +394,15 @@ class WordConditionedTreeSearch:
         self._hist_list: List[tuple] = [
             self.lm.initial_history() if self.lm else ()]
         self._hist_index: Dict[tuple, int] = {self._hist_list[0]: 0}
+        # interned lookahead-history id per hist id (amortized-growth
+        # array: the per-frame hist->slot map is one vectorized gather)
+        if self._lmla is not None:
+            self._hist_la_arr = np.zeros(256, np.int64)
+            self._hist_la_arr[0] = self._lmla.intern(
+                self._lmla.lookahead_history(self._hist_list[0]))
         self.arena = _TraceArena()
         self._lm_cache.clear()
+        self._ext_cache: Dict[Tuple[int, int], int] = {}
         # SoA beam (empty until the first feed enters the tree)
         self._b_state = np.zeros(0, np.int64)
         self._b_hist = np.zeros(0, np.int64)
@@ -363,7 +420,24 @@ class WordConditionedTreeSearch:
             i = len(self._hist_list)
             self._hist_index[h] = i
             self._hist_list.append(h)
+            if self._lmla is not None:
+                if i >= len(self._hist_la_arr):
+                    grown = np.zeros(2 * len(self._hist_la_arr), np.int64)
+                    grown[:len(self._hist_la_arr)] = self._hist_la_arr
+                    self._hist_la_arr = grown
+                self._hist_la_arr[i] = self._lmla.intern(
+                    self._lmla.lookahead_history(h))
         return i
+
+    def _lm_la_arrays(self):
+        """(pool, hist->slot, state->la-node) for the current hist list,
+        or None; the slot map is a single vectorized gather."""
+        la = self._lmla
+        if la is None:
+            return None
+        n = len(self._hist_list)
+        slot_arr = la.slot_of_id[self._hist_la_arr[:n]]
+        return la.pool, slot_arr, la.la_of_state
 
     def _lm_extend(self, hist_id: int, lemma_id: int
                    ) -> Tuple[float, int]:
@@ -382,6 +456,34 @@ class WordConditionedTreeSearch:
         out = (score, self._hist_id(h))
         self._lm_cache[key] = out
         return out
+
+    def _extend_hist(self, hist_id: int, lemma_id: int) -> int:
+        """Successor history id only (no score) — cached separately so
+        the dense word-end path never recomputes scalar LM scores."""
+        key = (hist_id, lemma_id)
+        hit = self._ext_cache.get(key)
+        if hit is not None:
+            return hit
+        h = self._hist_list[hist_id]
+        for tok in self.am.lexicon.lemmas[lemma_id].syntactic_tokens:
+            h = self.lm.extended_history(h, tok)
+        out = self._hist_id(h)
+        self._ext_cache[key] = out
+        return out
+
+    def _dense_row(self, hist_id: int) -> np.ndarray:
+        """Scaled dense LM row for a history (LRU across segments)."""
+        h = self._hist_list[hist_id]
+        row = self._dense_cache.get(h)
+        if row is None:
+            row = (self.lm_scale
+                   * self.lm.score_dense(h)).astype(np.float32)
+            self._dense_cache[h] = row
+            if len(self._dense_cache) > self._dense_cache_cap:
+                self._dense_cache.popitem(last=False)
+        else:
+            self._dense_cache.move_to_end(h)
+        return row
 
     # -- per-frame expansion ---------------------------------------------------
 
@@ -409,6 +511,10 @@ class WordConditionedTreeSearch:
         st, hi, sc = self._b_state, self._b_hist, self._b_score
         tr, bf, bs = self._b_trace, self._b_bframe, self._b_bscore
         native = self._native
+        if self._lmla is not None and len(hi):
+            # lookahead laziness: fill tables for the lookahead histories
+            # whose instances hold enough hypotheses this frame
+            self._lmla.activate_ids(self._hist_la_arr[hi])
         exits = None
         if len(st):
             if native is None:
@@ -491,6 +597,11 @@ class WordConditionedTreeSearch:
         if self._la is not None and self._t + 1 < len(self._la):
             prune_score = a_score + self.acoustic_lookahead_scale \
                 * self._la[self._t + 1][net.emis[a_state]]
+        lm_la = self._lm_la_arrays()
+        if lm_la is not None:
+            pool, slot_arr, la_map = lm_la
+            prune_score = prune_score + pool[slot_arr[a_hist],
+                                             la_map[a_state]]
         threshold = self.score_threshold
         if self.dynamic_beam is not None:
             threshold = self.dynamic_beam.threshold(self.score_threshold)
@@ -537,7 +648,8 @@ class WordConditionedTreeSearch:
             (self._b_state, self._b_hist, self._b_score, self._b_trace,
              self._b_bframe, self._b_bscore),
             exits, inj, frame, la_row, self.acoustic_lookahead_scale,
-            len(self._hist_list), threshold, self.beam_size)
+            len(self._hist_list), threshold, self.beam_size,
+            lm_la=self._lm_la_arrays())
         if out is None:
             self._t += 1
             return
@@ -554,7 +666,13 @@ class WordConditionedTreeSearch:
     def _word_ends(self, e_sc, e_nd, e_hi, e_tr, e_bf, e_bs, emit) -> None:
         """Word-end handling for the exit set: LM application, word-end
         pruning, traceback arena entries, re-entry at the root children
-        (reference findWordEnds -> pruneEarlyWordEnds)."""
+        (reference findWordEnds -> pruneEarlyWordEnds).
+
+        With LM lookahead active, the order is scale-hardened (reference
+        pruneEarlyWordEnds BEFORE LM access): candidates are deduped and
+        pruned on base + lookahead-estimated LM first, and the exact LM
+        runs only over the surviving <= word_end_beam candidates, grouped
+        by unique (history, lemma) pair."""
         net = self.net
         own, wpos = _csr_expand(
             net.wend_off,
@@ -565,53 +683,105 @@ class WordConditionedTreeSearch:
         prons = net.wend_pron[wpos]
         base = e_sc[own] + net.exit_pen[net.first[e_nd[own]]] + prons
         hists = e_hi[own]
-        # dedup (parent trace, lemma, hist): identical word hypotheses from
-        # different exit states of the same node keep the best score
-        self.statistics.add("ending words before pruning", len(own))
-        # LM scores via the per-(history, lemma) cache
-        lm_s = np.zeros(len(own), np.float64)
-        new_hist = hists.copy()
-        for i in range(len(own)):
-            s, h2 = self._lm_extend(int(hists[i]), int(lemmas[i]))
-            lm_s[i] = s
-            new_hist[i] = h2
-        total = base + lm_s
-        # word-end beam pruning
-        if len(total) > self.word_end_beam:
-            keep = np.argpartition(total, self.word_end_beam - 1
-                                   )[:self.word_end_beam]
-        else:
-            keep = np.arange(len(total))
-        self.statistics.add("ending words after pruning", len(keep))
-        # arena entries; dedup (parent trace, lemma, successor
-        # history, re-entry group) keeping the best score — the same
-        # word ending with different across-word right contexts stays
-        # distinct (vectorized lexsort + first-per-key, like the beam
-        # recombination)
         groups = net.wend_group[wpos]
-        kp = e_tr[own[keep]]
-        kl = lemmas[keep]
-        kh = new_hist[keep]
-        kg = groups[keep]
-        order = np.lexsort((total[keep], kg, kh, kl, kp))
-        kp_o, kl_o = kp[order], kl[order]
-        kh_o, kg_o = kh[order], kg[order]
-        first = np.ones(len(order), bool)
-        if len(order) > 1:
-            first[1:] = ((kp_o[1:] != kp_o[:-1]) | (kl_o[1:] != kl_o[:-1])
-                         | (kh_o[1:] != kh_o[:-1])
-                         | (kg_o[1:] != kg_o[:-1]))
-        sel = order[first]       # positions within the keep array
-        idx = keep[sel]          # positions within the word-end arrays
+        traces = e_tr[own]
+        self.statistics.add("ending words before pruning", len(own))
+
+        if self._lm_dense_ok:
+            # -- early dedup on (trace, lemma, hist, group): the winner on
+            # base is the winner on total, since the LM score is a
+            # function of (hist, lemma) only
+            order = np.lexsort((base, groups, hists, lemmas, traces))
+            t_o, l_o = traces[order], lemmas[order]
+            h_o, g_o = hists[order], groups[order]
+            first = np.ones(len(order), bool)
+            if len(order) > 1:
+                first[1:] = ((t_o[1:] != t_o[:-1]) | (l_o[1:] != l_o[:-1])
+                             | (h_o[1:] != h_o[:-1])
+                             | (g_o[1:] != g_o[:-1]))
+            idx0 = order[first]
+            # -- EXACT LM for every deduped candidate: one cached dense
+            # trie row per distinct history, gathered per lemma token
+            # (the batched equivalent of the reference's word-end LM
+            # requests — no estimate-based mispruning)
+            hh, ll = hists[idx0], lemmas[idx0]
+            tok = self._lemma_token[ll]
+            lm_sel = np.zeros(len(idx0), np.float64)
+            for h in np.unique(hh):
+                m = (hh == h) & (tok >= 0)
+                if m.any():
+                    lm_sel[m] = self._dense_row(int(h))[tok[m]]
+            for i in np.flatnonzero(tok == -2):
+                lm_sel[i], _ = self._lm_extend(int(hh[i]), int(ll[i]))
+            total0 = base[idx0] + lm_sel
+            # -- word-end pruning on exact totals
+            keep = np.arange(len(idx0))
+            if math.isfinite(self.word_end_threshold):
+                keep = keep[total0 <= total0.min()
+                            + self.word_end_threshold]
+            if len(keep) > self.word_end_beam:
+                part = np.argpartition(total0[keep],
+                                       self.word_end_beam - 1
+                                       )[:self.word_end_beam]
+                keep = keep[part]
+            idx = idx0[keep]
+            lm_sel = lm_sel[keep]
+            total_sel = total0[keep]
+            self.statistics.add("ending words after pruning", len(idx))
+            kp_sel, kl_sel = traces[idx], lemmas[idx]
+            kg_sel = groups[idx]
+            kh_sel = np.asarray(
+                [self._extend_hist(int(h), int(l))
+                 for h, l in zip(hists[idx], lemmas[idx])], np.int64)
+        else:
+            # exact LM for every candidate (per-(history, lemma) cache)
+            lm_s = np.zeros(len(own), np.float64)
+            new_hist = hists.copy()
+            for i in range(len(own)):
+                s, h2 = self._lm_extend(int(hists[i]), int(lemmas[i]))
+                lm_s[i] = s
+                new_hist[i] = h2
+            total = base + lm_s
+            # word-end beam pruning
+            if len(total) > self.word_end_beam:
+                keep = np.argpartition(total, self.word_end_beam - 1
+                                       )[:self.word_end_beam]
+            else:
+                keep = np.arange(len(total))
+            self.statistics.add("ending words after pruning", len(keep))
+            # arena entries; dedup (parent trace, lemma, successor
+            # history, re-entry group) keeping the best score — the same
+            # word ending with different across-word right contexts stays
+            # distinct (vectorized lexsort + first-per-key, like the beam
+            # recombination)
+            kp = traces[keep]
+            kl = lemmas[keep]
+            kh = new_hist[keep]
+            kg = groups[keep]
+            order = np.lexsort((total[keep], kg, kh, kl, kp))
+            kp_o, kl_o = kp[order], kl[order]
+            kh_o, kg_o = kh[order], kg[order]
+            first = np.ones(len(order), bool)
+            if len(order) > 1:
+                first[1:] = ((kp_o[1:] != kp_o[:-1])
+                             | (kl_o[1:] != kl_o[:-1])
+                             | (kh_o[1:] != kh_o[:-1])
+                             | (kg_o[1:] != kg_o[:-1]))
+            sel = order[first]       # positions within the keep array
+            idx = keep[sel]          # positions within the word-end arrays
+            kp_sel, kl_sel = kp[sel], kl[sel]
+            kh_sel, kg_sel = kh[sel], kg[sel]
+            lm_sel = lm_s[idx]
+            total_sel = total[idx]
         if len(idx) == 0:
             return
         tidxs = self.arena.extend(
-            kp[sel], kl[sel], e_bf[own[idx]], self._t, total[idx],
-            base[idx] - e_bs[own[idx]], lm_s[idx])
+            kp_sel, kl_sel, e_bf[own[idx]], self._t, total_sel,
+            base[idx] - e_bs[own[idx]], lm_sel)
         # fan each surviving word end into ITS entry group (reference
         # across-word transits: the next word must start with the
         # coarticulated right-context phoneme)
-        hsel, gsel, tsel = kh[sel], kg[sel], total[idx]
+        hsel, gsel, tsel = kh_sel, kg_sel, total_sel
         for grp in np.unique(gsel):
             entry = net.entry_group_states[int(grp)]
             n_entry = len(entry)

@@ -21,6 +21,7 @@ from ..speech.native_io import _ensure_built
 
 _I64P = ctypes.POINTER(ctypes.c_int64)
 _F64P = ctypes.POINTER(ctypes.c_double)
+_F32P = ctypes.POINTER(ctypes.c_float)
 _U8P = ctypes.POINTER(ctypes.c_uint8)
 
 
@@ -41,6 +42,7 @@ def _lib() -> Optional[ctypes.CDLL]:
             ctypes.c_int64, _I64P, _I64P, _F64P, _I64P, _I64P, _F64P,
             ctypes.c_int64, _I64P, _I64P, _F64P, _I64P, _I64P, _F64P,
             _F64P, _F64P, ctypes.c_double,
+            _F32P, _I64P, _I64P, ctypes.c_int64,
             ctypes.c_int64, ctypes.c_double, ctypes.c_int64,
             _I64P, _I64P, _F64P, _I64P, _I64P, _F64P, _I64P]
         lib._beam_ready = True
@@ -102,9 +104,13 @@ class NativeBeam:
     def expand(self, beam: Tuple, exits: Optional[Tuple], inj: Tuple,
                frame: np.ndarray, la_row: Optional[np.ndarray],
                la_scale: float, hist_count: int, threshold: float,
-               beam_size: int):
+               beam_size: int,
+               lm_la: Optional[Tuple[np.ndarray, np.ndarray,
+                                     np.ndarray]] = None):
         """beam/exits/inj: (state-or-node, hist, score, trace, bframe,
-        bscore) array tuples (exits may be None).  Returns
+        bscore) array tuples (exits may be None).  lm_la: optional LM
+        lookahead (pool (slots, n_la) f32, hist->slot i64 (hist_count,),
+        state->la-node i64 (S,)) pruning bias.  Returns
         ((state, hist, score, trace, bframe, bscore), stats) with
         stats = (raw candidates, after recombination, within threshold);
         returns None when no candidates were generated (keep old beam,
@@ -127,6 +133,16 @@ class NativeBeam:
         o_bscore = np.empty(beam_size, np.float64)
         stats = np.zeros(3, np.int64)
         la_p = _pf(la_arr) if la_arr is not None else _F64P()
+        if lm_la is not None:
+            pool, slot_map, state_map = lm_la
+            pool = np.ascontiguousarray(pool, np.float32)
+            slot_map = _i64(slot_map)
+            state_map = _i64(state_map)
+            lm_args = (pool.ctypes.data_as(_F32P), _pi(slot_map),
+                       _pi(state_map), pool.shape[1])
+            self._lm_keep = (pool, slot_map, state_map)
+        else:
+            lm_args = (_F32P(), _I64P(), _I64P(), 0)
         n_out = self._l.rasr_beam_expand(
             self._handle,
             len(b[0]), _pi(b[0]), _pi(b[1]), _pf(b[2]), _pi(b[3]),
@@ -136,6 +152,7 @@ class NativeBeam:
             len(inj[0]), _pi(inj[0]), _pi(inj[1]), _pf(inj[2]),
             _pi(inj[3]), _pi(inj[4]), _pf(inj[5]),
             _pf(frame), la_p, float(la_scale),
+            *lm_args,
             int(hist_count), float(threshold), int(beam_size),
             _pi(o_state), _pi(o_hist), _pf(o_score), _pi(o_trace),
             _pi(o_bframe), _pf(o_bscore), _pi(stats))
