@@ -296,17 +296,585 @@ class AcousticModelTrainerApp(Application):
                  len(examples), tree.n_classes, out)
         return 0
 
+    # -- aligned-frame iteration (shared by the scatter/adaptation/scoring
+    # actions; reference AlignedFeatureProcessor sign-on) -----------------------
+
+    def _aligned_frames(self, am=None, scorer=None):
+        """Yield (segment, feats (T,D), emission classes (T,)) over the
+        corpus: from the configured alignment cache when present, else by
+        Viterbi alignment against the current mixture set."""
+        am = am or self._load_am()
+        corpus = CorpusDescription(self.config.sub("corpus"))
+        cache = FeatureCacheReader(
+            self.config.sub("feature-cache").get("path")
+            or self._trainer_config().get("feature-cache"))
+        tc = self._trainer_config()
+        align_path = tc.get("alignment-cache")
+        reader = None
+        builder = None
+        if align_path:
+            from ..speech.alignment import AlignmentCacheReader
+            reader = AlignmentCacheReader(align_path)
+        else:
+            if scorer is None:
+                ms = MixtureSet.read_pms(tc.get("old-mixture-set-file"))
+                scorer = GmmScorer(ms)
+            builder = StateGraphBuilder(am)
+        for seg in corpus.segments():
+            try:
+                feats, _, _ = cache.read(seg.full_name)
+            except KeyError:
+                continue
+            if reader is not None:
+                try:
+                    ali = reader.read(seg.full_name)
+                except KeyError:
+                    continue
+                # packed allophone-state ids index the WRITER's alphabet;
+                # rebuild the segment's graph to recover the deterministic
+                # label -> emission-class mapping in this process
+                if builder is None:
+                    builder = StateGraphBuilder(am)
+                graph = builder.build(seg.orth)
+                label_em = {int(l): int(e)
+                            for l, e in zip(graph.labels, graph.emissions)}
+                em = np.full(len(feats), -1, np.int64)
+                for f, sid in zip(ali.frames, ali.state_ids):
+                    cls = label_em.get(int(sid), -1)
+                    if int(f) < len(feats):
+                        em[int(f)] = cls
+                keep = em >= 0
+                yield seg, feats[keep], em[keep]
+            else:
+                graph = builder.build(seg.orth)
+                aligner = Aligner(graph)
+                scores = np.asarray(scorer.score(feats))
+                em = aligner.emission_path(scores)
+                yield seg, feats, np.asarray(em, np.int64)
+
+    def _corpus_key(self, seg) -> str:
+        """Grouping key for per-speaker estimation (reference
+        Bliss::CorpusKey; speaker name when present, else recording)."""
+        if getattr(seg, "speaker", None) is not None:
+            return seg.speaker.name
+        return seg.recording.full_name
+
+    # -- score-features (reference src/Speech/FeatureScorer.cc) ---------------
+
+    def action_score_features(self) -> int:
+        """Average aligned emission score per segment and corpus key."""
+        am = self._load_am()
+        tc = self._trainer_config()
+        ms = MixtureSet.read_pms(tc.get("old-mixture-set-file"))
+        scorer = GmmScorer(ms)
+        per_key: dict = {}
+        total = np.zeros(2)  # weighted sum, weight
+        for seg, feats, em in self._aligned_frames(am, scorer):
+            scores = np.asarray(scorer.score(feats))
+            vals = scores[np.arange(len(em)), em]
+            acc = per_key.setdefault(self._corpus_key(seg), np.zeros(2))
+            acc += (vals.sum(), len(vals))
+            total += (vals.sum(), len(vals))
+            self.log("segment %s: average score %.6f", seg.full_name,
+                     float(vals.mean()) if len(vals) else 0.0)
+        out = tc.get("score-file")
+        if out:
+            with open(out, "w") as fh:
+                for k, acc in sorted(per_key.items()):
+                    fh.write(f"{k}\t{acc[0] / max(acc[1], 1):.10g}"
+                             f"\t{acc[1]:.0f}\n")
+        self.log("corpus average score %.6f over %d frames",
+                 total[0] / max(total[1], 1), int(total[1]))
+        return 0
+
+    # -- scatter matrices / LDA (reference ScatterMatricesEstimator.cc) -------
+
+    def _accumulate_scatter(self, text_dependent: bool):
+        from ..speech.lda import ScatterAccumulator
+        am = self._load_am()
+        acc = None
+        for _seg, feats, em in self._aligned_frames(am):
+            labels = em if text_dependent else np.zeros(len(feats),
+                                                        np.int64)
+            if acc is None:
+                n_cls = am.state_tying.n_classes if text_dependent else 1
+                acc = ScatterAccumulator.zeros(feats.shape[1], n_cls)
+            acc.accumulate(feats, labels)
+        if acc is None:
+            raise ValueError("no aligned features accumulated")
+        return acc
+
+    def action_estimate_scatter(self, text_dependent=True) -> int:
+        tc = self._trainer_config()
+        acc = self._accumulate_scatter(text_dependent)
+        out = tc.get("scatter-matrix-accumulator-file") or "scatter.acc"
+        acc.write(out)
+        self.log("scatter accumulator (%d classes, dim %d) -> %s",
+                 acc.n_classes, acc.dim, out)
+        return 0
+
+    def action_combine_scatter(self) -> int:
+        from ..speech.lda import ScatterAccumulator
+        tc = self._trainer_config()
+        files = (tc.get("scatter-matrix-accumulator-files") or "").split()
+        if not files:
+            raise ValueError("no scatter-matrix-accumulator-files")
+        acc = ScatterAccumulator.read(files[0])
+        for f in files[1:]:
+            acc = acc.combine(ScatterAccumulator.read(f))
+        out = tc.get("scatter-matrix-accumulator-file") or "scatter.acc"
+        acc.write(out)
+        self.log("combined %d scatter accumulators -> %s", len(files), out)
+        return 0
+
+    def action_scatter_from_accumulator(self) -> int:
+        from ..math.matrix_io import write_matrix
+        from ..speech.lda import ScatterAccumulator
+        tc = self._trainer_config()
+        acc = ScatterAccumulator.read(
+            tc.get("scatter-matrix-accumulator-file") or "scatter.acc")
+        sw, sb = acc.scatter_matrices()
+        w_out = tc.get("within-class-scatter-matrix-file") or "sw.xml"
+        b_out = tc.get("between-class-scatter-matrix-file") or "sb.xml"
+        write_matrix(w_out, sw)
+        write_matrix(b_out, sb)
+        self.log("scatter matrices -> %s / %s", w_out, b_out)
+        return 0
+
+    def action_estimate_lda(self, accumulate: Optional[bool] = None,
+                            text_dependent: bool = True) -> int:
+        from ..math.matrix_io import write_matrix
+        from ..speech.lda import ScatterAccumulator, estimate_lda
+        tc = self._trainer_config()
+        if accumulate:
+            acc = self._accumulate_scatter(text_dependent)
+        else:
+            acc = ScatterAccumulator.read(
+                tc.get("scatter-matrix-accumulator-file") or "scatter.acc")
+        n_out = int(tc.get("number-of-outputs") or min(acc.dim, 32))
+        proj = estimate_lda(acc, n_out)
+        out = tc.get("projector-matrix-file") or "lda.matrix"
+        write_matrix(out, proj)
+        self.log("LDA %dx%d -> %s", proj.shape[0], proj.shape[1], out)
+        return 0
+
+    # -- CMLLR / MLLR (reference AffineFeatureTransformEstimator.cc,
+    # ModelTransformEstimator.cc; estimate-* accumulates statistics,
+    # calculate-* solves the transform) ---------------------------------------
+
+    def _accumulate_adaptation(self):
+        from ..mm.adaptation import AdaptationAccumulator
+        am = self._load_am()
+        tc = self._trainer_config()
+        ms = MixtureSet.read_pms(tc.get("old-mixture-set-file"))
+        scorer = GmmScorer(ms)
+        per_key: dict = {}
+        for seg, feats, em in self._aligned_frames(am, scorer):
+            dens = scorer.assign_densities(feats, em.astype(np.int32))
+            key = self._corpus_key(seg)
+            acc = per_key.get(key)
+            if acc is None:
+                acc = per_key[key] = AdaptationAccumulator.zeros(
+                    feats.shape[1], ms.n_densities)
+            acc.accumulate(feats, np.asarray(dens, np.int64))
+        return ms, per_key
+
+    @staticmethod
+    def _write_adaptation_accumulators(path: str, per_key: dict) -> None:
+        arrays = {}
+        for k, acc in per_key.items():
+            arrays[f"{k}::gamma"] = acc.gamma
+            arrays[f"{k}::sum_x"] = acc.sum_x
+            arrays[f"{k}::sum_x2"] = acc.sum_x2
+        np.savez_compressed(path, **arrays)
+
+    @staticmethod
+    def _read_adaptation_accumulators(path: str) -> dict:
+        from ..mm.adaptation import AdaptationAccumulator
+        z = np.load(path)
+        per_key: dict = {}
+        for name in z.files:
+            key, field = name.rsplit("::", 1)
+            acc = per_key.get(key)
+            if acc is None:
+                acc = per_key[key] = AdaptationAccumulator.__new__(
+                    AdaptationAccumulator)
+            setattr(acc, field, z[name])
+        for acc in per_key.values():
+            acc.n_densities, acc.dim = acc.sum_x.shape
+            acc.G = None
+        return per_key
+
+    def action_estimate_affine_transform(self) -> int:
+        tc = self._trainer_config()
+        _ms, per_key = self._accumulate_adaptation()
+        out = tc.get("affine-transform-accumulator-file") or "cmllr.acc.npz"
+        self._write_adaptation_accumulators(out, per_key)
+        self.log("CMLLR statistics for %d keys -> %s", len(per_key), out)
+        return 0
+
+    def action_combine_affine_transform(self) -> int:
+        tc = self._trainer_config()
+        files = (tc.get("affine-transform-accumulator-files") or "").split()
+        if not files:
+            raise ValueError("no affine-transform-accumulator-files")
+        merged: dict = {}
+        for f in files:
+            for k, acc in self._read_adaptation_accumulators(f).items():
+                if k in merged:
+                    merged[k].gamma = merged[k].gamma + acc.gamma
+                    merged[k].sum_x = merged[k].sum_x + acc.sum_x
+                    merged[k].sum_x2 = merged[k].sum_x2 + acc.sum_x2
+                else:
+                    merged[k] = acc
+        out = tc.get("affine-transform-accumulator-file") or "cmllr.acc.npz"
+        self._write_adaptation_accumulators(out, merged)
+        self.log("combined %d estimator files (%d keys) -> %s",
+                 len(files), len(merged), out)
+        return 0
+
+    def action_calculate_affine_transform(self) -> int:
+        from ..mm.adaptation import estimate_cmllr_transform
+        tc = self._trainer_config()
+        ms = MixtureSet.read_pms(tc.get("old-mixture-set-file"))
+        per_key = self._read_adaptation_accumulators(
+            tc.get("affine-transform-accumulator-file") or "cmllr.acc.npz")
+        transforms = {k: estimate_cmllr_transform(acc, ms)
+                      for k, acc in per_key.items()}
+        out = tc.get("affine-transform-file") or "cmllr.npz"
+        np.savez_compressed(out, **transforms)
+        self.log("CMLLR transforms for %d keys -> %s", len(transforms), out)
+        return 0
+
+    def action_score_affine_transform(self) -> int:
+        """Average aligned emission score with and without the CMLLR
+        transform applied to the features."""
+        from ..mm.adaptation import apply_feature_transform
+        am = self._load_am()
+        tc = self._trainer_config()
+        ms = MixtureSet.read_pms(tc.get("old-mixture-set-file"))
+        scorer = GmmScorer(ms)
+        z = np.load(tc.get("affine-transform-file") or "cmllr.npz")
+        raw = np.zeros(2)
+        adapted = np.zeros(2)
+        for seg, feats, em in self._aligned_frames(am, scorer):
+            key = self._corpus_key(seg)
+            if key not in z.files:
+                continue
+            idx = np.arange(len(em))
+            s0 = np.asarray(scorer.score(feats))[idx, em]
+            s1 = np.asarray(scorer.score(
+                apply_feature_transform(feats, z[key])))[idx, em]
+            raw += (s0.sum(), len(s0))
+            adapted += (s1.sum(), len(s1))
+        self.log("score without transform %.6f, with transform %.6f",
+                 raw[0] / max(raw[1], 1), adapted[0] / max(adapted[1], 1))
+        return 0
+
+    def action_estimate_adaptation(self) -> int:
+        tc = self._trainer_config()
+        _ms, per_key = self._accumulate_adaptation()
+        out = tc.get("adaptation-accumulator-file") or "mllr.acc.npz"
+        self._write_adaptation_accumulators(out, per_key)
+        self.log("MLLR statistics for %d keys -> %s", len(per_key), out)
+        return 0
+
+    def action_calculate_adaptation(self) -> int:
+        from ..mm.adaptation import (apply_mllr_mean_transform,
+                                     estimate_mllr_mean_transform)
+        tc = self._trainer_config()
+        ms = MixtureSet.read_pms(tc.get("old-mixture-set-file"))
+        per_key = self._read_adaptation_accumulators(
+            tc.get("adaptation-accumulator-file") or "mllr.acc.npz")
+        transforms = {k: estimate_mllr_mean_transform(acc, ms)
+                      for k, acc in per_key.items()}
+        out = tc.get("adaptation-file") or "mllr.npz"
+        np.savez_compressed(out, **transforms)
+        # optionally write a model adapted with one key's transform
+        adapt_key = tc.get("apply-key")
+        if adapt_key and adapt_key in transforms:
+            adapted = apply_mllr_mean_transform(ms, transforms[adapt_key])
+            adapted.write_pms(tc.get("new-mixture-set-file") or "adapted.pms")
+        self.log("MLLR transforms for %d keys -> %s", len(transforms), out)
+        return 0
+
+    # -- mixture-set conversions (reference Mm::Module convert/map/combine) ---
+
+    def action_convert_mixture_set(self) -> int:
+        """Convert between the text .pms format and the reference's legacy
+        binary MIXSET format (mm/legacy_io.py, byte-exact): a legacy file
+        is read as equivalent accumulator statistics and re-estimated; a
+        .pms is written as a legacy accumulator with nominal weights."""
+        from ..mm import legacy_io
+        tc = self._trainer_config()
+        src = tc.get("old-mixture-set-file")
+        dst = tc.get("new-mixture-set-file") or "converted.mix"
+        fmt = (tc.get("format") or "").lower()
+        if not fmt:
+            fmt = "legacy" if dst.endswith((".mix", ".bin")) else "pms"
+        if fmt == "pms":
+            legacy = legacy_io.read_legacy_accumulator(src)
+            acc = legacy_io.to_mixture_accumulator(legacy)
+            est = MixtureSetEstimator(acc.dim, acc.mixture_of,
+                                      minimum_observation_weight=0.0)
+            est.acc = acc
+            est.estimate().write_pms(dst)
+        else:
+            ms = MixtureSet.read_pms(src)
+            total_w = float(tc.get("total-weight") or 1000.0)
+            mean, var, _, _ = ms.packed()
+            n = ms.n_densities
+            dens_w = np.zeros(n)
+            mixtures = []
+            for mix in ms.mixtures:
+                row = []
+                for d, lw in zip(mix.density_indices, mix.log_weights):
+                    dens_w[d] = float(np.exp(lw)) * total_w
+                    row.append((int(d), dens_w[d]))
+                mixtures.append(row)
+            legacy = legacy_io.LegacyAccumulatorFile(
+                dim=ms.dim,
+                mean_sums=mean * dens_w[:, None],
+                mean_weights=dens_w,
+                covar_sums=(var + mean ** 2) * dens_w[:, None],
+                covar_weights=dens_w,
+                densities=np.stack([np.arange(n), np.arange(n)],
+                                   axis=1).astype(np.uint32),
+                mixtures=mixtures)
+            legacy_io.write_legacy_accumulator(legacy, dst)
+        self.log("converted %s -> %s (%s)", src, dst, fmt)
+        return 0
+
+    def action_convert_to_estimator(self) -> int:
+        """Mixture set -> equivalent accumulator (reference
+        convert-mixture-set-to-mixture-set-estimator): observation counts
+        from the mixture weights times a nominal total weight."""
+        tc = self._trainer_config()
+        ms = MixtureSet.read_pms(tc.get("old-mixture-set-file"))
+        total_w = float(tc.get("total-weight") or 1000.0)
+        mean, var, _, _ = ms.packed()          # density-major views
+        mixture_of = np.zeros(ms.n_densities, np.int64)
+        weight = np.zeros(ms.n_densities)
+        sum_x = np.zeros((ms.n_densities, ms.dim))
+        sum_x2 = np.zeros((ms.n_densities, ms.dim))
+        for mi, mix in enumerate(ms.mixtures):
+            for d, lw in zip(mix.density_indices, mix.log_weights):
+                w = float(np.exp(lw)) * total_w
+                mixture_of[d] = mi
+                weight[d] = w
+                sum_x[d] = mean[d] * w
+                sum_x2[d] = (var[d] + mean[d] ** 2) * w
+        acc = MixtureAccumulator.zeros(ms.dim, mixture_of)
+        acc.weight = weight
+        acc.sum_x = sum_x
+        acc.sum_x2 = sum_x2
+        out = tc.get("new-accumulator-file") or "converted.acc"
+        acc.write(out)
+        self.log("mixture set -> accumulator (%d densities) -> %s",
+                 ms.n_densities, out)
+        return 0
+
+    def action_combine_mixture_sets(self) -> int:
+        """Combine N mixture-set FILES (not estimators): each is converted
+        to an equivalent accumulator, merged, re-estimated."""
+        tc = self._trainer_config()
+        files = (tc.get("mixture-set-files") or "").split()
+        if not files:
+            raise ValueError("no mixture-set-files configured")
+        combined = None
+        for f in files:
+            ms = MixtureSet.read_pms(f)
+            est = MixtureSetEstimator.for_mixture_set(ms)
+            mean, var, _, _ = ms.packed()
+            # unit-weight equivalent statistics
+            for mi, mix in enumerate(ms.mixtures):
+                for d, lw in zip(mix.density_indices, mix.log_weights):
+                    w = float(np.exp(lw))
+                    est.acc.weight[d] += w
+                    est.acc.sum_x[d] += mean[d] * w
+                    est.acc.sum_x2[d] += (var[d] + mean[d] ** 2) * w
+            combined = est.acc if combined is None \
+                else combined.combine(est.acc)
+        est = MixtureSetEstimator(combined.dim, combined.mixture_of,
+                                  minimum_observation_weight=0.0)
+        est.acc = combined
+        out_ms = est.estimate()
+        out = tc.get("new-mixture-set-file") or "combined.pms"
+        out_ms.write_pms(out)
+        self.log("combined %d mixture sets -> %s", len(files), out)
+        return 0
+
+    def action_map_mixture_set(self) -> int:
+        """Re-index mixtures by a mapping file: line i holds the OLD
+        mixture index for NEW mixture i (reference map-mixture-set)."""
+        from ..mm.mixture_set import Mixture
+        tc = self._trainer_config()
+        ms = MixtureSet.read_pms(tc.get("old-mixture-set-file"))
+        mapping = [int(l.split()[-1])
+                   for l in open(tc.get("mapping-file"))
+                   if l.strip() and not l.startswith("#")]
+        mixtures = [Mixture(list(ms.mixtures[old].density_indices),
+                            list(ms.mixtures[old].log_weights))
+                    for old in mapping]
+        out_ms = MixtureSet(dim=ms.dim, means=ms.means,
+                            covariances=ms.covariances,
+                            densities=ms.densities, mixtures=mixtures)
+        out = tc.get("new-mixture-set-file") or "mapped.pms"
+        out_ms.write_pms(out)
+        self.log("mapped %d -> %d mixtures -> %s", ms.n_mixtures,
+                 len(mixtures), out)
+        return 0
+
+    # -- TDC sums (transition/duration counts; the reference registers the
+    # action but ships no public implementation — this is the functional
+    # equivalent: per-state-class loop/forward/exit counts from alignments
+    # for TDP re-estimation) ---------------------------------------------------
+
+    def action_accumulate_tdc_sum(self) -> int:
+        am = self._load_am()
+        counts = {"speech": np.zeros(3), "silence": np.zeros(3)}
+        for _seg, _feats, em in self._aligned_frames(am):
+            # loop = same class persists; forward = class changes
+            same = em[1:] == em[:-1]
+            sil_mask = np.asarray(
+                [am.state_tying.is_silence_class(int(c))
+                 if hasattr(am.state_tying, "is_silence_class") else False
+                 for c in em[:-1]])
+            for name, m in (("silence", sil_mask), ("speech", ~sil_mask)):
+                counts[name][0] += int(np.sum(same & m))
+                counts[name][1] += int(np.sum(~same & m))
+            counts["speech"][2] += 1  # one exit per segment end
+        tc = self._trainer_config()
+        out = tc.get("tdc-sum-file") or "tdc.sum"
+        with open(out, "w") as fh:
+            for name, c in counts.items():
+                fh.write(f"{name}\tloop={c[0]:.0f}\tforward={c[1]:.0f}"
+                         f"\texit={c[2]:.0f}\n")
+        self.log("TDC sums -> %s", out)
+        return 0
+
+    def action_combine_tdc_sum(self) -> int:
+        tc = self._trainer_config()
+        files = (tc.get("tdc-sum-files") or "").split()
+        totals: dict = {}
+        for f in files:
+            for line in open(f):
+                name, *fields = line.split()
+                arr = totals.setdefault(name, np.zeros(len(fields)))
+                arr += [float(x.split("=")[1]) for x in fields]
+        out = tc.get("tdc-sum-file") or "tdc.sum"
+        with open(out, "w") as fh:
+            for name, c in totals.items():
+                fh.write(f"{name}\tloop={c[0]:.0f}\tforward={c[1]:.0f}"
+                         f"\texit={c[2]:.0f}\n")
+        self.log("combined %d TDC sum files -> %s", len(files), out)
+        return 0
+
+    def action_merge_cart_examples(self) -> int:
+        import pickle
+        tc = self._trainer_config()
+        files = (tc.get("cart-example-files") or "").split()
+        if not files:
+            raise ValueError("no cart-example-files configured")
+        merged: dict = {}
+        for f in files:
+            with open(f, "rb") as fh:
+                stats = pickle.load(fh)
+            for key, v in stats.items():
+                entry = merged.get(key)
+                if entry is None:
+                    merged[key] = [v[0], v[1].copy(), v[2].copy()]
+                else:
+                    entry[0] += v[0]
+                    entry[1] += v[1]
+                    entry[2] += v[2]
+        out = tc.get("cart-example-file") or "cart.examples"
+        with open(out, "wb") as fh:
+            pickle.dump(merged, fh)
+        self.log("merged %d example files (%d contexts) -> %s",
+                 len(files), len(merged), out)
+        return 0
+
+    def action_create_model_acceptors(self) -> int:
+        """Write each segment's allophone-state graph (the model acceptor
+        used for alignment) to an FSA archive directory."""
+        import os
+        am = self._load_am()
+        corpus = CorpusDescription(self.config.sub("corpus"))
+        builder = StateGraphBuilder(am)
+        out_dir = self._trainer_config().get("model-acceptor-archive") \
+            or "acceptors"
+        os.makedirs(out_dir, exist_ok=True)
+        n = 0
+        for seg in corpus.segments():
+            graph = builder.build(seg.orth)
+            path = os.path.join(out_dir,
+                                seg.full_name.replace("/", "_") + ".att")
+            with open(path, "w") as fh:
+                for a_from, a_to, a_sc in zip(graph.arcs_from,
+                                              graph.arcs_to,
+                                              graph.arcs_score):
+                    em = int(graph.emissions[a_to])
+                    fh.write(f"{int(a_from)}\t{int(a_to)}\t{em}"
+                             f"\t{float(a_sc):.6g}\n")
+                for f, fs in zip(graph.final, graph.final_score):
+                    fh.write(f"{int(f)}\t{float(fs):.6g}\n")
+            n += 1
+        self.log("wrote %d model acceptors -> %s", n, out_dir)
+        return 0
+
+    def action_dry(self) -> int:
+        self.log("dry run: configuration ok")
+        return 0
+
     def run(self) -> int:
         action = self.param_action(self.config)
         dispatch = {
+            "dry": self.action_dry,
             "accumulate-mixture-set-text-dependent": self.action_accumulate,
+            "accumulate-mixture-set-text-dependent-tied":
+                self.action_accumulate,
             "combine-mixture-set-estimators": self.action_combine,
             "estimate-mixture-set": self.action_estimate,
             "split-mixture-set": self.action_split,
             "show-mixture-set": self.action_show,
             "dump-alignment": self.action_align,
             "accumulate-cart-examples": self.action_accumulate_cart,
+            "merge-cart-examples": self.action_merge_cart_examples,
             "estimate-cart": self.action_estimate_cart,
+            "score-features": self.action_score_features,
+            "estimate-scatter-matrices-text-dependent":
+                lambda: self.action_estimate_scatter(True),
+            "estimate-scatter-matrices-text-independent":
+                lambda: self.action_estimate_scatter(False),
+            "combine-lda": self.action_combine_scatter,
+            "combine-scatter-matrix-accumulators":
+                self.action_combine_scatter,
+            "estimate-scatter-matrices-from-accumulator":
+                self.action_scatter_from_accumulator,
+            "estimate-lda": lambda: self.action_estimate_lda(False),
+            "estimate-lda-text-dependent":
+                lambda: self.action_estimate_lda(True, True),
+            "estimate-lda-text-independent":
+                lambda: self.action_estimate_lda(True, False),
+            "estimate-affine-feature-transform":
+                self.action_estimate_affine_transform,
+            "combine-affine-feature-transform-estimators":
+                self.action_combine_affine_transform,
+            "calculate-affine-feature-transform":
+                self.action_calculate_affine_transform,
+            "score-affine-feature-transform":
+                self.action_score_affine_transform,
+            "estimate-adaptation": self.action_estimate_adaptation,
+            "calculate-adaptation": self.action_calculate_adaptation,
+            "convert-mixture-set": self.action_convert_mixture_set,
+            "convert-mixture-set-to-mixture-set-estimator":
+                self.action_convert_to_estimator,
+            "combine-mixture-sets": self.action_combine_mixture_sets,
+            "map-mixture-set": self.action_map_mixture_set,
+            "accumulate-tdc-sum": self.action_accumulate_tdc_sum,
+            "combine-tdc-sum": self.action_combine_tdc_sum,
+            "create-model-acceptors": self.action_create_model_acceptors,
         }
         if action not in dispatch:
             raise ValueError(f"unknown action {action!r}; "

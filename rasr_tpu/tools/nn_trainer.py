@@ -186,11 +186,117 @@ class NnTrainerApp(Application):
             probs = np.exp(np.asarray(lp[0, :int(out_lens[0])]))
             acc = probs.sum(0) if acc is None else acc + probs.sum(0)
             count += probs.shape[0]
+        # raw statistics (sum of posteriors + frame count): the
+        # distributable artifact; combine-statistics merges them
+        # (reference Nn::Statistics combine-parallel IO,
+        # src/Nn/Statistics.hh; nn-trainer combine-statistics,
+        # src/Tools/NnTrainer/NnTrainer.cc:157-162)
+        stats_out = t.get("statistics-file")
+        if stats_out:
+            np.savez(stats_out, sum=acc, count=np.asarray([count]))
+            self.log("posterior statistics over %d frames -> %s",
+                     count, stats_out)
         priors = np.log(np.maximum(acc / count, 1e-20))
         out = t.get("prior-file") or "priors.xml"
         from ..math.matrix_io import write_vector
         write_vector(out, priors.astype(np.float32))
         self.log("priors over %d frames -> %s", count, out)
+        return 0
+
+    def action_combine_statistics(self) -> int:
+        """Merge statistics files from partitioned corpus runs — the
+        reference's distributed-training reduce step
+        (src/Tools/NnTrainer/NnTrainer.cc:157 combine-statistics over
+        Nn::Statistics accumulator files).  Accepts the posterior
+        statistics written by compute-priors (sum/count npz) and any
+        npz whose arrays combine additively."""
+        t = self.config.sub("trainer")
+        files = (t.get("statistics-files") or "").split()
+        if not files:
+            raise ValueError("no statistics-files configured")
+        totals = None
+        for f in files:
+            z = np.load(f)
+            if totals is None:
+                totals = {k: z[k].copy() for k in z.files}
+            else:
+                for k in z.files:
+                    totals[k] = totals[k] + z[k]
+        out = t.get("statistics-file") or "combined.stats.npz"
+        np.savez(out, **totals)
+        self.log("combined %d statistics files -> %s", len(files), out)
+        # optionally re-estimate priors from the combined statistics
+        prior_out = t.get("prior-file")
+        if prior_out and "sum" in totals and "count" in totals:
+            priors = np.log(np.maximum(
+                totals["sum"] / max(float(totals["count"][0]), 1.0),
+                1e-20))
+            from ..math.matrix_io import write_vector
+            write_vector(prior_out, priors.astype(np.float32))
+            self.log("priors from combined statistics -> %s", prior_out)
+        return 0
+
+    def action_log_prior_from_mixture_set(self) -> int:
+        """Log priors from a mixture set's per-mixture observation mass
+        (reference get-log-prior-from-mixture-set,
+        src/Tools/NnTrainer/NnTrainer.cc:154; Nn::Prior from mixture
+        weights)."""
+        from ..mm.mixture_set import MixtureSet
+        t = self.config.sub("trainer")
+        ms = MixtureSet.read_pms(t.get("mixture-set-file"))
+        w = np.zeros(ms.n_mixtures)
+        for i, mix in enumerate(ms.mixtures):
+            w[i] = float(np.sum(np.exp(mix.log_weights)))
+        priors = np.log(np.maximum(w / w.sum(), 1e-20))
+        out = t.get("prior-file") or "priors.xml"
+        from ..math.matrix_io import write_vector
+        write_vector(out, priors.astype(np.float32))
+        self.log("mixture-set priors (%d classes) -> %s",
+                 ms.n_mixtures, out)
+        return 0
+
+    def action_estimate_mean_and_std(self) -> int:
+        """Corpus feature mean/standard deviation for input normalization
+        (reference estimate-mean-and-standard-deviation,
+        src/Tools/NnTrainer/NnTrainer.cc:163)."""
+        corpus = CorpusDescription(self.config.sub("corpus"))
+        cache = FeatureCacheReader(
+            self.config.sub("feature-cache").get("path"))
+        t = self.config.sub("trainer")
+        s = s2 = None
+        n = 0
+        for seg in corpus.segments():
+            try:
+                feats = cache.features(seg.full_name).astype(np.float64)
+            except KeyError:
+                continue
+            if s is None:
+                s = feats.sum(0)
+                s2 = (feats * feats).sum(0)
+            else:
+                s += feats.sum(0)
+                s2 += (feats * feats).sum(0)
+            n += len(feats)
+        if not n:
+            raise ValueError("no features found")
+        mean = s / n
+        std = np.sqrt(np.maximum(s2 / n - mean * mean, 1e-12))
+        from ..math.matrix_io import write_vector
+        mean_out = t.get("mean-file") or "mean.xml"
+        std_out = t.get("standard-deviation-file") or "std.xml"
+        write_vector(mean_out, mean.astype(np.float32))
+        write_vector(std_out, std.astype(np.float32))
+        self.log("mean/std over %d frames -> %s / %s", n, mean_out,
+                 std_out)
+        return 0
+
+    def action_show_statistics(self) -> int:
+        t = self.config.sub("trainer")
+        z = np.load(t.get("statistics-file"))
+        for k in z.files:
+            arr = z[k]
+            print(f"{k}: shape={arr.shape} sum={float(arr.sum()):.6g} "
+                  f"min={float(arr.min()):.6g} max={float(arr.max()):.6g}")
         return 0
 
     def action_init(self) -> int:
@@ -209,7 +315,14 @@ class NnTrainerApp(Application):
         dispatch = {
             "supervised-training": self.action_supervised_training,
             "compute-priors": self.action_compute_priors,
+            "combine-statistics": self.action_combine_statistics,
+            "get-log-prior-from-mixture-set":
+                self.action_log_prior_from_mixture_set,
+            "estimate-mean-and-standard-deviation":
+                self.action_estimate_mean_and_std,
+            "show-statistics": self.action_show_statistics,
             "init": self.action_init,
+            "init-network": self.action_init,
         }
         if action not in dispatch:
             raise ValueError(f"unknown action {action!r}; "

@@ -121,3 +121,74 @@ class TestFeatureStatisticsTool:
         cov = read_matrix(f"xml:{tmp_path}/cov.xml")
         assert cov.shape == (8, 8)
         np.testing.assert_allclose(cov, cov.T, atol=1e-5)
+
+
+class TestNnTrainerRound3Actions:
+    """combine-statistics / priors-from-mixture-set / mean-std /
+    show-statistics (reference src/Tools/NnTrainer/NnTrainer.cc:53-169)."""
+
+    def test_combine_statistics(self, corpus_with_features):
+        tmp_path, cfg = corpus_with_features
+        nn_main([f"--config={cfg}", "--*.action=supervised-training"])
+        # two partitioned prior-statistics passes
+        for part in range(2):
+            status = nn_main([
+                f"--config={cfg}", "--*.action=compute-priors",
+                "--*.corpus.partition=2",
+                f"--*.corpus.select-partition={part}",
+                f"--*.trainer.statistics-file={tmp_path}/p{part}.npz",
+                f"--*.trainer.prior-file={tmp_path}/pp{part}.xml"])
+            assert status == 0
+        status = nn_main([
+            f"--config={cfg}", "--*.action=combine-statistics",
+            f"--*.trainer.statistics-files={tmp_path}/p0.npz {tmp_path}/p1.npz",
+            f"--*.trainer.statistics-file={tmp_path}/all.npz",
+            f"--*.trainer.prior-file={tmp_path}/priors2.xml"])
+        assert status == 0
+        # combined priors == single-job priors over the whole corpus
+        status = nn_main([f"--config={cfg}", "--*.action=compute-priors",
+                          f"--*.trainer.prior-file={tmp_path}/priors1.xml"])
+        assert status == 0
+        from rasr_tpu.math.matrix_io import read_vector
+        a = read_vector(f"xml:{tmp_path}/priors1.xml")
+        b = read_vector(f"xml:{tmp_path}/priors2.xml")
+        np.testing.assert_allclose(b, a, atol=1e-5)
+        status = nn_main([
+            f"--config={cfg}", "--*.action=show-statistics",
+            f"--*.trainer.statistics-file={tmp_path}/all.npz"])
+        assert status == 0
+
+    def test_log_prior_from_mixture_set(self, corpus_with_features, tmp_path):
+        _t, cfg = corpus_with_features
+        from rasr_tpu.mm.mixture_set import MixtureSet
+        ms = MixtureSet.single_gaussian(np.zeros((3, 4)), np.ones((3, 4)))
+        ms.write_pms(str(tmp_path / "m.pms"))
+        status = nn_main([
+            f"--config={cfg}", "--*.action=get-log-prior-from-mixture-set",
+            f"--*.trainer.mixture-set-file={tmp_path}/m.pms",
+            f"--*.trainer.prior-file={tmp_path}/mp.xml"])
+        assert status == 0
+        from rasr_tpu.math.matrix_io import read_vector
+        priors = read_vector(f"xml:{tmp_path}/mp.xml")
+        np.testing.assert_allclose(np.exp(priors), 1.0 / 3, atol=1e-5)
+
+    def test_estimate_mean_and_std(self, corpus_with_features):
+        tmp_path, cfg = corpus_with_features
+        status = nn_main([
+            f"--config={cfg}",
+            "--*.action=estimate-mean-and-standard-deviation",
+            f"--*.trainer.mean-file={tmp_path}/nm.xml",
+            f"--*.trainer.standard-deviation-file={tmp_path}/ns.xml"])
+        assert status == 0
+        from rasr_tpu.math.matrix_io import read_vector
+        mean = read_vector(f"xml:{tmp_path}/nm.xml")
+        std = read_vector(f"xml:{tmp_path}/ns.xml")
+        assert mean.shape == (8,) and std.shape == (8,)
+        assert (std > 0).all()
+
+    def test_init_network_alias(self, corpus_with_features):
+        tmp_path, cfg = corpus_with_features
+        status = nn_main([f"--config={cfg}", "--*.action=init-network",
+                          f"--*.trainer.checkpoint={tmp_path}/init.msgpack"])
+        assert status == 0
+        assert (tmp_path / "init.msgpack").exists()
