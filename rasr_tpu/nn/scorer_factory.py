@@ -76,6 +76,94 @@ def _encoder_only_from_config(config: Configuration) -> EncoderOnlyLabelScorer:
     return EncoderOnlyLabelScorer(encode, n_labels=vocab)
 
 
+class AedPrefixScorer:
+    """Autoregressive score_fn for the label-synchronous searches, built
+    entirely from [model] config (reference: encoder-decoder label
+    scorers constructed by Nn::Module from config,
+    src/Nn/Module.cc:132-218).
+
+    Contract (search/lexiconfree_labelsync.py): __call__(histories
+    (B, L) int32 with BOS) -> (B, V) negative log-probs of the next
+    label.  The searches call set_features(features) from
+    put_features(), which runs the encoder once per segment."""
+
+    def __init__(self, model, params):
+        import jax
+        import jax.numpy as jnp
+        self.model = model
+        self.params = params
+        self.n_labels = model.vocab_size
+        self._enc = None
+        self._enc_mask = None
+
+        self._encode = jax.jit(
+            lambda f, l: model.apply({"params": params}, f, l,
+                                     method=model.encode))
+
+        @jax.jit
+        def prefix_scores(enc, enc_mask, histories):
+            logits = model.apply({"params": params}, enc, enc_mask,
+                                 histories, method=model.decode)
+            return -jax.nn.log_softmax(
+                logits[:, -1].astype(jnp.float32), -1)
+
+        self._scores = prefix_scores
+        self._jnp = jnp
+
+    def set_features(self, features: np.ndarray) -> None:
+        jnp = self._jnp
+        feats = jnp.asarray(np.asarray(features, np.float32))[None]
+        lens = jnp.asarray([feats.shape[1]], "int32")
+        self._enc, self._enc_mask = self._encode(feats, lens)
+
+    def __call__(self, histories: np.ndarray) -> np.ndarray:
+        if self._enc is None:
+            raise RuntimeError("AedPrefixScorer: set_features not called "
+                               "(searches call it from put_features)")
+        jnp = self._jnp
+        n = histories.shape[0]
+        enc = jnp.repeat(self._enc, n, axis=0)
+        mask = jnp.repeat(self._enc_mask, n, axis=0)
+        return np.asarray(self._scores(enc, mask,
+                                       jnp.asarray(histories)))
+
+
+def aed_prefix_scorer_from_config(config: Configuration
+                                  ) -> "AedPrefixScorer":
+    """AedModel + checkpoint from [model]: type=aed, checkpoint,
+    vocab-size, d-model, encoder-layers, decoder-layers, n-heads,
+    feature-dim."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..models.aed import AedModel
+    from .checkpoint import load_params
+    mc = config.sub("model")
+    ckpt = mc.get("checkpoint")
+    vocab = int(mc.get("vocab-size") or 0)
+    if not (ckpt and vocab):
+        raise ValueError("model.checkpoint and model.vocab-size required "
+                         "for the AED label-sync scorer")
+    model = AedModel(
+        vocab_size=vocab,
+        d_model=int(mc.get("d-model") or 256),
+        encoder_layers=int(mc.get("encoder-layers")
+                           or mc.get("n-layers") or 12),
+        decoder_layers=int(mc.get("decoder-layers") or 4),
+        n_heads=int(mc.get("n-heads") or 4),
+        dtype=jnp.float32 if (mc.get("dtype") or "") == "float32"
+        else jnp.bfloat16)
+    dim = int(mc.get("feature-dim") or 80)
+    template = model.init(jax.random.PRNGKey(0),
+                          jnp.zeros((1, 8, dim)), jnp.asarray([8]),
+                          jnp.zeros((1, 4), jnp.int32))["params"]
+    params, _ = load_params(ckpt, template)
+    params = jax.tree_util.tree_map(
+        lambda x: jnp.asarray(x, jnp.float32)
+        if np.asarray(x).dtype == np.float16 else x, params)
+    return AedPrefixScorer(model, params)
+
+
 def label_scorer_from_config(config: Configuration,
                              selector: str = "label-scorer"):
     """Build the configured scorer; `config` is the tool/root config (the

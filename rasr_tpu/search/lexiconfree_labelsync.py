@@ -65,6 +65,10 @@ class LexiconfreeLabelsyncBeamSearch:
 
     def put_features(self, features: np.ndarray) -> None:
         self._features = np.asarray(features, dtype=np.float32)
+        # config-built scorers (nn.scorer_factory.AedPrefixScorer) run
+        # their encoder once per segment from here
+        if hasattr(self.score_fn, "set_features"):
+            self.score_fn.set_features(self._features)
 
     def finish_segment(self) -> None:
         self.decode_all()

@@ -231,6 +231,14 @@ def create_search_algorithm(config: Configuration, model_combination):
                                   model_combination.lexicon)
         return LinearSearch(am)
 
+    # label-sync searches can build their autoregressive score_fn from
+    # [model] alone, so they come before the label-scorer requirement
+    if search_type in ("lexiconfree-labelsync-beam-search",
+                       "lexiconfree-labelsync",
+                       "tree-labelsync-beam-search", "tree-labelsync"):
+        return _labelsync_search(config, model_combination, scorer,
+                                 search_type, sa, beam, we_beam, thr, lm)
+
     if scorer is None:
         raise ValueError("a label scorer is required (configure "
                          "[label-scorer] or pass one programmatically)")
@@ -254,10 +262,15 @@ def create_search_algorithm(config: Configuration, model_combination):
             lm_lookahead=(sa.get("lm-lookahead") or "").lower()
             in ("true", "yes", "1"))
 
+    raise ValueError(f"unknown search-algorithm.type {search_type!r}")
+
+
+def _labelsync_search(config, model_combination, scorer, search_type,
+                      sa, beam, we_beam, thr, lm):
+    score_fn, n_labels = _labelsync_score_fn(config, scorer)
     if search_type in ("lexiconfree-labelsync-beam-search",
                        "lexiconfree-labelsync"):
         from .lexiconfree_labelsync import LexiconfreeLabelsyncBeamSearch
-        score_fn, n_labels = _labelsync_score_fn(config, scorer)
         return LexiconfreeLabelsyncBeamSearch(
             score_fn, n_labels,
             sentence_end_index=int(sa.get("sentence-end-index") or 0),
@@ -265,33 +278,38 @@ def create_search_algorithm(config: Configuration, model_combination):
             max_labels=int(sa.get("max-labels") or 200),
             length_norm_scale=float(sa.get("length-norm-scale") or 1.0),
             score_threshold=thr)
-
-    if search_type in ("tree-labelsync-beam-search", "tree-labelsync"):
-        from .tree_labelsync import TreeLabelsyncBeamSearch
-        score_fn, n_labels = _labelsync_score_fn(config, scorer)
-        return TreeLabelsyncBeamSearch(
-            score_fn, model_combination.lexicon,
-            lm=lm.lm if lm else None,
-            lm_scale=lm.scale if lm else 1.0,
-            sentence_end_index=int(sa.get("sentence-end-index") or 0),
-            beam_size=beam, word_end_beam_size=we_beam,
-            length_norm_scale=float(sa.get("length-norm-scale") or 1.0))
-
-    raise ValueError(f"unknown search-algorithm.type {search_type!r}")
+    from .tree_labelsync import TreeLabelsyncBeamSearch
+    return TreeLabelsyncBeamSearch(
+        score_fn, model_combination.lexicon,
+        lm=lm.lm if lm else None,
+        lm_scale=lm.scale if lm else 1.0,
+        sentence_end_index=int(sa.get("sentence-end-index") or 0),
+        beam_size=beam, word_end_beam_size=we_beam,
+        length_norm_scale=float(sa.get("length-norm-scale") or 1.0))
 
 
 def _labelsync_score_fn(config: Configuration, scorer):
     """Label-synchronous searches need an autoregressive
-    score_fn(label_prefix_batch) -> (B, V) scores; an AED/transducer
-    decoder provides it (models from [model] config) — or the caller
-    passes a callable instead of a LabelScorer."""
+    score_fn(label_prefix_batch) -> (B, V) scores.  Three sources, in
+    order: a callable passed programmatically; an AedPrefixScorer built
+    from [model] config (type=aed + checkpoint + dims — the reference
+    builds encoder-decoder scorers entirely from config,
+    src/Nn/Module.cc:132-218); otherwise an error naming both options."""
     if callable(scorer) and not hasattr(scorer, "score_batch"):
-        n = int(config.sub("search-algorithm").get("n-labels") or 0)
+        n = int(config.sub("search-algorithm").get("n-labels") or 0) \
+            or getattr(scorer, "n_labels", 0)
         if not n:
             raise ValueError("search-algorithm.n-labels required when "
                              "passing a raw score_fn")
         return scorer, n
+    model_type = (config.sub("model").get("type") or "").lower()
+    if model_type in ("aed", "attention", "encoder-decoder") \
+            or (not model_type and config.sub("model").get("checkpoint")):
+        from ..nn.scorer_factory import aed_prefix_scorer_from_config
+        fn = aed_prefix_scorer_from_config(config)
+        return fn, fn.n_labels
     raise ValueError(
         "label-synchronous searches need an autoregressive decoder "
-        "score_fn; pass one programmatically (AED/transducer decoders: "
+        "score_fn: configure [model] type=aed with a checkpoint, or pass "
+        "a callable programmatically (AED/transducer decoders: "
         "rasr_tpu.search.aed_cached / transducer_cached)")

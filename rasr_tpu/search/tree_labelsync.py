@@ -72,6 +72,18 @@ class TreeLabelsyncBeamSearch:
             lm_history=self.lm.initial_history() if self.lm else ())
         self._beam: List[TreeLabelsyncHypothesis] = [h0]
 
+    # -- SearchAlgorithmV2 segment api (recognizer/librasr drivers) -----------
+
+    def put_features(self, features: np.ndarray) -> None:
+        feats = np.asarray(features, dtype=np.float32)
+        # config-built scorers (nn.scorer_factory.AedPrefixScorer) run
+        # their encoder once per segment from here
+        if hasattr(self.score_fn, "set_features"):
+            self.score_fn.set_features(feats)
+
+    def finish_segment(self) -> None:
+        self.decode_all()
+
     def _lm_score(self, history, lemma_id) -> Tuple[float, tuple]:
         if self.lm is None:
             return 0.0, history
