@@ -386,6 +386,39 @@ class WordConditionedTreeSearch:
                 self._native = None
         self.reset()
 
+    def set_language_model(self, lm, lm_scale: Optional[float] = None
+                           ) -> None:
+        """Swap the LM for the next segment (reference setGrammar:
+        grammar-constrained recognition swaps a per-segment grammar FSA
+        in, src/Speech/Recognizer.cc:330-397).  Dense word-end scoring
+        and LM lookahead re-enable automatically when the new LM
+        supports them (score_dense/token_id); grammar FSA LMs take the
+        exact scalar path."""
+        self.lm = lm
+        if lm_scale is not None:
+            self.lm_scale = lm_scale
+        self._lm_dense_ok = (lm is not None and hasattr(lm, "score_dense")
+                             and hasattr(lm, "token_id"))
+        if self._lm_dense_ok:
+            from collections import OrderedDict
+            self._dense_cache = OrderedDict()
+            self._dense_cache_cap = 128
+            tid = lm.token_id
+            toks = []
+            for l in self.am.lexicon.lemmas:
+                st = l.syntactic_tokens
+                if not st:
+                    toks.append(-1)
+                elif len(st) == 1 and tid(st[0]) >= 0:
+                    toks.append(tid(st[0]))
+                else:
+                    toks.append(-2)
+            self._lemma_token = np.asarray(toks, np.int64)
+        # lookahead tables are LM-specific; drop them (a grammar swap
+        # rarely benefits — the constrained space is tiny)
+        self._lmla = None
+        self.reset()
+
     def reset(self) -> None:
         if not hasattr(self, "statistics"):
             from .statistics import SearchSpaceStatistics

@@ -262,6 +262,21 @@ class TreeTimesyncBeamSearch:
 
     # -- segment control ------------------------------------------------------
 
+    def set_language_model(self, lm, lm_scale: Optional[float] = None
+                           ) -> None:
+        """Swap the LM for the next segment (reference setGrammar —
+        grammar-constrained recognition, src/Speech/Recognizer.cc:330);
+        the lookahead table cache is LM-specific and is rebuilt only
+        when one was configured and the new LM supports it."""
+        self.lm = lm
+        if lm_scale is not None:
+            self.lm_scale = lm_scale
+        self.lookahead = (LmLookahead(self.tree, lm, self.lm_scale,
+                                      self.lexicon)
+                          if (self.lookahead is not None and lm is not None
+                              and hasattr(lm, "score_batch")) else None)
+        self.enter_segment()
+
     def enter_segment(self) -> None:
         self.scorer.reset()
         h0 = TreeHypothesis(
