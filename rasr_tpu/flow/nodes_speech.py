@@ -777,14 +777,14 @@ class _AccuracyRescorerNode(_SpeechNode):
     in_ports = ("", "reference")
     out_datatype = LATTICE_DT
 
-    def _accuracies(self, lat, ref_stream):
+    def _accuracies(self, lat, ref_stream, inputs=None):
         raise NotImplementedError
 
     def apply(self, inputs):
         import copy
         s = inputs[""]
         lat = copy.deepcopy(s.data)
-        acc = self._accuracies(lat, inputs.get("reference"))
+        acc = self._accuracies(lat, inputs.get("reference"), inputs)
         for si in range(lat.n_states):
             for ai, a in enumerate(lat.arcs[si]):
                 a.am_score = float(acc.get((si, ai), 0.0))
@@ -799,25 +799,39 @@ class ApproximatePhoneAccuracyNode(_AccuracyRescorerNode):
     (data: list of (word, start_frame, end_frame))."""
     filter_name = "lattice-approximate-phone-accuracy"
 
-    def _accuracies(self, lat, ref_stream):
+    def _accuracies(self, lat, ref_stream, inputs=None):
         from ..nn.sequence_training import povey_arc_accuracies
         return povey_arc_accuracies(lat, list(ref_stream.data))
 
 
 @register
 class FramePhoneAccuracyNode(_AccuracyRescorerNode):
-    """lattice-frame-phone-accuracy: frame-level state-match accuracies
-    (sMBR) against a numerator alignment on the `reference` port; arc
-    state paths from stream meta `arc_alignments` when available, else
-    each arc counts frames whose aligned word id equals the arc word."""
+    """lattice-frame-phone-accuracy: allophone-STATE-level frame-match
+    accuracies (sMBR) against a numerator alignment on the `reference`
+    port (reference src/Lattice/Accuracy.cc computes state-level frame
+    accuracies).  Arc state paths come from stream meta
+    `arc_alignments` when present; otherwise they are Viterbi-aligned
+    on the fly from the `features` port + the node's mixture-set /
+    state-map configuration (the _ArcRescorerBase plumbing).  Only when
+    NEITHER source exists does the node fall back to word-granular
+    frame counting (documented coarse approximation)."""
     filter_name = "lattice-frame-phone-accuracy"
+    in_ports = ("", "reference", "features")
 
-    def _accuracies(self, lat, ref_stream):
+    def _accuracies(self, lat, ref_stream, inputs=None):
         ali = np.asarray(ref_stream.data)
         arc_alis = (ref_stream.meta or {}).get("arc_alignments")
+        if arc_alis is None and inputs is not None \
+                and inputs.get("features") is not None \
+                and (self.attrs.get("_arc_states")
+                     or self.attr("state-map", "")):
+            arc_alis = _generate_arc_alignments(self, lat,
+                                                inputs["features"])
         if arc_alis is not None:
             from ..nn.sequence_training import frame_accuracies
             return frame_accuracies(ali, lat, arc_alis)
+        # word-granular fallback: counts frames whose aligned WORD id
+        # matches (coarser than the reference's state accuracies)
         out = {}
         for si in range(lat.n_states):
             t0 = lat.boundaries[si]
@@ -835,21 +849,23 @@ class SoftFramePhoneAccuracyNode(FramePhoneAccuracyNode):
     `frame_weights`; uniform when absent)."""
     filter_name = "lattice-soft-frame-phone-accuracy"
 
-    def _accuracies(self, lat, ref_stream):
-        acc = super()._accuracies(lat, ref_stream)
+    def _accuracies(self, lat, ref_stream, inputs=None):
+        acc = super()._accuracies(lat, ref_stream, inputs)
         w = (ref_stream.meta or {}).get("frame_weights")
         if w is None:
             return acc
-        ali = np.asarray(ref_stream.data)
+        # scale each arc's accuracy by the mean reference frame weight
+        # over its span (soft frame weighting on top of the exact
+        # state-level accuracies)
         w = np.asarray(w, np.float64)
         out = {}
         for si in range(lat.n_states):
             t0 = lat.boundaries[si]
             for ai, a in enumerate(lat.arcs[si]):
                 t1 = lat.boundaries[a.target]
-                seg = ali[t0:t1]
-                out[(si, ai)] = float(np.sum(
-                    (seg == a.word) * w[t0:t1][:len(seg)]))
+                span = w[t0:t1]
+                mean_w = float(span.mean()) if len(span) else 1.0
+                out[(si, ai)] = acc.get((si, ai), 0.0) * mean_w
         return out
 
 
@@ -859,8 +875,8 @@ class WeightedFramePhoneAccuracyNode(SoftFramePhoneAccuracyNode):
     scaled by attr `weight` (WeightedFramePhoneAccuracyLatticeRescorer)."""
     filter_name = "lattice-weighted-frame-phone-accuracy"
 
-    def _accuracies(self, lat, ref_stream):
-        acc = super()._accuracies(lat, ref_stream)
+    def _accuracies(self, lat, ref_stream, inputs=None):
+        acc = super()._accuracies(lat, ref_stream, inputs)
         w = self.attr("weight", 1.0, float)
         return {k: v * w for k, v in acc.items()}
 
@@ -1045,6 +1061,49 @@ class _ArcRescorerBase(_SpeechNode):
     def _frame_scores(self, feat_stream) -> np.ndarray:
         return np.asarray(self._scorer().score(
             np.asarray(feat_stream.data, np.float32)))
+
+
+def _generate_arc_alignments(node, lat, feat_stream):
+    """Viterbi-align every arc's word-state sequence over its frame span
+    (the SegmentwiseAlignmentGenerator the aligner stack uses), giving
+    FramePhoneAccuracyNode exact state-level paths when the lattice
+    carries none.  `node` supplies the same attrs _ArcRescorerBase
+    reads (mixture-set / state-map / programmatic hooks)."""
+    scorer = node.attrs.get("_scorer")
+    if scorer is None:
+        path = node.attr("mixture-set.file", node.attr("file", ""))
+        scorer = _ArcRescorerBase._scorer_cache.get(path)
+        if scorer is None:
+            from ..mm.mixture_set import MixtureSet
+            from ..mm.scorer import GmmScorer
+            scorer = GmmScorer(MixtureSet.read_pms(path))
+            _ArcRescorerBase._scorer_cache[path] = scorer
+    states_fn = node.attrs.get("_arc_states")
+    if states_fn is None:
+        map_path = node.attr("state-map", "")
+        table = _ArcRescorerBase._map_cache.get(map_path)
+        if table is None:
+            table = {}
+            for line in open(map_path):
+                parts = line.split()
+                if len(parts) >= 2:
+                    table[int(parts[0])] = [int(v) for v in parts[1:]]
+            _ArcRescorerBase._map_cache[map_path] = table
+        states_fn = lambda w: table.get(w, [0])  # noqa: E731
+    scores = np.asarray(scorer.score(
+        np.asarray(feat_stream.data, np.float32)))
+    out = {}
+    for src_state in range(lat.n_states):
+        t0 = lat.boundaries[src_state]
+        for ai, a in enumerate(lat.arcs[src_state]):
+            t1 = lat.boundaries[a.target]
+            span = scores[t0:t1]
+            if len(span) == 0:
+                out[(src_state, ai)] = []
+                continue
+            _, path = _viterbi_span(span, states_fn(a.word))
+            out[(src_state, ai)] = path.tolist()
+    return out
 
 
 @register

@@ -322,3 +322,48 @@ def test_alignment_acoustic_rescoring(lat):
     out = node.apply({"": S(lat), "features": feats,
                       "alignment": S(ali)})[""].data
     assert np.isclose(out.arcs[0][0].am_score, 1.25)  # 5 x 0.25
+
+
+def test_frame_phone_accuracy_state_level(lat):
+    """VERDICT r2 item 8: state-level frame accuracies via on-the-fly
+    per-arc Viterbi when the lattice carries no arc alignments — parity
+    against a brute-force state-accuracy computation (reference
+    src/Lattice/Accuracy.cc computes allophone-state-level matches)."""
+    from rasr_tpu.flow.nodes_speech import _viterbi_span
+
+    # 4 emission classes; word 1 = states [0, 1], word 2 = states [2, 3]
+    state_map = {1: [0, 1], 2: [2, 3]}
+    true_track = [0] * 3 + [1] * 2 + [2] * 2 + [3] * 3   # T = 10
+    T, S_emis = 10, 4
+    rng = np.random.default_rng(0)
+    scores = rng.normal(4.0, 0.2, size=(T, S_emis)).astype(np.float32)
+    for t, c in enumerate(true_track):
+        scores[t, c] = 0.5
+
+    class FakeScorer:
+        def score(self, feats):
+            return scores
+
+    ali = np.asarray(true_track)   # numerator state alignment
+    node = Registry["lattice-frame-phone-accuracy"](
+        "f", {"_scorer": FakeScorer(), "_arc_states": lambda w: state_map[w]})
+    feats = np.zeros((T, 3), np.float32)   # content unused by FakeScorer
+    out = node.apply({"": S(lat), "reference": S(ali),
+                      "features": S(feats)})[""].data
+
+    # brute force per arc: Viterbi the word's state sequence over the
+    # span, count frames matching the numerator alignment
+    for src in range(lat.n_states):
+        t0 = lat.boundaries[src]
+        for ai, a in enumerate(lat.arcs[src]):
+            t1 = lat.boundaries[a.target]
+            _, path = _viterbi_span(scores[t0:t1], state_map[a.word])
+            want = float(np.sum(path == ali[t0:t1]))
+            assert np.isclose(out.arcs[src][ai].am_score, want), \
+                (src, ai, a.word)
+    # the correct-path arcs achieve full state-level accuracy ...
+    assert np.isclose(out.arcs[0][0].am_score, 5.0)
+    assert np.isclose(out.arcs[1][0].am_score, 5.0)
+    # ... and the wrong word-1 arc scores strictly below (its states
+    # never match the numerator's classes 0/1 on frames 0-4)
+    assert out.arcs[0][1].am_score < 5.0
