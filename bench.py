@@ -132,7 +132,14 @@ def setup(quant: str = ""):
     if quant == "int8":
         from rasr_tpu.models.quantized import (quantize_params,
                                                quantized_ctc_forward)
-        params = quantize_params(params, model.n_layers)
+        # static activation scales (scripts/calibrate_int8.py): removes
+        # the per-token abs-max reduction from every int8 projection
+        act = None
+        scales_path = os.path.join(ASSET_DIR, "int8_scales.json")
+        if os.path.exists(scales_path):
+            with open(scales_path) as fh:
+                act = json.load(fh)
+        params = quantize_params(params, model.n_layers, act_scales=act)
 
     pipe = MfccPipeline(sample_rate=SAMPLE_RATE, filter_width=70.0)
     N = int(SECONDS * SAMPLE_RATE)

@@ -6,7 +6,11 @@ GLU halves and pointwise2, and the CTC head — as int8 x int8 -> int32
 MXU matmuls (2x the bf16 GEMM rate on TPU v5e), with
 
   * weights   per-output-channel scales, quantized once at load time,
-  * activations dynamic per-row (token) scales, quantized in-graph,
+  * activations dynamic per-row (token) scales quantized in-graph, OR
+    static per-site scales calibrated offline (calibrate_activation_
+    scales + freeze): the static path removes the per-token abs-max
+    reduction from every projection — quantize becomes one fused
+    scale+round+clip epilogue,
 
 so y = (x_q @ w_q) * s_x * s_w + b.  Everything that carries the
 numerics (layer norms, softmax, residuals, depthwise conv, subsampling)
@@ -33,27 +37,45 @@ from .tp_conformer import _layer_norm, split_pointwise1
 
 _EPS = 1e-8
 
+#: when set (a dict), eager int8_matmul calls record per-site max |x|
+#: into it instead of being used for real inference — the calibration
+#: mode behind calibrate_activation_scales()
+_CALIBRATION = None
+
 
 # ---------------------------------------------------------------------------
 # quantized primitive
 # ---------------------------------------------------------------------------
 
-def quantize_weight(w: jnp.ndarray) -> dict:
-    """Symmetric per-output-channel int8: w (D, N) -> int8 + (N,) scales."""
+def quantize_weight(w: jnp.ndarray, name: str = "") -> dict:
+    """Symmetric per-output-channel int8: w (D, N) -> int8 + (N,) scales.
+    `name` keys the site for static activation-scale calibration."""
     w = jnp.asarray(w, jnp.float32)
     s = jnp.maximum(jnp.max(jnp.abs(w), axis=0), _EPS) / 127.0
     q = jnp.clip(jnp.round(w / s), -127, 127).astype(jnp.int8)
-    return {"q": q, "scale": s}
+    return {"q": q, "scale": s, "name": name}
 
 
 def int8_matmul(x: jnp.ndarray, wq: dict, bias=None,
                 out_dtype=jnp.bfloat16) -> jnp.ndarray:
-    """x (..., D) float -> (..., N): dynamic per-row activation
-    quantization + int8 MXU GEMM + float rescale."""
+    """x (..., D) float -> (..., N): activation quantization (static
+    per-site scale when calibrated, else dynamic per-row) + int8 MXU
+    GEMM + float rescale."""
     x = x.astype(jnp.float32)
-    s_x = jnp.maximum(jnp.max(jnp.abs(x), axis=-1, keepdims=True),
-                      _EPS) / 127.0
-    xq = jnp.clip(jnp.round(x / s_x), -127, 127).astype(jnp.int8)
+    if _CALIBRATION is not None and wq.get("name"):
+        m = float(jnp.max(jnp.abs(x)))
+        k = wq["name"]
+        _CALIBRATION[k] = max(_CALIBRATION.get(k, 0.0), m)
+    act = wq.get("act_scale")
+    if act is not None:
+        # static scale: no per-token reduction, one fused epilogue
+        s_x = jnp.float32(act)
+        xq = jnp.clip(jnp.round(x * (1.0 / s_x)),
+                      -127, 127).astype(jnp.int8)
+    else:
+        s_x = jnp.maximum(jnp.max(jnp.abs(x), axis=-1, keepdims=True),
+                          _EPS) / 127.0
+        xq = jnp.clip(jnp.round(x / s_x), -127, 127).astype(jnp.int8)
     acc = jax.lax.dot_general(
         xq, wq["q"], (((x.ndim - 1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32)
@@ -67,7 +89,7 @@ def int8_matmul(x: jnp.ndarray, wq: dict, bias=None,
 # parameter preparation
 # ---------------------------------------------------------------------------
 
-def _quantize_block(blk: Any) -> Any:
+def _quantize_block(blk: Any, prefix: str = "") -> Any:
     """One ConformerBlock subtree -> quantized-projection subtree (layer
     norms / biases / depthwise conv kept float)."""
     blk = split_pointwise1(unbox(blk))
@@ -75,9 +97,11 @@ def _quantize_block(blk: Any) -> Any:
            "final_ln": blk["final_ln"]}
     for ff in ("ff1", "ff2"):
         out[ff] = {"ln": blk[ff]["ln"],
-                   "wi": {"w": quantize_weight(blk[ff]["wi"]["kernel"]),
+                   "wi": {"w": quantize_weight(blk[ff]["wi"]["kernel"],
+                                               f"{prefix}/{ff}/wi"),
                           "b": blk[ff]["wi"]["bias"]},
-                   "wo": {"w": quantize_weight(blk[ff]["wo"]["kernel"]),
+                   "wo": {"w": quantize_weight(blk[ff]["wo"]["kernel"],
+                                               f"{prefix}/{ff}/wo"),
                           "b": blk[ff]["wo"]["bias"]}}
     a = blk["mhsa"]["attn"]
     D = a["query"]["kernel"].shape[0]
@@ -85,35 +109,95 @@ def _quantize_block(blk: Any) -> Any:
     mh = {"ln": blk["mhsa"]["ln"]}
     for name in ("query", "key", "value"):
         mh[name] = {"w": quantize_weight(
-            a[name]["kernel"].reshape(D, H * Dh)),
+            a[name]["kernel"].reshape(D, H * Dh),
+            f"{prefix}/mhsa/{name}"),
             "b": a[name]["bias"].reshape(H * Dh)}
     mh["out"] = {"w": quantize_weight(
-        a["out"]["kernel"].reshape(H * Dh, D)), "b": a["out"]["bias"]}
+        a["out"]["kernel"].reshape(H * Dh, D), f"{prefix}/mhsa/out"),
+        "b": a["out"]["bias"]}
     out["mhsa"] = mh
     c = blk["conv"]
     out["conv"] = {"ln": c["ln"], "norm": c["norm"],
                    "depthwise": c["depthwise"],
-                   "pw1a": {"w": quantize_weight(c["pw1a"]["kernel"]),
+                   "pw1a": {"w": quantize_weight(c["pw1a"]["kernel"],
+                                                 f"{prefix}/conv/pw1a"),
                             "b": c["pw1a"]["bias"]},
-                   "pw1b": {"w": quantize_weight(c["pw1b"]["kernel"]),
+                   "pw1b": {"w": quantize_weight(c["pw1b"]["kernel"],
+                                                 f"{prefix}/conv/pw1b"),
                             "b": c["pw1b"]["bias"]},
                    "pointwise2": {"w": quantize_weight(
-                       c["pointwise2"]["kernel"]),
+                       c["pointwise2"]["kernel"],
+                       f"{prefix}/conv/pointwise2"),
                        "b": c["pointwise2"]["bias"]}}
     return out
 
 
-def quantize_params(params: Any, n_layers: int) -> Any:
+def quantize_params(params: Any, n_layers: int,
+                    act_scales: Any = None,
+                    keep_names: bool = False) -> Any:
     """Full ConformerCtc param tree -> quantized inference tree
-    (subsampling kept float; blocks + CTC head quantized)."""
+    (subsampling kept float; blocks + CTC head quantized).  act_scales:
+    optional {site name: max |x|} from calibrate_activation_scales —
+    when given, every projection gets a static activation scale.
+    Site-name strings are stripped afterwards (a jit argument tree may
+    not contain strings); keep_names=True retains them for eager
+    calibration runs."""
     params = unbox(params)
     enc = params["encoder"]
     qp = {"subsample": enc["subsample"],
-          "blocks": [_quantize_block(enc[f"block{i}"])
+          "blocks": [_quantize_block(enc[f"block{i}"], f"block{i}")
                      for i in range(n_layers)],
-          "ctc_head": {"w": quantize_weight(params["ctc_head"]["kernel"]),
+          "ctc_head": {"w": quantize_weight(params["ctc_head"]["kernel"],
+                                            "ctc_head"),
                        "b": params["ctc_head"]["bias"]}}
+    if act_scales:
+        _apply_act_scales(qp, act_scales)
+    if not keep_names:
+        def strip(node):
+            if isinstance(node, dict):
+                node.pop("name", None)
+                for v in node.values():
+                    strip(v)
+            elif isinstance(node, list):
+                for v in node:
+                    strip(v)
+        strip(qp)
     return qp
+
+
+def _apply_act_scales(qp: Any, act_scales: dict) -> None:
+    """Attach act_scale = calibrated max / 127 to every named site."""
+    def walk(node):
+        if isinstance(node, dict):
+            if "q" in node and "name" in node:
+                m = act_scales.get(node["name"])
+                if m is not None:
+                    node["act_scale"] = max(float(m), _EPS) / 127.0
+                return
+            for v in node.values():
+                walk(v)
+        elif isinstance(node, list):
+            for v in node:
+                walk(v)
+    walk(qp)
+
+
+def calibrate_activation_scales(model: ConformerCtc, qparams: Any,
+                                features, lengths) -> dict:
+    """Run ONE eager (non-jit) quantized forward recording per-site
+    max |x| at every int8 projection input; returns {site: max}.
+    Static scales trade the per-token abs-max reduction for a fixed
+    clipping range — the bench's WER gate verifies the trade."""
+    global _CALIBRATION
+    import numpy as _np
+    _CALIBRATION = {}
+    try:
+        quantized_ctc_forward(model, qparams,
+                              jnp.asarray(_np.asarray(features)),
+                              jnp.asarray(_np.asarray(lengths)))
+        return dict(_CALIBRATION)
+    finally:
+        _CALIBRATION = None
 
 
 # ---------------------------------------------------------------------------

@@ -24,6 +24,34 @@ def test_int8_matmul_accuracy():
     assert err.max() / scale < 0.02  # ~1% of dynamic range
 
 
+def test_static_activation_scales_roundtrip():
+    """calibrate -> apply -> jitted forward with static scales tracks the
+    dynamic-scale forward (same trade bench.py's WER gate verifies)."""
+    from rasr_tpu.models.quantized import calibrate_activation_scales
+
+    model = ConformerCtc(vocab_size=32, d_model=16, n_layers=2, n_heads=2,
+                         conv_kernel=5, dtype=jnp.float32)
+    B, T, D = 2, 24, 8
+    feats = jax.random.normal(jax.random.PRNGKey(0), (B, T, D))
+    lens = jnp.asarray([24, 18], jnp.int32)
+    params = unbox(model.init(jax.random.PRNGKey(1), feats, lens)["params"])
+
+    qp_cal = quantize_params(params, model.n_layers, keep_names=True)
+    scales = calibrate_activation_scales(model, qp_cal, feats, lens)
+    assert len(scales) == 2 * 11 + 1  # 11 projections/block + ctc head
+    assert all(v > 0 for v in scales.values())
+
+    qp_dyn = quantize_params(params, model.n_layers)
+    qp_stat = quantize_params(params, model.n_layers, act_scales=scales)
+    fwd = jax.jit(lambda qp, f, l: quantized_ctc_forward(model, qp, f, l))
+    dyn_logits, _ = fwd(qp_dyn, feats, lens)
+    stat_logits, _ = fwd(qp_stat, feats, lens)
+    dyn, stat = np.asarray(dyn_logits), np.asarray(stat_logits)
+    assert np.abs(stat - dyn).max() / np.abs(dyn).max() < 0.1
+    agree = (stat.argmax(-1) == dyn.argmax(-1)).mean()
+    assert agree > 0.9
+
+
 def test_quantized_forward_tracks_float():
     model = ConformerCtc(vocab_size=32, d_model=16, n_layers=2, n_heads=2,
                          conv_kernel=5, dtype=jnp.float32)
