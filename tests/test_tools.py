@@ -211,3 +211,122 @@ class TestNativeIo:
             w.write("x", np.ones((5, 4), np.float32))
         with open_feature_cache(p) as r:
             assert r.features("x").shape == (5, 4)
+
+
+class TestArchiverModes:
+    """Reference-parity archiver modes + typed show
+    (src/Tools/Archiver/Archiver.cc:41-76)."""
+
+    def _make_archive(self, tmp_path, items):
+        from rasr_tpu.core.archive import FileArchive
+        p = str(tmp_path / "a.cache")
+        with FileArchive(p, "w") as ar:
+            for k, v in items.items():
+                ar.write(k, v)
+        return p
+
+    def test_add_extract_remove(self, tmp_path, capsys):
+        src = tmp_path / "dir" / "sub"
+        src.mkdir(parents=True)
+        (src / "x.txt").write_bytes(b"hello")
+        (tmp_path / "one.bin").write_bytes(b"\x01\x02")
+        p = str(tmp_path / "a.cache")
+        assert archiver_main(["--mode=add", "--quiet", p,
+                              str(tmp_path / "dir"),
+                              str(tmp_path / "one.bin")]) == 0
+        capsys.readouterr()
+        assert archiver_main(["--mode=list", p]) == 0
+        out = capsys.readouterr().out.splitlines()
+        assert out == ["one.bin", "sub/x.txt"]
+        os.chdir(tmp_path)
+        assert archiver_main(["--mode=extract", "--quiet", p,
+                              "sub/x.txt"]) == 0
+        assert (tmp_path / "sub" / "x.txt").read_bytes() == b"hello"
+        assert archiver_main(["--mode=extractAll", "--quiet", p,
+                              str(tmp_path / "all")]) == 0
+        assert (tmp_path / "all" / "one.bin").read_bytes() == b"\x01\x02"
+        assert archiver_main(["--mode=remove", "--quiet", p,
+                              "one.bin"]) == 0
+        capsys.readouterr()
+        archiver_main(["--mode=list", p])
+        assert capsys.readouterr().out.splitlines() == ["sub/x.txt"]
+
+    def test_combine_select_and_overwrite(self, tmp_path, capsys):
+        a = self._make_archive(tmp_path, {"s1": b"A", "s2": b"B"})
+        b = str(tmp_path / "b.cache")
+        from rasr_tpu.core.archive import FileArchive
+        with FileArchive(b, "w") as ar:
+            ar.write("s3", b"C")
+        sel = tmp_path / "sel.txt"
+        sel.write_text("s1\n# comment\ns3\n")
+        dst = str(tmp_path / "dst.cache")
+        assert archiver_main(["--mode=combine", "--quiet",
+                              f"--select={sel}", dst, a, b]) == 0
+        from rasr_tpu.core.archive import open_archive
+        with open_archive(dst) as ar:
+            assert sorted(ar.keys()) == ["s1", "s3"]
+        # keep-first: existing s1 is preserved
+        a2 = self._make_archive(tmp_path, {"s1": b"NEW"})
+        assert archiver_main(["--mode=combine", "--overwrite=no",
+                              "--quiet", dst, a2]) == 0
+        with open_archive(dst) as ar:
+            assert ar.read("s1") == b"A"
+        # replace: overwritten
+        assert archiver_main(["--mode=combine", "--overwrite=replace",
+                              "--quiet", dst, a2]) == 0
+        with open_archive(dst) as ar:
+            assert ar.read("s1") == b"NEW"
+
+    def test_show_align_with_allophones(self, tmp_path, capsys):
+        from rasr_tpu.speech.alignment import Alignment
+        align = Alignment(np.arange(3), np.asarray(
+            [(1 << 6) | 0, (1 << 6) | 1, (2 << 6) | 0]),
+            np.asarray([1.0, 1.0, 0.5], np.float32))
+        p = self._make_archive(tmp_path, {"seg": align.pack()})
+        allo = tmp_path / "allophones.txt"
+        allo.write_text("# header\nsil{#+#}@i@f\na{#+b}@i\nb{a+#}@f\n")
+        lut = tmp_path / "tying.lut"
+        lut.write_text("a{#+b}@i.0 7\na{#+b}@i.1 8\nb{a+#}@f.0 9\n")
+        assert archiver_main(["--mode=show", "--type=align",
+                              f"--allophone-file={allo}",
+                              f"--lut={lut}", p, "seg"]) == 0
+        lines = capsys.readouterr().out.splitlines()
+        assert "allophone=\ta{#+b}@i" in lines[0]
+        assert "tied=\t7" in lines[0]
+        assert "tied=\t8" in lines[1]
+        assert "state=\t1" in lines[1]
+        assert "weight\t= 0.5" in lines[2]
+        # flow-cache type dispatches on the datatype header
+        assert archiver_main(["--mode=show", "--type=flow-cache",
+                              p, "seg"]) == 0
+        assert "emission=" in capsys.readouterr().out
+
+    def test_show_feat_and_matrix(self, tmp_path, capsys):
+        feats = np.asarray([[1.5, -2.0], [0.25, 3.0]], np.float32)
+        data = pack_features(feats, np.asarray([0.0, 0.01]),
+                             np.asarray([0.01, 0.02]))
+        m = struct.pack("<II", 2, 2) + np.asarray(
+            [[1, 2], [3, 4]], "<f4").tobytes()
+        p = self._make_archive(tmp_path, {"seg": data, "mat": m})
+        assert archiver_main(["--mode=show", "--type=feat", p, "seg"]) == 0
+        out = capsys.readouterr().out
+        assert "2 frames x 2 dims" in out
+        assert "0.000 0.010 1.500000 -2.000000" in out
+        assert archiver_main(["--mode=show", "--type=bin-matrix",
+                              p, "mat"]) == 0
+        out = capsys.readouterr().out
+        assert '<matrix-f32 nRows="2" nColumns="2">' in out
+        assert "3.000000 4.000000" in out
+
+    def test_recover_rebuilds_truncated_table(self, tmp_path, capsys):
+        from rasr_tpu.core.archive import open_archive
+        p = self._make_archive(tmp_path, {"k1": b"data1", "k2": b"data2"})
+        # break the finalized-table flag so readers must tag-scan
+        with open(p, "r+b") as fh:
+            fh.seek(8)
+            fh.write(b"\x00")
+            fh.truncate(os.path.getsize(p) - 1)
+        assert archiver_main(["--mode=recover", "--quiet", p]) == 0
+        with open_archive(p) as ar:
+            assert sorted(ar.keys()) == ["k1", "k2"]
+            assert ar.read("k1") == b"data1"
