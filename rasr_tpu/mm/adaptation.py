@@ -224,6 +224,68 @@ class AdaptationTree:
             split(0, speech, n_base_classes)
         self.n_nodes = len(self.left)
 
+    @classmethod
+    def from_partition(cls, mixture_set: MixtureSet,
+                       class_of_mixture: np.ndarray) -> "AdaptationTree":
+        """Regression tree over a GIVEN base-class partition (e.g. the
+        phoneme of each mixture, as derived by mllr-tools'
+        mean-sumfile-estimator from the state tying — the reference
+        derives its tree from the phonetic decision tree,
+        src/Tools/MllrTools/MeanSumfileEstimator.cc:70-76).
+
+        The base classes become the leaves; internal structure is built
+        bottom-up by agglomerative merging of class mean centroids, so
+        phonetically close classes share transforms when data is thin.
+        """
+        class_of_mixture = np.asarray(class_of_mixture)
+        n_mix = mixture_set.n_mixtures
+        if len(class_of_mixture) != n_mix:
+            raise ValueError("class_of_mixture must have one entry per "
+                             f"mixture ({len(class_of_mixture)} != {n_mix})")
+        mean, _, _, mix_of = mixture_set.packed()
+        classes = sorted(set(int(c) for c in class_of_mixture))
+
+        self = cls.__new__(cls)
+        # leaves first: node i = class classes[i]
+        self.left = [-1] * len(classes)
+        self.right = [-1] * len(classes)
+        self.parent = [-1] * len(classes)
+        self.leaf_of_mixture = np.zeros(n_mix, dtype=np.int32)
+        node_of_class = {c: i for i, c in enumerate(classes)}
+        for m in range(n_mix):
+            self.leaf_of_mixture[m] = node_of_class[int(class_of_mixture[m])]
+
+        # class centroids for the merge metric
+        cent = {}
+        for i, c in enumerate(classes):
+            sel = np.isin(mix_of, np.nonzero(class_of_mixture == c)[0])
+            rows = mean[sel]
+            cent[i] = rows.mean(axis=0) if len(rows) else \
+                np.zeros(mixture_set.dim)
+
+        # agglomerative: repeatedly merge the two closest roots
+        roots = list(range(len(classes)))
+        while len(roots) > 1:
+            best, bd = None, None
+            for ai in range(len(roots)):
+                for bi in range(ai + 1, len(roots)):
+                    d = float(np.sum((cent[roots[ai]] - cent[roots[bi]])
+                                     ** 2))
+                    if bd is None or d < bd:
+                        best, bd = (ai, bi), d
+            ai, bi = best
+            a, b = roots[ai], roots[bi]
+            self.left.append(a)
+            self.right.append(b)
+            self.parent.append(-1)
+            new = len(self.left) - 1
+            self.parent[a] = new
+            self.parent[b] = new
+            cent[new] = (cent[a] + cent[b]) / 2.0
+            roots = [r for r in roots if r not in (a, b)] + [new]
+        self.n_nodes = len(self.left)
+        return self
+
     def path_to_root(self, mixture: int) -> List[int]:
         node = int(self.leaf_of_mixture[mixture])
         out = [node]
