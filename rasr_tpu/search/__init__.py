@@ -15,6 +15,8 @@ from .hmm_timesync import HmmPrefixTree, WordConditionedTreeSearch
 from .lexiconfree_labelsync import LexiconfreeLabelsyncBeamSearch
 from .lexiconfree_timesync import (Hypothesis, LexiconfreeTimesyncBeamSearch,
                                    TracebackItem)
+from .mbr import (MinimumBayesRiskAStarSearch,
+                  MinimumBayesRiskNBestListNaiveSearch, nbest_from_fsa)
 from .transducer_beam import TransducerBeamSearch
 from .tree_labelsync import TreeLabelsyncBeamSearch
 from .tree_timesync import LmLookahead, PrefixTree, TreeTimesyncBeamSearch
@@ -27,5 +29,6 @@ __all__ = [
     "LexiconfreeTimesyncBeamSearch", "TracebackItem", "PrefixTree",
     "TreeTimesyncBeamSearch", "TransducerBeamSearch",
     "TreeLabelsyncBeamSearch", "LmLookahead", "WfstDecoder",
-    "build_decoding_graph",
+    "build_decoding_graph", "MinimumBayesRiskAStarSearch",
+    "MinimumBayesRiskNBestListNaiveSearch", "nbest_from_fsa",
 ]
