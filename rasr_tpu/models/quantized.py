@@ -26,6 +26,7 @@ Usage:
 
 from __future__ import annotations
 
+import os
 from typing import Any, Tuple
 
 import jax
@@ -36,6 +37,11 @@ from .pipelined import unbox
 from .tp_conformer import _layer_norm, split_pointwise1
 
 _EPS = 1e-8
+
+#: "xla" = quantize / GEMM / rescale as separate XLA ops; "pallas" = the
+#: fused quantize-into-GEMM kernel (ops/int8_gemm_kernel.py) — one HBM
+#: read of x, one of w_q, one write of y per projection.
+MATMUL_IMPL = os.environ.get("RASR_INT8_IMPL", "xla")
 
 #: when set (a dict), eager int8_matmul calls record per-site max |x|
 #: into it instead of being used for real inference — the calibration
@@ -67,6 +73,15 @@ def int8_matmul(x: jnp.ndarray, wq: dict, bias=None,
         k = wq["name"]
         _CALIBRATION[k] = max(_CALIBRATION.get(k, 0.0), m)
     act = wq.get("act_scale")
+    if MATMUL_IMPL == "pallas" and _CALIBRATION is None:
+        from ..ops.int8_gemm_kernel import int8_quant_matmul, supported_shape
+        K, N = wq["q"].shape
+        M = x.size // K
+        if supported_shape(K, N, M):
+            return int8_quant_matmul(
+                x, wq["q"], wq["scale"], bias=bias,
+                act_scale=(None if act is None else jnp.float32(act)),
+                out_dtype=out_dtype)
     if act is not None:
         # static scale: no per-token reduction, one fused epilogue
         s_x = jnp.float32(act)

@@ -43,6 +43,7 @@ class AsyncChunkedEncoderScorer(LabelScorer):
         self._features: List[np.ndarray] = []
         self._outputs: List[np.ndarray] = []
         self._dispatched = 0
+        self._inflight = 0        # chunks queued but not yet consumed here
         self._queue: "queue.Queue" = queue.Queue()
         self._results: "queue.Queue" = queue.Queue()
         self._segment_end = False
@@ -55,7 +56,11 @@ class AsyncChunkedEncoderScorer(LabelScorer):
             if item is None:
                 return
             chunk_idx, feats, n_new = item
-            out = np.asarray(self._encode(feats))
+            try:
+                out = np.asarray(self._encode(feats))
+            except BaseException as exc:  # re-raised on the host thread
+                self._results.put((chunk_idx, exc))
+                continue
             # keep only outputs for the new (non-history) frames
             self._results.put((chunk_idx, out[-n_new:] if n_new else out))
 
@@ -76,6 +81,7 @@ class AsyncChunkedEncoderScorer(LabelScorer):
             feats = np.stack(self._features[hist:self._dispatched + n_new])
             self._queue.put((self._dispatched, feats, n_new))
             self._dispatched += n_new
+            self._inflight += 1
             if final and remaining <= self.chunk_frames:
                 break
 
@@ -84,16 +90,19 @@ class AsyncChunkedEncoderScorer(LabelScorer):
         self._maybe_dispatch(final=True)
 
     def _drain(self, until_step: int) -> None:
+        """Consume worker results until `until_step` is scored.
+
+        Blocks ONLY while a dispatched chunk is actually in flight — if
+        the step isn't scored and nothing is pending (mid-stream, the
+        next chunk hasn't buffered yet), return immediately so streaming
+        decode loops never stall waiting for data that can't arrive.
+        """
         scored = sum(len(o) for o in self._outputs)
-        while scored <= until_step:
-            if (self._segment_end and self._dispatched >= len(self._features)
-                    and self._results.empty() and self._queue.empty()
-                    and scored >= self._dispatched):
-                break
-            try:
-                idx, out = self._results.get(timeout=5.0)
-            except queue.Empty:
-                break
+        while scored <= until_step and self._inflight > 0:
+            idx, out = self._results.get()
+            self._inflight -= 1
+            if isinstance(out, BaseException):
+                raise out
             self._outputs.append(out)
             scored += len(out)
 

@@ -24,14 +24,28 @@ from ..signal.dsp import MfccPipeline
 
 
 class OnlineRecognizer:
-    """Streaming session: feed_samples() -> partial() -> finish()."""
+    """Streaming session: feed_samples() -> partial() -> finish().
+
+    feature_kind selects the front-end:
+      * "mfcc" (default): the full MfccPipeline incl. DCT, bit-exact with
+        the offline pipeline.
+      * "logmel-cmvn": log-mel filterbank outputs (no DCT) with *causal*
+        running mean/variance normalization — the streaming counterpart
+        of the flagship's segment-CMVN log-mel front-end (running CMVN is
+        the online analogue of the reference's sliding normalization,
+        src/Signal/Normalization.hh:66-69).
+    """
 
     def __init__(self, pipeline: MfccPipeline, search,
-                 lexicon=None, decode_while_streaming: bool = True):
+                 lexicon=None, decode_while_streaming: bool = True,
+                 feature_kind: str = "mfcc"):
+        if feature_kind not in ("mfcc", "logmel-cmvn"):
+            raise ValueError(f"unknown feature_kind {feature_kind!r}")
         self.pipe = pipeline
         self.search = search
         self.lexicon = lexicon
         self.decode_while_streaming = decode_while_streaming
+        self.feature_kind = feature_kind
         self._jitted = {}
         self.start()
 
@@ -40,6 +54,9 @@ class OnlineRecognizer:
     def start(self) -> None:
         self._buffer = np.zeros((0,), dtype=np.float32)
         self._emitted = 0          # full frames already featurized
+        self._cm_sum = 0.0
+        self._cm_sumsq = 0.0
+        self._cm_n = 0.0
         self.search.enter_segment()
 
     # -- incremental features ---------------------------------------------------
@@ -67,7 +84,7 @@ class OnlineRecognizer:
         n_frames = last - first
         key = (len(region), lead, n_frames)
         if key not in self._jitted:
-            pipe = self.pipe
+            pipe, kind = self.pipe, self.feature_kind
 
             def fn(region):
                 x = region.astype(jnp.float32)
@@ -81,10 +98,54 @@ class OnlineRecognizer:
                 amp = dsp.rfft_amplitude(frames, pipe.fft_len,
                                          pipe.fft_scale)
                 fb = dsp.apply_matrix(amp, pipe.mel_matrix)
-                return dsp.apply_matrix(dsp.log10(fb), pipe.dct)
+                if kind == "mfcc":
+                    return dsp.apply_matrix(dsp.log10(fb), pipe.dct)
+                return dsp.log10(jnp.maximum(fb, 1e-6))
 
             self._jitted[key] = jax.jit(fn)
-        return np.asarray(self._jitted[key](jnp.asarray(region)))
+        feats = np.asarray(self._jitted[key](jnp.asarray(region)))
+        if self.feature_kind == "logmel-cmvn":
+            feats = self._running_cmvn(feats)
+        return feats
+
+    def _running_cmvn(self, feats: np.ndarray) -> np.ndarray:
+        """Causal CMVN: frame t is normalized by the statistics of frames
+        [0..t] (streamable; converges to segment CMVN as t grows)."""
+        cs = self._cm_sum + np.cumsum(feats.astype(np.float64), axis=0)
+        cs2 = self._cm_sumsq + np.cumsum(
+            np.square(feats.astype(np.float64)), axis=0)
+        n = self._cm_n + np.arange(1, len(feats) + 1, dtype=np.float64
+                                   )[:, None]
+        mean = cs / n
+        var = np.maximum(cs2 / n - np.square(mean), 0.0)
+        out = (feats - mean) / np.sqrt(var + 1e-6)
+        self._cm_sum = cs[-1]
+        self._cm_sumsq = cs2[-1]
+        self._cm_n = float(n[-1, 0])
+        return out.astype(np.float32)
+
+    def _offline_raw(self) -> np.ndarray:
+        """Un-normalized features for ALL frames of the buffer (incl. the
+        trailing partial frame of the offline framing rule)."""
+        total = self.pipe.n_frames(len(self._buffer))
+        key = ("offline", len(self._buffer))
+        if key not in self._jitted:
+            pipe, kind = self.pipe, self.feature_kind
+
+            def fn(x):
+                y = dsp.preemphasis(x.astype(jnp.float32), pipe.alpha)
+                frames = dsp.frame_signal(y, pipe.length, pipe.shift,
+                                          total)
+                frames = dsp.apply_window(frames, pipe.window_type)
+                amp = dsp.rfft_amplitude(frames, pipe.fft_len,
+                                         pipe.fft_scale)
+                fb = dsp.apply_matrix(amp, pipe.mel_matrix)
+                if kind == "mfcc":
+                    return dsp.apply_matrix(dsp.log10(fb), pipe.dct)
+                return dsp.log10(jnp.maximum(fb, 1e-6))
+
+            self._jitted[key] = jax.jit(fn)
+        return np.asarray(self._jitted[key](jnp.asarray(self._buffer)))
 
     def feed_samples(self, samples: np.ndarray) -> int:
         """Append an audio chunk; featurize newly completed frames and
@@ -114,8 +175,10 @@ class OnlineRecognizer:
         the segment, return the best labels."""
         total = self.pipe.n_frames(len(self._buffer))
         if total > self._emitted and len(self._buffer):
-            feats = np.asarray(self.pipe(jnp.asarray(self._buffer)))
-            self.search.put_features(feats[self._emitted:])
+            feats = self._offline_raw()[self._emitted:]
+            if self.feature_kind == "logmel-cmvn":
+                feats = self._running_cmvn(feats)
+            self.search.put_features(feats)
             self._emitted = total
         self.search.finish_segment()
         return list(self.search.get_current_best_labels())

@@ -100,3 +100,71 @@ class TestOnlineRecognizer:
         final = online.finish()
         for p in partials:
             assert list(final[:len(p)]) == list(p)
+
+
+class TestLogmelCmvnFrontend:
+    """feature_kind="logmel-cmvn": the flagship's streaming front-end.
+
+    Causal running CMVN must be invariant to how the audio is chunked,
+    and the un-normalized features must equal the offline log-mel."""
+
+    def _run(self, pipe, audio, sizes):
+        scorer = AsyncChunkedEncoderScorer(
+            lambda f: np.zeros((len(f), V), np.float32),
+            n_labels=V, chunk_frames=16, chunk_history=0)
+        search = LexiconfreeTimesyncBeamSearch(scorer, beam_size=2,
+                                               blank_index=-1)
+        online = OnlineRecognizer(pipe, search,
+                                  decode_while_streaming=False,
+                                  feature_kind="logmel-cmvn")
+        pos = 0
+        for sz in sizes:
+            online.feed_samples(audio[pos:pos + sz])
+            pos += sz
+        assert pos == len(audio)
+        online.finish()
+        return np.stack(scorer._features)
+
+    def test_chunking_invariance(self, setup):
+        pipe, _, audio = setup
+        a = self._run(pipe, audio, [900] * 8 + [len(audio) - 7200])
+        b = self._run(pipe, audio, [123, 4567, len(audio) - 4690])
+        assert a.shape == b.shape == (pipe.n_frames(len(audio)),
+                                      pipe.n_filters)
+        np.testing.assert_allclose(a, b, atol=1e-3)
+
+    def test_matches_offline_logmel_modulo_cmvn(self, setup):
+        from rasr_tpu.signal import dsp
+        pipe, _, audio = setup
+        feats = self._run(pipe, audio, [len(audio)])
+        # invert the (deterministic, causal) CMVN of the last frame's
+        # statistics is hard; instead check the normalized stream's
+        # running stats converge: mean of the tail ~ 0, var ~ 1
+        tail = feats[len(feats) // 2:]
+        assert np.abs(tail.mean()) < 1.0
+        assert 0.3 < tail.std() < 3.0
+        # and the raw path equals the offline log-mel exactly
+        x = dsp.preemphasis(jnp.asarray(audio), pipe.alpha)
+        frames = dsp.frame_signal(x, pipe.length, pipe.shift,
+                                  pipe.n_frames(len(audio)))
+        frames = dsp.apply_window(frames, pipe.window_type)
+        amp = dsp.rfft_amplitude(frames, pipe.fft_len, pipe.fft_scale)
+        fb = dsp.apply_matrix(amp, pipe.mel_matrix)
+        want = np.asarray(dsp.log10(jnp.maximum(fb, 1e-6)))
+
+        scorer = AsyncChunkedEncoderScorer(
+            lambda f: np.zeros((len(f), V), np.float32),
+            n_labels=V, chunk_frames=16, chunk_history=0)
+        search = LexiconfreeTimesyncBeamSearch(scorer, beam_size=2,
+                                               blank_index=-1)
+        online = OnlineRecognizer(pipe, search,
+                                  decode_while_streaming=False,
+                                  feature_kind="logmel-cmvn")
+        online._cm_n = 1e12  # freeze CMVN ~ identity shift by tiny mean
+        online._cm_sum = np.zeros(pipe.n_filters)
+        online._cm_sumsq = np.full(pipe.n_filters, 1e12)  # var ~ 1
+        for i in range(0, len(audio), 1111):
+            online.feed_samples(audio[i:i + 1111])
+        online.finish()
+        got = np.stack(scorer._features)
+        np.testing.assert_allclose(got, want, atol=2e-3)

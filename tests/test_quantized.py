@@ -74,3 +74,70 @@ def test_quantized_forward_tracks_float():
     # trained-model gate is bench.py's WER check)
     agree = (got.argmax(-1) == ref.argmax(-1)).mean()
     assert agree > 0.8
+
+
+class TestFusedInt8Kernel:
+    """ops/int8_gemm_kernel.py (interpret mode on CPU): the fused
+    quantize-into-GEMM kernel computes exactly what the XLA int8 path
+    computes, for both static and dynamic activation scales."""
+
+    def _ref(self, x, wq, bias, act=None):
+        d = dict(wq)
+        if act is not None:
+            d["act_scale"] = act
+        return int8_matmul(x, d, bias, jnp.float32)
+
+    def test_dynamic_matches_xla(self):
+        from rasr_tpu.ops.int8_gemm_kernel import int8_quant_matmul
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.standard_normal((8, 256)) * 3, jnp.float32)
+        w = jnp.asarray(rng.standard_normal((256, 128)), jnp.float32)
+        b = jnp.asarray(rng.standard_normal((128,)), jnp.float32)
+        wq = quantize_weight(w)
+        want = np.asarray(self._ref(x, wq, b))
+        got = np.asarray(int8_quant_matmul(
+            x, wq["q"], wq["scale"], bias=b, act_scale=None,
+            out_dtype=jnp.float32, interpret=True))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    def test_static_matches_xla(self):
+        from rasr_tpu.ops.int8_gemm_kernel import int8_quant_matmul
+        rng = np.random.default_rng(2)
+        x = jnp.asarray(rng.standard_normal((16, 128)) * 2, jnp.float32)
+        w = jnp.asarray(rng.standard_normal((128, 256)), jnp.float32)
+        b = jnp.asarray(rng.standard_normal((256,)), jnp.float32)
+        wq = quantize_weight(w)
+        act = float(np.abs(np.asarray(x)).max()) / 127.0
+        want = np.asarray(self._ref(x, wq, b, act=act))
+        got = np.asarray(int8_quant_matmul(
+            x, wq["q"], wq["scale"], bias=b,
+            act_scale=jnp.float32(act), out_dtype=jnp.float32,
+            interpret=True))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    def test_leading_dims_and_tiling(self):
+        from rasr_tpu.ops.int8_gemm_kernel import int8_quant_matmul
+        rng = np.random.default_rng(3)
+        # M > tile, N > tile: exercises the grid
+        x = jnp.asarray(rng.standard_normal((2, 160, 128)), jnp.float32)
+        w = jnp.asarray(rng.standard_normal((128, 640)), jnp.float32)
+        wq = quantize_weight(w)
+        want = np.asarray(self._ref(x, wq, None))
+        got = np.asarray(int8_quant_matmul(
+            x, wq["q"], wq["scale"], out_dtype=jnp.float32,
+            interpret=True))
+        assert got.shape == (2, 160, 640)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    def test_unsupported_shape_falls_back(self, monkeypatch):
+        from rasr_tpu.models import quantized as Q
+        monkeypatch.setattr(Q, "MATMUL_IMPL", "pallas")
+        rng = np.random.default_rng(4)
+        # K=32 not lane-aligned -> must fall through to the XLA path
+        x = jnp.asarray(rng.standard_normal((4, 32)), jnp.float32)
+        w = jnp.asarray(rng.standard_normal((32, 16)), jnp.float32)
+        wq = quantize_weight(w)
+        got = Q.int8_matmul(x, wq, None, jnp.float32)
+        monkeypatch.setattr(Q, "MATMUL_IMPL", "xla")
+        want = Q.int8_matmul(x, wq, None, jnp.float32)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want))
