@@ -62,14 +62,18 @@ def _encoder_only_from_config(config: Configuration) -> EncoderOnlyLabelScorer:
         lambda x: jnp.asarray(x, jnp.float32)
         if np.asarray(x).dtype == np.float16 else x, params)
 
+    # params as a jit ARGUMENT (device-resident), not a closure: embedded
+    # flagship-size literals are rejected by the remote-compile tunnel
+    params = jax.device_put(params)
+
     @jax.jit
-    def fwd(feats, lens):
+    def fwd(p, feats, lens):
         logits, out_lens, _ = model.apply(
-            {"params": params}, feats, lens, deterministic=True)
+            {"params": p}, feats, lens, deterministic=True)
         return jax.nn.log_softmax(logits, -1), out_lens
 
     def encode(x):
-        lp, n = fwd(jnp.asarray(x)[None],
+        lp, n = fwd(params, jnp.asarray(x)[None],
                     jnp.asarray([x.shape[0]], jnp.int32))
         return np.asarray(lp[0, :int(n[0])])
 
@@ -85,47 +89,77 @@ class AedPrefixScorer:
     Contract (search/lexiconfree_labelsync.py): __call__(histories
     (B, L) int32 with BOS) -> (B, V) negative log-probs of the next
     label.  The searches call set_features(features) from
-    put_features(), which runs the encoder once per segment."""
+    put_features(), which runs the encoder once per segment.
 
-    def __init__(self, model, params):
+    STATIC SHAPES: jit retraces per argument shape, so naive use (feature
+    length per utterance, prefix length per step, beam width per step)
+    compiles hundreds of programs.  Instead features pad to a multiple of
+    `feat_bucket` frames, histories always pad to `max_labels + 1`, and
+    the beam rows pad to the next power of two — the true prefix length
+    rides in as a traced scalar and indexes the logits dynamically, so a
+    whole decode reuses a handful of compiled programs (and the padded
+    future positions cannot leak into position L-1 through the causal
+    decoder mask)."""
+
+    def __init__(self, model, params, max_labels: int = 200,
+                 feat_bucket: int = 128):
         import jax
         import jax.numpy as jnp
         self.model = model
-        self.params = params
+        # params stay jit ARGUMENTS (device-resident): closing them over
+        # would embed them as XLA literals, which the remote-compile
+        # tunnel rejects for flagship-size checkpoints (HTTP 413)
+        self.params = jax.device_put(params)
         self.n_labels = model.vocab_size
+        self.max_labels = int(max_labels)
+        self.feat_bucket = int(feat_bucket)
         self._enc = None
         self._enc_mask = None
 
         self._encode = jax.jit(
-            lambda f, l: model.apply({"params": params}, f, l,
-                                     method=model.encode))
+            lambda p, f, l: model.apply({"params": p}, f, l,
+                                        method=model.encode))
 
         @jax.jit
-        def prefix_scores(enc, enc_mask, histories):
-            logits = model.apply({"params": params}, enc, enc_mask,
+        def prefix_scores(p, enc, enc_mask, histories, last):
+            logits = model.apply({"params": p}, enc, enc_mask,
                                  histories, method=model.decode)
             return -jax.nn.log_softmax(
-                logits[:, -1].astype(jnp.float32), -1)
+                logits[:, last].astype(jnp.float32), -1)
 
         self._scores = prefix_scores
         self._jnp = jnp
 
     def set_features(self, features: np.ndarray) -> None:
         jnp = self._jnp
-        feats = jnp.asarray(np.asarray(features, np.float32))[None]
-        lens = jnp.asarray([feats.shape[1]], "int32")
-        self._enc, self._enc_mask = self._encode(feats, lens)
+        x = np.asarray(features, np.float32)
+        t = x.shape[0]
+        bt = self.feat_bucket
+        t_pad = max(bt, ((t + bt - 1) // bt) * bt)
+        if t_pad != t:
+            x = np.pad(x, ((0, t_pad - t), (0, 0)))
+        lens = jnp.asarray([t], "int32")
+        self._enc, self._enc_mask = self._encode(
+            self.params, jnp.asarray(x)[None], lens)
 
     def __call__(self, histories: np.ndarray) -> np.ndarray:
         if self._enc is None:
             raise RuntimeError("AedPrefixScorer: set_features not called "
                                "(searches call it from put_features)")
         jnp = self._jnp
-        n = histories.shape[0]
-        enc = jnp.repeat(self._enc, n, axis=0)
-        mask = jnp.repeat(self._enc_mask, n, axis=0)
-        return np.asarray(self._scores(enc, mask,
-                                       jnp.asarray(histories)))
+        histories = np.asarray(histories, np.int32)
+        n, length = histories.shape
+        n_pad = 1 << (n - 1).bit_length()
+        l_pad = self.max_labels + 1
+        if length > l_pad:          # longer than the hint: next 16-bucket
+            l_pad = ((length + 15) // 16) * 16
+        buf = np.zeros((n_pad, l_pad), np.int32)
+        buf[:n, :length] = histories
+        enc = jnp.repeat(self._enc, n_pad, axis=0)
+        mask = jnp.repeat(self._enc_mask, n_pad, axis=0)
+        out = self._scores(self.params, enc, mask, jnp.asarray(buf),
+                           jnp.asarray(length - 1, jnp.int32))
+        return np.asarray(out[:n])
 
 
 def aed_prefix_scorer_from_config(config: Configuration
@@ -161,7 +195,9 @@ def aed_prefix_scorer_from_config(config: Configuration
     params = jax.tree_util.tree_map(
         lambda x: jnp.asarray(x, jnp.float32)
         if np.asarray(x).dtype == np.float16 else x, params)
-    return AedPrefixScorer(model, params)
+    max_labels = int(config.sub("search-algorithm").get("max-labels")
+                     or 200)
+    return AedPrefixScorer(model, params, max_labels=max_labels)
 
 
 def label_scorer_from_config(config: Configuration,

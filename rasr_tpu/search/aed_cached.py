@@ -34,24 +34,28 @@ class CachedAedDecoder:
                  max_labels: int = 200, eos: int = 0,
                  length_norm_scale: float = 1.0):
         self.model = model
-        self.params = params
+        # device-resident jit ARGUMENT, never a closure constant (the
+        # remote-compile tunnel rejects flagship-size embedded literals)
+        self.params = jax.device_put(params)
         self.beam_size = beam_size
         self.max_labels = max_labels
         self.eos = eos
         self.length_norm = length_norm_scale
 
-        self._encode = jax.jit(
-            lambda f, l: model.apply({"params": params}, f, l,
-                                     method=model.encode))
+        _encode = jax.jit(
+            lambda p, f, l: model.apply({"params": p}, f, l,
+                                        method=model.encode))
+        self._encode = lambda f, l: _encode(self.params, f, l)
 
-        def step(cache, enc, enc_mask, tokens, position):
+        def step(p, cache, enc, enc_mask, tokens, position):
             logits, vars_out = model.apply(
-                {"params": params, "cache": cache}, enc, enc_mask,
+                {"params": p, "cache": cache}, enc, enc_mask,
                 tokens, position, method=model.decode_step,
                 mutable=["cache"])
             return jax.nn.log_softmax(logits, -1), vars_out["cache"]
 
-        self._step = jax.jit(step)
+        _step = jax.jit(step)
+        self._step = lambda *a: _step(self.params, *a)
 
         def reorder(cache, idx):
             return jax.tree_util.tree_map(
@@ -60,9 +64,17 @@ class CachedAedDecoder:
 
         self._reorder = jax.jit(reorder)
 
-    def decode(self, features: np.ndarray, feat_len: int
-               ) -> List[CachedAedResult]:
-        enc, enc_mask = self._encode(jnp.asarray(features)[None],
+    def decode(self, features: np.ndarray, feat_len: int,
+               feat_bucket: int = 128) -> List[CachedAedResult]:
+        # pad the feature length to a bucket multiple: the encoder (the
+        # expensive compile) builds once per bucket, not per utterance
+        x = np.asarray(features)
+        t = x.shape[0]
+        t_pad = max(feat_bucket,
+                    ((t + feat_bucket - 1) // feat_bucket) * feat_bucket)
+        if t_pad != t:
+            x = np.pad(x, ((0, t_pad - t), (0, 0)))
+        enc, enc_mask = self._encode(jnp.asarray(x)[None],
                                      jnp.asarray([feat_len], jnp.int32))
         B = self.beam_size
         enc_b = jnp.repeat(enc, B, axis=0)

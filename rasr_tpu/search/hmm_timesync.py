@@ -340,6 +340,9 @@ class WordConditionedTreeSearch:
         self.dynamic_beam = dynamic_beam
         self._la: Optional[np.ndarray] = None  # (T, S) lookahead table
         self._orth = {l.id: l.preferred_orth for l in am.lexicon.lemmas}
+        # flattened entry-group CSR (built lazily for the word-end fan-out)
+        self._entry_off: Optional[np.ndarray] = None
+        self._entry_flat: Optional[np.ndarray] = None
         # word-end LM transition cache: (hist_id, lemma) -> (score, hist_id)
         self._lm_cache: Dict[Tuple[int, int], Tuple[float, int]] = {}
         # dense word-end scoring (trie all-words rows, LRU-cached per
@@ -740,10 +743,17 @@ class WordConditionedTreeSearch:
             hh, ll = hists[idx0], lemmas[idx0]
             tok = self._lemma_token[ll]
             lm_sel = np.zeros(len(idx0), np.float64)
-            for h in np.unique(hh):
-                m = (hh == h) & (tok >= 0)
-                if m.any():
-                    lm_sel[m] = self._dense_row(int(h))[tok[m]]
+            # group candidates by history once (argsort + boundaries)
+            # instead of a full-length mask per unique history
+            uh, inv = np.unique(hh, return_inverse=True)
+            order_h = np.argsort(inv, kind="stable")
+            bounds = np.searchsorted(inv[order_h],
+                                     np.arange(len(uh) + 1))
+            for k in range(len(uh)):
+                grp = order_h[bounds[k]:bounds[k + 1]]
+                val = grp[tok[grp] >= 0]
+                if len(val):
+                    lm_sel[val] = self._dense_row(int(uh[k]))[tok[val]]
             for i in np.flatnonzero(tok == -2):
                 lm_sel[i], _ = self._lm_extend(int(hh[i]), int(ll[i]))
             total0 = base[idx0] + lm_sel
@@ -763,9 +773,15 @@ class WordConditionedTreeSearch:
             self.statistics.add("ending words after pruning", len(idx))
             kp_sel, kl_sel = traces[idx], lemmas[idx]
             kg_sel = groups[idx]
-            kh_sel = np.asarray(
-                [self._extend_hist(int(h), int(l))
-                 for h, l in zip(hists[idx], lemmas[idx])], np.int64)
+            # bulk successor-history lookup: inline dict hits (the
+            # common case), method call only on misses
+            ext = self._ext_cache
+            kh_sel = np.fromiter(
+                (hit if (hit := ext.get((h, l))) is not None
+                 else self._extend_hist(h, l)
+                 for h, l in zip(hists[idx].tolist(),
+                                 lemmas[idx].tolist())),
+                np.int64, count=len(idx))
         else:
             # exact LM for every candidate (per-(history, lemma) cache)
             lm_s = np.zeros(len(own), np.float64)
@@ -813,23 +829,29 @@ class WordConditionedTreeSearch:
             base[idx] - e_bs[own[idx]], lm_sel)
         # fan each surviving word end into ITS entry group (reference
         # across-word transits: the next word must start with the
-        # coarticulated right-context phoneme)
+        # coarticulated right-context phoneme) — one CSR-vectorized emit
+        # in group-ascending order (same concatenation order as the old
+        # per-group loop, so native/numpy tie-breaking is unchanged)
         hsel, gsel, tsel = kh_sel, kg_sel, total_sel
-        for grp in np.unique(gsel):
-            entry = net.entry_group_states[int(grp)]
-            n_entry = len(entry)
-            if n_entry == 0:
-                continue
-            m = gsel == grp
-            tid, hid, scs = tidxs[m], hsel[m], tsel[m]
-            rep_states = np.tile(entry, len(tid))
-            rep_hist = np.repeat(hid, n_entry)
-            rep_score = np.repeat(scs, n_entry)
-            rep_trace = np.repeat(tid, n_entry)
-            rep_bf = np.full(len(rep_states), self._t, np.int64)
-            rep_bs = rep_score.copy()
-            emit(rep_states, rep_hist, rep_score, rep_trace, rep_bf,
-                 rep_bs)
+        if self._entry_off is None:
+            lens = [len(e) for e in net.entry_group_states]
+            self._entry_off = np.concatenate(
+                [[0], np.cumsum(lens)]).astype(np.int64)
+            self._entry_flat = (
+                np.concatenate(net.entry_group_states).astype(np.int64)
+                if sum(lens) else np.zeros(0, np.int64))
+        order_g = np.argsort(gsel, kind="stable")
+        g_o = gsel[order_g]
+        src, rep_states = _csr_expand(self._entry_off, self._entry_flat,
+                                      g_o)
+        if len(rep_states) == 0:
+            return
+        rep_hist = hsel[order_g][src]
+        rep_score = tsel[order_g][src]
+        rep_trace = tidxs[order_g][src]
+        rep_bf = np.full(len(rep_states), self._t, np.int64)
+        emit(rep_states, rep_hist, rep_score, rep_trace, rep_bf,
+             rep_score.copy())
 
     # -- segment api --------------------------------------------------------------
 

@@ -28,29 +28,45 @@ class CachedTransducerDecoder(TransducerBeamSearch):
     def __init__(self, model, params, blank: int = 0, beam_size: int = 8,
                  max_symbols_per_frame: int = 3, expansion_topk: int = 4):
         self.model = model
-        self.params = params
+        # device-resident jit ARGUMENT, never a closure constant (the
+        # remote-compile tunnel rejects flagship-size embedded literals)
+        self.params = jax.device_put(params)
 
-        self._encode = jax.jit(
-            lambda f, l: model.apply({"params": params}, f, l,
-                                     method=model.encode))
+        _encode = jax.jit(
+            lambda p, f, l: model.apply({"params": p}, f, l,
+                                        method=model.encode))
+        self._encode = lambda f, l: _encode(self.params, f, l)
 
-        def pred_step(carry, tokens):
-            return model.apply({"params": params}, carry, tokens,
+        def pred_step(p, carry, tokens):
+            return model.apply({"params": p}, carry, tokens,
                                method=model.predict_step)
 
-        self._pred_step = jax.jit(pred_step)
+        _pred_step = jax.jit(pred_step)
+        self._pred_step = lambda carry, tokens: _pred_step(
+            self.params, carry, tokens)
 
-        def joint(enc_t, pred):
-            logits = model.apply({"params": params}, enc_t, pred,
+        def joint(p, enc_t, pred):
+            logits = model.apply({"params": p}, enc_t, pred,
                                  method=model.joint_frame)
             return jax.nn.log_softmax(logits.astype(jnp.float32), -1)
 
-        joint_jit = jax.jit(joint)
+        _joint = jax.jit(joint)
 
         def joint_fn(enc_t, pred):
+            # STATIC SHAPES: the live-hypothesis count varies per step;
+            # pad rows to the next power of two so jit compiles one
+            # program per bucket, not per count
+            pred = np.asarray(pred)
+            n = pred.shape[0]
+            n_pad = 1 << (n - 1).bit_length() if n > 1 else 1
+            if n_pad != n:
+                pred = np.concatenate(
+                    [pred, np.zeros((n_pad - n,) + pred.shape[1:],
+                                    pred.dtype)])
+            out = _joint(self.params, jnp.asarray(enc_t),
+                         jnp.asarray(pred))
             # the search expects log-probs: row = score - lp
-            return np.asarray(joint_jit(jnp.asarray(enc_t),
-                                        jnp.asarray(pred)))
+            return np.asarray(out[:n])
 
         super().__init__(pred_fn=None, joint_fn=joint_fn, blank=blank,
                          beam_size=beam_size,
@@ -78,10 +94,18 @@ class CachedTransducerDecoder(TransducerBeamSearch):
         missing = sorted(set(missing), key=len)
         if missing:
             # every parent prefix is cached (hypotheses grow one label
-            # at a time), so one batched step fills all gaps
+            # at a time), so one batched step fills all gaps; rows pad
+            # to the next power of two for static jit shapes
             cs = np.stack([self._state_cache[m[:-1]][0] for m in missing])
             hs = np.stack([self._state_cache[m[:-1]][1] for m in missing])
             toks = np.asarray([m[-1] for m in missing], np.int32)
+            n = len(missing)
+            n_pad = 1 << (n - 1).bit_length() if n > 1 else 1
+            if n_pad != n:
+                pad = ((0, n_pad - n),)
+                cs = np.pad(cs, pad + ((0, 0),) * (cs.ndim - 1))
+                hs = np.pad(hs, pad + ((0, 0),) * (hs.ndim - 1))
+                toks = np.pad(toks, (0, n_pad - n))
             carry, out = self._pred_step((jnp.asarray(cs), jnp.asarray(hs)),
                                          jnp.asarray(toks))
             c_np, h_np, o_np = (np.asarray(carry[0]), np.asarray(carry[1]),
@@ -98,9 +122,17 @@ class CachedTransducerDecoder(TransducerBeamSearch):
         finally:
             self._state_cache.clear()
 
-    def recognize_features(self, features: np.ndarray, feat_len: int
-                           ) -> List[int]:
-        """Full pipeline: raw features -> encoder -> cached beam."""
-        enc, out_lens = self._encode(jnp.asarray(features)[None],
+    def recognize_features(self, features: np.ndarray, feat_len: int,
+                           feat_bucket: int = 128) -> List[int]:
+        """Full pipeline: raw features -> encoder -> cached beam.  The
+        feature length pads to a `feat_bucket` multiple so the encoder
+        compiles once per bucket, not once per utterance length."""
+        x = np.asarray(features)
+        t = x.shape[0]
+        t_pad = max(feat_bucket,
+                    ((t + feat_bucket - 1) // feat_bucket) * feat_bucket)
+        if t_pad != t:
+            x = np.pad(x, ((0, t_pad - t), (0, 0)))
+        enc, out_lens = self._encode(jnp.asarray(x)[None],
                                      jnp.asarray([feat_len], jnp.int32))
         return self.recognize(np.asarray(enc[0]), int(out_lens[0]))

@@ -1,0 +1,213 @@
+"""AED flagship quality + latency artifact (AED_BENCH.json).
+
+The WER-anchored bench (bench.py) proves the time-sync decode family on
+the trained CTC flagship; this artifact proves the LABEL-sync family on
+the trained AED flagship (assets/aed/, scripts/train_aed.py):
+
+  * batched device greedy decode: WER (clean + the bench's hard babble
+    condition) and throughput (x real-time per chip, synchronous
+    scalar-fetch timing — block_until_ready is unreliable on the
+    tunnel);
+  * the config-constructed label-sync path (nn/scorer_factory `[model]`
+    -> lexiconfree-labelsync, the VERDICT r2 item-4 machinery) through
+    `api.SearchAlgorithm.recognize_segment`: beam WER + per-utterance
+    host latency.
+
+Reference contract: encoder-decoder scorers built from config
+(/root/reference/src/Nn/Module.cc:132-218) feeding the label-sync
+searches (/root/reference/src/Search/LexiconfreeLabelsyncBeamSearch).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import textwrap
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from train_flagship import (L_MAX, SAMPLE_RATE, TRAIN_SECONDS,  # noqa: E402
+                            feature_pipeline)
+
+ASSET_DIR = os.path.join(REPO, "assets", "aed")
+SECONDS = TRAIN_SECONDS
+EVAL_BATCH = 32
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+
+    os.makedirs("/root/.cache/jax_compile", exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_compile")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    import bench
+    from rasr_tpu.api import SearchAlgorithm
+    from rasr_tpu.bliss.evaluation import Evaluator
+    from rasr_tpu.core.configuration import Configuration
+    from rasr_tpu.data import SynthSpeechTask
+    from rasr_tpu.models.aed import AedModel
+    from rasr_tpu.nn.checkpoint import load_params
+
+    with open(os.path.join(ASSET_DIR, "aed.json")) as fh:
+        meta = json.load(fh)
+    cfg = meta["model"]
+    ckpt = os.path.join(ASSET_DIR, "aed_f16.msgpack")
+    model = AedModel(**cfg)
+    task = SynthSpeechTask()
+    pipe, feats_of = feature_pipeline()
+    N = int(SECONDS * SAMPLE_RATE)
+    T_feat = pipe.n_frames(N)
+    LP = L_MAX + 1
+
+    template = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 8, meta["feat_dim"])),
+        jnp.asarray([8]), jnp.zeros((1, 4), jnp.int32))["params"]
+    params, _ = load_params(ckpt, template)
+    params = jax.tree_util.tree_map(
+        lambda x: jnp.asarray(x, jnp.bfloat16)
+        if np.asarray(x).dtype == np.float16 else jnp.asarray(x), params)
+    params = jax.device_put(params)
+
+    feats_jit = jax.jit(lambda s, l: feats_of(s, T_feat, l))
+
+    @jax.jit
+    def greedy_decode(params, feats, flens):
+        enc, enc_mask = model.apply({"params": params}, feats, flens,
+                                    method=AedModel.encode)
+
+        def body(tokens, t):
+            logits = model.apply({"params": params}, enc, enc_mask,
+                                 tokens, method=AedModel.decode)
+            nxt = jnp.argmax(logits[:, t], -1).astype(jnp.int32)
+            tokens = tokens.at[:, t + 1].set(nxt)
+            return tokens, nxt
+
+        tokens0 = jnp.zeros((feats.shape[0], LP), jnp.int32)
+        _, outs = jax.lax.scan(body, tokens0, jnp.arange(LP - 1))
+        return outs.T
+
+    def cut(seq):
+        out = []
+        for u in seq:
+            if u == 0:
+                break
+            out.append(int(u))
+        return out
+
+    def wer_of(hyp_orths, ref_orths):
+        ev = Evaluator("aed-bench")
+        err = ref = 0
+        for r, h in zip(ref_orths, hyp_orths):
+            counts = ev.evaluate(r, h)
+            err += counts.errors
+            ref += counts.ref_len
+        return err / max(ref, 1)
+
+    def eval_condition(name, cond, seed):
+        audio, ns, _l, _ll, orths = task.batch(
+            seed=seed, batch_size=EVAL_BATCH, max_seconds=SECONDS,
+            min_words=8, max_words=14, **cond)
+        pad = np.zeros((EVAL_BATCH, N), np.float32)
+        pad[:, :audio.shape[1]] = audio[:, :N]
+        flens = jnp.asarray([min(pipe.n_frames(int(n)), T_feat)
+                             for n in ns], jnp.int32)
+        feats = feats_jit(jnp.asarray(pad), flens)
+        hyp = np.asarray(greedy_decode(params, feats, flens))
+        wer = wer_of((task.units_to_orth(cut(h)) for h in hyp), orths)
+        return feats, flens, orths, wer
+
+    clean_feats, clean_flens, clean_orths, wer_clean = eval_condition(
+        "clean", {}, 10_000_000)
+    _hf, _hl, _ho, wer_hard = eval_condition(
+        "hard", bench.EVAL_CONDITION, bench.EVAL_SEED)
+
+    # throughput: synchronous scalar-fetch timing of the batched greedy
+    reps = 8
+    big = jnp.concatenate([clean_feats] * reps)       # (256, T, D)
+    big_lens = jnp.concatenate([clean_flens] * reps)
+    out = greedy_decode(params, big, big_lens)
+    _ = int(jnp.sum(out))                              # warm + sync
+    tiny = jax.jit(lambda x: (x * 2).sum())
+    float(tiny(jnp.ones((8,))))
+    t0 = time.perf_counter()
+    for _i in range(10):
+        _ = float(tiny(jnp.ones((8,))))
+    rpc = (time.perf_counter() - t0) / 10
+    times = []
+    for _i in range(4):
+        t0 = time.perf_counter()
+        out = greedy_decode(params, big, big_lens)
+        _ = int(jnp.sum(out))
+        times.append(time.perf_counter() - t0)
+    net = min(times) - rpc
+    rt = EVAL_BATCH * reps * SECONDS / net
+
+    # config-constructed label-sync beam (the zero-Python path)
+    conf_text = textwrap.dedent(f"""\
+        [search-algorithm]
+        type = lexiconfree-labelsync
+        beam-size = 8
+        max-labels = {L_MAX}
+        sentence-end-index = 0
+        length-norm = 1.0
+
+        [model]
+        type = aed
+        checkpoint = {ckpt}
+        vocab-size = {cfg['vocab_size']}
+        d-model = {cfg['d_model']}
+        encoder-layers = {cfg['encoder_layers']}
+        decoder-layers = {cfg['decoder_layers']}
+        n-heads = {cfg['n_heads']}
+        feature-dim = {meta['feat_dim']}
+    """)
+    conf_path = "/tmp/aed_labelsync.config"
+    with open(conf_path, "w") as fh:
+        fh.write(conf_text)
+    conf = Configuration()
+    conf.set_from_file(conf_path)
+    algo = SearchAlgorithm(conf)
+
+    n_beam = 16
+    hyps, lat = [], []
+    cf = np.asarray(clean_feats)
+    fl = np.asarray(clean_flens)
+    for i in range(n_beam):
+        t0 = time.perf_counter()
+        out = algo.recognize_segment(cf[i, :fl[i]])
+        lat.append(time.perf_counter() - t0)
+        units = [int(tok) for tok in str(out).split() if tok.isdigit()]
+        hyps.append(task.units_to_orth(units))
+    beam_wer = wer_of(hyps, clean_orths[:n_beam])
+
+    result = {
+        "task": "AED flagship (label-sync family anchor)",
+        "model": cfg,
+        "params_m": round(sum(
+            int(np.prod(np.asarray(x).shape))
+            for x in jax.tree_util.tree_leaves(params)) / 1e6, 1),
+        "greedy_wer_clean": round(wer_clean, 4),
+        "greedy_wer_hard_babble30db": round(wer_hard, 4),
+        "greedy_throughput_x_realtime": round(rt, 1),
+        "labelsync_beam8_wer_clean": round(beam_wer, 4),
+        "labelsync_beam8_latency_s_per_utt": round(
+            float(np.median(lat)), 3),
+        "labelsync_path": "config -> scorer_factory -> "
+                          "lexiconfree-labelsync (zero Python)",
+    }
+    with open(os.path.join(REPO, "AED_BENCH.json"), "w") as fh:
+        json.dump(result, fh, indent=1)
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -45,8 +45,14 @@ from train_flagship import (FEAT_DIM, L_MAX, SAMPLE_RATE,  # noqa: E402
 
 ASSET_DIR = os.path.join(REPO, "assets", "aed")
 
-MODEL_CFG = dict(vocab_size=1024, d_model=256, encoder_layers=8,
-                 decoder_layers=4, n_heads=4)
+# encoder dims MATCH the CTC flagship so its trained encoder can seed
+# this model (--init-encoder): without it the decoder converges to a
+# pure label LM (within-word units right, word-initial units at chance
+# = cross-attention never aligns); with it + the auxiliary CTC loss the
+# alignment snaps in the first few hundred steps — the standard hybrid
+# CTC/attention recipe (Watanabe et al. 2017).
+MODEL_CFG = dict(vocab_size=1024, d_model=512, encoder_layers=12,
+                 decoder_layers=4, n_heads=8)
 
 
 def main() -> int:
@@ -54,10 +60,17 @@ def main() -> int:
     ap.add_argument("--steps", type=int, default=6000)
     ap.add_argument("--eval-every", type=int, default=250)
     ap.add_argument("--target-wer", type=float, default=0.02)
-    ap.add_argument("--lr", type=float, default=8e-4)
-    ap.add_argument("--warmup", type=int, default=1500)
-    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--lr", type=float, default=3e-4)
+    ap.add_argument("--warmup", type=int, default=800)
+    ap.add_argument("--batch", type=int, default=48)
     ap.add_argument("--label-smoothing", type=float, default=0.1)
+    ap.add_argument("--ctc-weight", type=float, default=0.3,
+                    help="auxiliary CTC loss on the encoder output "
+                         "(keeps cross-attention anchored to audio)")
+    ap.add_argument("--init-encoder", default="flagship",
+                    help="'flagship' = seed the encoder from "
+                         "assets/flagship (dims must match); 'none' = "
+                         "random init")
     ap.add_argument("--curriculum", type=int, default=2000)
     ap.add_argument("--short-floor", type=float, default=0.2)
     ap.add_argument("--specaugment-after", type=int, default=2000)
@@ -108,17 +121,46 @@ def main() -> int:
         end_value=args.lr * 0.05)
     opt = optax.chain(optax.clip_by_global_norm(1.0),
                       optax.adamw(sched, weight_decay=1e-6))
-    params = model.init(
+    aed_params = model.init(
         jax.random.PRNGKey(0),
         jnp.zeros((2, T_feat, FEAT_DIM), jnp.float32),
         jnp.asarray([T_feat, T_feat], jnp.int32),
         jnp.zeros((2, LP), jnp.int32))["params"]
+    if args.init_encoder == "flagship":
+        import flax
+        from rasr_tpu.models import ConformerCtc
+        fl_json = os.path.join(REPO, "assets", "flagship", "task.json")
+        with open(fl_json) as fh:
+            fl_cfg = json.load(fh)["model"]
+        assert fl_cfg["d_model"] == cfg["d_model"] \
+            and fl_cfg["n_layers"] == cfg["encoder_layers"] \
+            and fl_cfg["n_heads"] == cfg["n_heads"], \
+            f"encoder dims must match the flagship to seed: {fl_cfg}"
+        os.chdir(REPO)           # bench resolves assets relative paths
+        import bench
+        fl_params, fl_trained = bench.load_flagship_params(
+            ConformerCtc(**fl_cfg), jnp.float32)
+        assert fl_trained, "flagship checkpoint missing"
+        aed_params = dict(aed_params)
+        aed_params["encoder"] = jax.tree_util.tree_map(
+            lambda x: jnp.asarray(x, jnp.float32),
+            fl_params["encoder"])
+        print("encoder seeded from the CTC flagship", flush=True)
+    # trainer-owned auxiliary CTC head (not part of the exported model)
+    k = jax.random.PRNGKey(1)
+    ctc_head = {
+        "kernel": (jax.random.normal(k, (cfg["d_model"],
+                                         cfg["vocab_size"]), jnp.float32)
+                   * (1.0 / np.sqrt(cfg["d_model"]))),
+        "bias": jnp.zeros((cfg["vocab_size"],), jnp.float32)}
+    params = {"aed": aed_params, "ctc": ctc_head}
     n_params = sum(int(np.prod(np.asarray(x).shape))
-                   for x in jax.tree_util.tree_leaves(params))
+                   for x in jax.tree_util.tree_leaves(aed_params))
     print(f"AED params: {n_params/1e6:.1f} M", flush=True)
     opt_state = opt.init(params)
 
     smooth = args.label_smoothing
+    ctc_w = args.ctc_weight
 
     @jax.jit
     def train_step(params, opt_state, feats, flens, labels, label_lens,
@@ -130,22 +172,37 @@ def main() -> int:
         target = jnp.concatenate(
             [labels, jnp.zeros((labels.shape[0], 1), jnp.int32)], axis=1)
         valid = (jnp.arange(LP)[None, :] <= label_lens[:, None])
+        lab_pad = (jnp.arange(L_MAX)[None, :]
+                   >= label_lens[:, None]).astype(jnp.float32)
 
         def loss_fn(p):
-            logits = model.apply({"params": p}, feats, flens, dec_in,
-                                 deterministic=False,
-                                 rngs={"dropout": key})
+            enc, enc_mask = model.apply(
+                {"params": p["aed"]}, feats, flens, False,
+                method=AedModel.encode, rngs={"dropout": key})
+            logits = model.apply(
+                {"params": p["aed"]}, enc, enc_mask, dec_in, False,
+                method=AedModel.decode, rngs={"dropout": key})
             lp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
             nll = -jnp.take_along_axis(lp, target[..., None],
                                        axis=-1)[..., 0]
             uni = -jnp.mean(lp, axis=-1)
             per_tok = (1.0 - smooth) * nll + smooth * uni
-            return (jnp.sum(per_tok * valid) / jnp.maximum(jnp.sum(valid),
-                                                           1.0))
+            ce = jnp.sum(per_tok * valid) / jnp.maximum(jnp.sum(valid),
+                                                        1.0)
+            ctc_logits = (enc.astype(jnp.float32) @ p["ctc"]["kernel"]
+                          + p["ctc"]["bias"])
+            ctc = optax.ctc_loss(
+                ctc_logits,
+                1.0 - enc_mask.astype(jnp.float32),
+                labels, lab_pad, blank_id=0)
+            ctc = jnp.mean(ctc / jnp.maximum(label_lens, 1))
+            return (1.0 - ctc_w) * ce + ctc_w * ctc, (ce, ctc)
 
-        loss, grads = jax.value_and_grad(loss_fn)(params)
+        (loss, (ce, ctc)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
         updates, new_opt = opt.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), new_opt, loss
+        return optax.apply_updates(params, updates), new_opt, loss, ce, \
+            ctc
 
     @jax.jit
     def greedy_decode(params, feats, flens):
@@ -163,8 +220,8 @@ def main() -> int:
         _, outs = jax.lax.scan(body, tokens0, jnp.arange(LP - 1))
         return outs.T                       # (B, L_MAX) incl. EOS tail
 
-    def eval_wer(params, ev_feats, ev_flens, ev_orths) -> float:
-        hyp = np.asarray(greedy_decode(params, ev_feats, ev_flens))
+    def eval_wer(aed_params, ev_feats, ev_flens, ev_orths) -> float:
+        hyp = np.asarray(greedy_decode(aed_params, ev_feats, ev_flens))
         ev = Evaluator("aed-eval")
         err = ref = 0
         for i, orth in enumerate(ev_orths):
@@ -199,7 +256,9 @@ def main() -> int:
     t_report = time.time()
     start = ckpt.latest_step() or 0
     if start:
-        params, _, _ = ckpt.restore(params)
+        restored, _, _ = ckpt.restore(params["aed"])
+        params = {"aed": restored, "ctc": params["ctc"]}
+        opt_state = opt.init(params)      # optimizer restarts fresh
         print(f"resumed at step {start}", flush=True)
     for step in range(start, args.steps):
         p_short = max(0.6 * (1.0 - step / max(args.curriculum, 1)),
@@ -212,31 +271,34 @@ def main() -> int:
                               pool_lens, jnp.asarray(idx, jnp.int32))
         if step >= args.specaugment_after:
             f = augment(jax.random.PRNGKey(step), f, fl)
-        params, opt_state, loss = train_step(
+        params, opt_state, loss, ce, ctc = train_step(
             params, opt_state, f, fl, lab, ll, jax.random.PRNGKey(step))
         if (step + 1) % 50 == 0:
             dt = time.time() - t_report
             t_report = time.time()
             print(f"step {step + 1} loss {float(loss):.4f} "
-                  f"({dt / 50:.2f}s/step)", flush=True)
+                  f"(ce {float(ce):.3f} ctc {float(ctc):.3f}, "
+                  f"{dt / 50:.2f}s/step)", flush=True)
         if (step + 1) % args.eval_every == 0:
-            wer = eval_wer(params, ev_feats, ev_flens, ev_orths)
+            wer = eval_wer(params["aed"], ev_feats, ev_flens, ev_orths)
             print(f"step {step + 1} greedy WER {wer:.4f}", flush=True)
             if wer <= best_wer:
                 best_wer = wer
-                ckpt.save(step + 1, params)
+                ckpt.save(step + 1, params["aed"])
             if wer <= args.target_wer:
                 print(f"target WER reached at step {step + 1}",
                       flush=True)
                 break
 
-    # export f16 bench artifact
+    # export f16 bench artifact (AED params only — the aux CTC head is
+    # a training device, not part of the model)
+    export = params["aed"]
     if ckpt.latest_step():
-        params, _, _ = ckpt.restore(params)
+        export, _, _ = ckpt.restore(params["aed"])
     f16 = jax.tree_util.tree_map(
         lambda x: np.asarray(x, np.float16)
         if np.asarray(x).dtype in (np.float32, np.dtype("bfloat16"))
-        else np.asarray(x), params)
+        else np.asarray(x), export)
     save_params(os.path.join(args.asset_dir, "aed_f16.msgpack"), f16,
                 step=args.steps)
     with open(os.path.join(args.asset_dir, "aed.json"), "w") as fh:
