@@ -200,6 +200,51 @@ def aed_prefix_scorer_from_config(config: Configuration
     return AedPrefixScorer(model, params, max_labels=max_labels)
 
 
+def transducer_decoder_from_config(config: Configuration):
+    """CachedTransducerDecoder from [model]: type=transducer, checkpoint,
+    vocab-size, d-model, encoder-layers, pred-hidden, joint-dim, n-heads;
+    beam options from [search-algorithm].  The stateful-scorer path the
+    reference builds from config (src/Nn/Module.cc:132-218 +
+    src/Nn/LabelScorer/StatefulOnnxLabelScorer.hh:92)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..models.transducer import TransducerModel
+    from ..search.transducer_cached import CachedTransducerDecoder
+    from .checkpoint import load_params
+    mc = config.sub("model")
+    ckpt = mc.get("checkpoint")
+    vocab = int(mc.get("vocab-size") or 0)
+    if not (ckpt and vocab):
+        raise ValueError("model.checkpoint and model.vocab-size required "
+                         "for the transducer decoder")
+    model = TransducerModel(
+        vocab_size=vocab,
+        d_model=int(mc.get("d-model") or 256),
+        encoder_layers=int(mc.get("encoder-layers")
+                           or mc.get("n-layers") or 12),
+        pred_hidden=int(mc.get("pred-hidden") or 320),
+        joint_dim=int(mc.get("joint-dim") or 320),
+        n_heads=int(mc.get("n-heads") or 4),
+        dtype=jnp.float32 if (mc.get("dtype") or "") == "float32"
+        else jnp.bfloat16)
+    dim = int(mc.get("feature-dim") or 80)
+    template = model.init(jax.random.PRNGKey(0),
+                          jnp.zeros((1, 8, dim)), jnp.asarray([8]),
+                          jnp.zeros((1, 4), jnp.int32))["params"]
+    params, _ = load_params(ckpt, template)
+    params = jax.tree_util.tree_map(
+        lambda x: jnp.asarray(x, jnp.float32)
+        if np.asarray(x).dtype == np.float16 else x, params)
+    sa = config.sub("search-algorithm")
+    return CachedTransducerDecoder(
+        model, params,
+        blank=int(sa.get("blank-label-index") or 0),
+        beam_size=int(sa.get("beam-size") or 8),
+        max_symbols_per_frame=int(sa.get("max-symbols-per-frame") or 3),
+        expansion_topk=int(sa.get("expansion-topk") or 4))
+
+
 def label_scorer_from_config(config: Configuration,
                              selector: str = "label-scorer"):
     """Build the configured scorer; `config` is the tool/root config (the

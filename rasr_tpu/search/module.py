@@ -231,6 +231,16 @@ def create_search_algorithm(config: Configuration, model_combination):
                                   model_combination.lexicon)
         return LinearSearch(am)
 
+    # the frame-sync transducer beam builds its whole model from
+    # [model] (type=transducer + checkpoint + dims) — the reference's
+    # stateful-scorer search family (src/Nn/Module.cc:132-218)
+    if search_type in ("transducer-framesync", "framesync-transducer",
+                       "transducer"):
+        from ..nn.scorer_factory import transducer_decoder_from_config
+        dec = transducer_decoder_from_config(config)
+        dec.enter_segment()
+        return dec
+
     # label-sync searches can build their autoregressive score_fn from
     # [model] alone, so they come before the label-scorer requirement
     if search_type in ("lexiconfree-labelsync-beam-search",

@@ -122,6 +122,49 @@ class CachedTransducerDecoder(TransducerBeamSearch):
         finally:
             self._state_cache.clear()
 
+    # -- segment api (SearchAlgorithmV2 facade protocol) ---------------------
+    # so the decoder is config-constructible through api.SearchAlgorithm
+    # like the reference's stateful-scorer searches (built by Nn::Module
+    # from config, /root/reference/src/Nn/Module.cc:132-218)
+
+    def enter_segment(self) -> None:
+        self._segment_result: List[int] = []
+        self._segment_features = None
+
+    def put_features(self, features: np.ndarray) -> None:
+        self._segment_features = np.asarray(features, np.float32)
+
+    def put_feature(self, feature: np.ndarray) -> None:
+        f = np.asarray(feature, np.float32)[None]
+        if self._segment_features is None:
+            self._segment_features = f
+        else:
+            self._segment_features = np.concatenate(
+                [self._segment_features, f])
+
+    def finish_segment(self) -> None:
+        if self._segment_features is not None:
+            feats = self._segment_features
+            x = np.asarray(feats)
+            t = x.shape[0]
+            t_pad = max(128, ((t + 127) // 128) * 128)
+            if t_pad != t:
+                x = np.pad(x, ((0, t_pad - t), (0, 0)))
+            enc, out_lens = self._encode(
+                jnp.asarray(x)[None], jnp.asarray([t], jnp.int32))
+            self._segment_nbest = self.decode(np.asarray(enc[0]),
+                                              int(out_lens[0]))
+            self._segment_result = list(self._segment_nbest[0].labels)
+
+    def decode_many_steps(self) -> int:
+        return 0        # frame-sync decode runs whole-segment at finish
+
+    def get_current_best_labels(self) -> List[int]:
+        return list(self._segment_result)
+
+    def n_best(self, n: int):
+        return list(getattr(self, "_segment_nbest", []))[:n]
+
     def recognize_features(self, features: np.ndarray, feat_len: int,
                            feat_bucket: int = 128) -> List[int]:
         """Full pipeline: raw features -> encoder -> cached beam.  The

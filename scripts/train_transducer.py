@@ -146,10 +146,13 @@ def main() -> int:
         B = feats.shape[0]
         carry0 = model.apply({"params": params}, B,
                              method=TransducerModel.predict_init)
-        # prediction output for the leading blank/BOS token
-        p0 = model.apply({"params": params},
-                         jnp.zeros((B, 1), jnp.int32),
-                         method=TransducerModel.predict)[:, 0]
+        # consume the leading blank/BOS INTO the state: training
+        # conditions the prediction net on [BOS]+labels, so the decode
+        # state chain must include BOS too (without it every label is
+        # re-emitted 2-4x -> ~60% WER on an otherwise-converged model)
+        carry0, p0 = model.apply({"params": params}, carry0,
+                                 jnp.zeros((B,), jnp.int32),
+                                 method=TransducerModel.predict_step)
 
         def frame(carrys, t):
             carry, p = carrys

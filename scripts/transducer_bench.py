@@ -1,0 +1,236 @@
+"""Transducer (RNN-T) flagship quality + latency artifact
+(TRANSDUCER_BENCH.json).
+
+Third flagship family anchor: bench.py proves the time-sync searches on
+the CTC flagship, AED_BENCH.json the label-sync family on the AED
+flagship; this proves the frame-sync transducer family on the trained
+RNN-T (assets/transducer/, scripts/train_transducer.py):
+
+  * batched device greedy decode (bounded emissions per frame): WER
+    (clean + the bench's hard babble condition) and throughput
+    (x real-time per chip, synchronous scalar-fetch timing);
+  * the config-constructed frame-sync beam (nn/scorer_factory
+    `[model]` type=transducer -> CachedTransducerDecoder) through
+    `api.SearchAlgorithm.recognize_segment`: beam WER + per-utterance
+    host latency.
+
+Reference contract: stateful scorers built from config
+(/root/reference/src/Nn/Module.cc:132-218,
+src/Nn/LabelScorer/StatefulOnnxLabelScorer.hh:92).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import textwrap
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from train_flagship import (SAMPLE_RATE, TRAIN_SECONDS,  # noqa: E402
+                            feature_pipeline)
+
+ASSET_DIR = os.path.join(REPO, "assets", "transducer")
+SECONDS = TRAIN_SECONDS
+EVAL_BATCH = 32
+K = 3                       # max emitted symbols per frame
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+
+    os.makedirs("/root/.cache/jax_compile", exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_compile")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    import bench
+    from rasr_tpu.api import SearchAlgorithm
+    from rasr_tpu.bliss.evaluation import Evaluator
+    from rasr_tpu.core.configuration import Configuration
+    from rasr_tpu.data import SynthSpeechTask
+    from rasr_tpu.models.transducer import TransducerModel
+    from rasr_tpu.nn.checkpoint import load_params
+
+    with open(os.path.join(ASSET_DIR, "transducer.json")) as fh:
+        meta = json.load(fh)
+    cfg = meta["model"]
+    ckpt = os.path.join(ASSET_DIR, "transducer_f16.msgpack")
+    model = TransducerModel(**cfg)
+    task = SynthSpeechTask()
+    pipe, feats_of = feature_pipeline()
+    N = int(SECONDS * SAMPLE_RATE)
+    T_feat = pipe.n_frames(N)
+
+    template = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 8, meta["feat_dim"])),
+        jnp.asarray([8]), jnp.zeros((1, 4), jnp.int32))["params"]
+    params, _ = load_params(ckpt, template)
+    params = jax.tree_util.tree_map(
+        lambda x: jnp.asarray(x, jnp.bfloat16)
+        if np.asarray(x).dtype == np.float16 else jnp.asarray(x), params)
+    params = jax.device_put(params)
+
+    feats_jit = jax.jit(lambda s, l: feats_of(s, T_feat, l))
+
+    @jax.jit
+    def greedy_decode(params, feats, flens):
+        """Batched frame-sync greedy: per encoder frame emit up to K
+        non-blank symbols (scripts/train_transducer.py eval decode)."""
+        enc, out_lens = model.apply({"params": params}, feats, flens,
+                                    method=TransducerModel.encode)
+        B = feats.shape[0]
+        carry0 = model.apply({"params": params}, B,
+                             method=TransducerModel.predict_init)
+        # consume BOS into the state (training conditions on
+        # [BOS]+labels; scripts/train_transducer.py greedy_decode)
+        carry0, p0 = model.apply({"params": params}, carry0,
+                                 jnp.zeros((B,), jnp.int32),
+                                 method=TransducerModel.predict_step)
+
+        def frame(carrys, t):
+            carry, p = carrys
+
+            def sub(carrys, _):
+                carry, p, emitted = carrys
+                logits = model.apply(
+                    {"params": params}, enc[:, t][:, None], p[:, None],
+                    method=TransducerModel.joint_logits)[:, 0, 0]
+                tok = jnp.argmax(logits, -1).astype(jnp.int32)
+                live = (tok != 0) & (emitted < K) & (t < out_lens)
+                new_carry, new_p = model.apply(
+                    {"params": params}, carry, tok,
+                    method=TransducerModel.predict_step)
+                carry = jax.tree_util.tree_map(
+                    lambda n, o: jnp.where(
+                        live.reshape((-1,) + (1,) * (n.ndim - 1)), n, o),
+                    new_carry, carry)
+                p = jnp.where(live[:, None], new_p, p)
+                emitted = emitted + live.astype(jnp.int32)
+                return (carry, p, emitted), jnp.where(live, tok, 0)
+
+            (carry, p, _), toks = jax.lax.scan(
+                sub, (carry, p, jnp.zeros(B, jnp.int32)), None, length=K)
+            return (carry, p), toks.T
+
+        (_, _), all_toks = jax.lax.scan(
+            frame, (carry0, p0), jnp.arange(enc.shape[1]))
+        return all_toks.transpose(1, 0, 2).reshape(B, -1)
+
+    def wer_of(hyp_orths, ref_orths):
+        ev = Evaluator("rnnt-bench")
+        err = ref = 0
+        for r, h in zip(ref_orths, hyp_orths):
+            counts = ev.evaluate(r, h)
+            err += counts.errors
+            ref += counts.ref_len
+        return err / max(ref, 1)
+
+    def eval_condition(cond, seed):
+        audio, ns, _l, _ll, orths = task.batch(
+            seed=seed, batch_size=EVAL_BATCH, max_seconds=SECONDS,
+            min_words=8, max_words=14, **cond)
+        pad = np.zeros((EVAL_BATCH, N), np.float32)
+        pad[:, :audio.shape[1]] = audio[:, :N]
+        flens = jnp.asarray([min(pipe.n_frames(int(n)), T_feat)
+                             for n in ns], jnp.int32)
+        feats = feats_jit(jnp.asarray(pad), flens)
+        hyp = np.asarray(greedy_decode(params, feats, flens))
+        wer = wer_of((task.units_to_orth([int(u) for u in h if u != 0])
+                      for h in hyp), orths)
+        return feats, flens, orths, wer
+
+    clean_feats, clean_flens, clean_orths, wer_clean = eval_condition(
+        {}, 10_000_000)
+    _hf, _hl, _ho, wer_hard = eval_condition(
+        bench.EVAL_CONDITION, bench.EVAL_SEED)
+
+    # throughput: synchronous scalar-fetch timing of the batched greedy
+    reps = 8
+    big = jnp.concatenate([clean_feats] * reps)
+    big_lens = jnp.concatenate([clean_flens] * reps)
+    out = greedy_decode(params, big, big_lens)
+    _ = int(jnp.sum(out))                              # warm + sync
+    tiny = jax.jit(lambda x: (x * 2).sum())
+    float(tiny(jnp.ones((8,))))
+    t0 = time.perf_counter()
+    for _i in range(10):
+        _ = float(tiny(jnp.ones((8,))))
+    rpc = (time.perf_counter() - t0) / 10
+    times = []
+    for _i in range(4):
+        t0 = time.perf_counter()
+        out = greedy_decode(params, big, big_lens)
+        _ = int(jnp.sum(out))
+        times.append(time.perf_counter() - t0)
+    net = min(times) - rpc
+    rt = EVAL_BATCH * reps * SECONDS / net
+
+    # config-constructed frame-sync beam (the zero-Python path)
+    conf_text = textwrap.dedent(f"""\
+        [search-algorithm]
+        type = transducer-framesync
+        beam-size = 8
+        blank-label-index = 0
+        max-symbols-per-frame = {K}
+        expansion-topk = 4
+
+        [model]
+        type = transducer
+        checkpoint = {ckpt}
+        vocab-size = {cfg['vocab_size']}
+        d-model = {cfg['d_model']}
+        encoder-layers = {cfg['encoder_layers']}
+        pred-hidden = {cfg['pred_hidden']}
+        joint-dim = {cfg['joint_dim']}
+        n-heads = {cfg['n_heads']}
+        feature-dim = {meta['feat_dim']}
+    """)
+    conf_path = "/tmp/rnnt_framesync.config"
+    with open(conf_path, "w") as fh:
+        fh.write(conf_text)
+    conf = Configuration()
+    conf.set_from_file(conf_path)
+    algo = SearchAlgorithm(conf)
+
+    n_beam = 16
+    hyps, lat = [], []
+    cf = np.asarray(clean_feats)
+    fl = np.asarray(clean_flens)
+    for i in range(n_beam):
+        t0 = time.perf_counter()
+        out = algo.recognize_segment(cf[i, :fl[i]])
+        lat.append(time.perf_counter() - t0)
+        units = [int(tok) for tok in str(out).split() if tok.isdigit()]
+        hyps.append(task.units_to_orth(units))
+    beam_wer = wer_of(hyps, clean_orths[:n_beam])
+
+    result = {
+        "task": "RNN-T flagship (frame-sync transducer family anchor)",
+        "model": cfg,
+        "params_m": round(sum(
+            int(np.prod(np.asarray(x).shape))
+            for x in jax.tree_util.tree_leaves(params)) / 1e6, 1),
+        "greedy_wer_clean": round(wer_clean, 4),
+        "greedy_wer_hard_babble30db": round(wer_hard, 4),
+        "greedy_throughput_x_realtime": round(rt, 1),
+        "framesync_beam8_wer_clean": round(beam_wer, 4),
+        "framesync_beam8_latency_s_per_utt": round(
+            float(np.median(lat)), 3),
+        "framesync_path": "config -> scorer_factory -> "
+                          "transducer-framesync (zero Python)",
+    }
+    with open(os.path.join(REPO, "TRANSDUCER_BENCH.json"), "w") as fh:
+        json.dump(result, fh, indent=1)
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -229,3 +229,40 @@ class TestCachedDecoder:
             np.testing.assert_allclose(np.asarray(out[0]),
                                        np.asarray(full[0, u]), atol=1e-5,
                                        err_msg=f"step {u}")
+
+
+class TestPredictionStateChain:
+    """The step-wise prediction-state chain must equal the full-prefix
+    forward INCLUDING the leading BOS/blank — on arbitrary (random)
+    params, not an overfit model.  Regression test for the batched
+    greedy-decode bug where carry0 skipped BOS consumption: every label
+    was re-emitted 2-4x (~60% WER) on an otherwise-converged flagship,
+    invisible to overfit-model decode tests."""
+
+    @pytest.mark.fast
+    def test_step_chain_matches_full_prefix(self):
+        model = TransducerModel(vocab_size=8, d_model=32, encoder_layers=1,
+                                pred_hidden=32, joint_dim=32, n_heads=2,
+                                dropout=0.0, dtype=jnp.float32)
+        params = model.init(
+            jax.random.PRNGKey(7), jnp.zeros((1, 8, 8), jnp.float32),
+            jnp.asarray([8]), jnp.zeros((1, 3), jnp.int32))["params"]
+        prefix = [3, 5, 1]
+        # full forward over [BOS] + prefix (what training conditions on)
+        full = model.apply({"params": params},
+                           jnp.asarray([[0] + prefix], jnp.int32),
+                           method=TransducerModel.predict)
+        # step chain: init -> consume BOS -> consume prefix tokens
+        carry = model.apply({"params": params}, 1,
+                            method=TransducerModel.predict_init)
+        outs = []
+        for tok in [0] + prefix:
+            carry, p = model.apply({"params": params}, carry,
+                                   jnp.asarray([tok], jnp.int32),
+                                   method=TransducerModel.predict_step)
+            outs.append(p)
+        for i, p in enumerate(outs):
+            np.testing.assert_allclose(np.asarray(p[0]),
+                                       np.asarray(full[0, i]),
+                                       rtol=1e-5, atol=1e-5,
+                                       err_msg=f"position {i}")
