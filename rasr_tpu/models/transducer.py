@@ -58,13 +58,27 @@ class Joint(nn.Module):
     vocab_size: int
     joint_dim: int = 256
 
-    @nn.compact
+    def setup(self):
+        # submodule names match the original nn.compact layout so existing
+        # checkpoints (assets/transducer/) load unchanged
+        self.enc_proj = nn.Dense(self.joint_dim, name="enc_proj")
+        self.pred_proj = nn.Dense(self.joint_dim, name="pred_proj")
+        self.out = nn.Dense(self.vocab_size, name="out")
+
     def __call__(self, enc: jnp.ndarray, pred: jnp.ndarray) -> jnp.ndarray:
         """enc (..., T, E), pred (..., U, P) -> logits (..., T, U, V)."""
-        e = nn.Dense(self.joint_dim, name="enc_proj")(enc)
-        p = nn.Dense(self.joint_dim, name="pred_proj")(pred)
+        e = self.enc_proj(enc)
+        p = self.pred_proj(pred)
         h = jnp.tanh(e[..., :, None, :] + p[..., None, :, :])
-        return nn.Dense(self.vocab_size, name="out")(h)
+        return self.out(h)
+
+    def from_enc_proj(self, e: jnp.ndarray, pred: jnp.ndarray) -> jnp.ndarray:
+        """Joint with the encoder side already projected: e (..., J) one
+        frame, pred (..., K, P) -> logits (..., K, V).  Lets decoders
+        project the whole encoder output ONCE instead of per beam step."""
+        p = self.pred_proj(pred)
+        h = jnp.tanh(e[..., None, :] + p)
+        return self.out(h)
 
 
 class TransducerModel(nn.Module):
@@ -108,6 +122,16 @@ class TransducerModel(nn.Module):
         B = pred.shape[0]
         e = jnp.broadcast_to(enc_t[None, :], (B, enc_t.shape[-1]))
         return self.joint(e[:, None, :], pred[:, None, :])[:, 0, 0]
+
+    def joint_enc_proj(self, enc):
+        """Encoder-side joint projection (B, T, E) -> (B, T, J), computed
+        once per utterance by the device beam (search/transducer_device)."""
+        return self.joint.enc_proj(enc)
+
+    def joint_from_enc_proj(self, e_t, pred):
+        """Joint logits from a pre-projected frame: e_t (B, J),
+        pred (B, K, P) -> (B, K, V)."""
+        return self.joint.from_enc_proj(e_t, pred)
 
     def __call__(self, features, feat_lengths, labels, deterministic=True):
         """labels (B, U) WITHOUT blank prefix -> logits (B, T, U+1, V)."""

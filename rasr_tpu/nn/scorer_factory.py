@@ -167,6 +167,15 @@ def aed_prefix_scorer_from_config(config: Configuration
     """AedModel + checkpoint from [model]: type=aed, checkpoint,
     vocab-size, d-model, encoder-layers, decoder-layers, n-heads,
     feature-dim."""
+    model, params = _aed_model_from_config(config)
+    max_labels = int(config.sub("search-algorithm").get("max-labels")
+                     or 200)
+    return AedPrefixScorer(model, params, max_labels=max_labels)
+
+
+def _aed_model_from_config(config: Configuration):
+    """(AedModel, params) from [model] (shared by the prefix scorer and
+    the cached decoder)."""
     import jax
     import jax.numpy as jnp
 
@@ -177,7 +186,7 @@ def aed_prefix_scorer_from_config(config: Configuration
     vocab = int(mc.get("vocab-size") or 0)
     if not (ckpt and vocab):
         raise ValueError("model.checkpoint and model.vocab-size required "
-                         "for the AED label-sync scorer")
+                         "for the AED decoder")
     model = AedModel(
         vocab_size=vocab,
         d_model=int(mc.get("d-model") or 256),
@@ -195,9 +204,24 @@ def aed_prefix_scorer_from_config(config: Configuration
     params = jax.tree_util.tree_map(
         lambda x: jnp.asarray(x, jnp.float32)
         if np.asarray(x).dtype == np.float16 else x, params)
-    max_labels = int(config.sub("search-algorithm").get("max-labels")
-                     or 200)
-    return AedPrefixScorer(model, params, max_labels=max_labels)
+    return model, params
+
+
+def aed_decoder_from_config(config: Configuration):
+    """CachedAedDecoder (device label-sync beam) from [model] + beam
+    options from [search-algorithm] — the encoder-decoder path the
+    reference builds from config (src/Nn/Module.cc:132-218)."""
+    from ..search.aed_cached import CachedAedDecoder
+    model, params = _aed_model_from_config(config)
+    sa = config.sub("search-algorithm")
+    return CachedAedDecoder(
+        model, params,
+        beam_size=int(sa.get("beam-size") or 8),
+        max_labels=int(sa.get("max-labels") or 200),
+        eos=int(sa.get("sentence-end-index") or 0),
+        length_norm_scale=float(sa.get("length-norm-scale") or 1.0),
+        device_beam=(sa.get("device-beam") or "true").lower()
+        not in ("false", "no", "0"))
 
 
 def transducer_decoder_from_config(config: Configuration):
@@ -242,7 +266,9 @@ def transducer_decoder_from_config(config: Configuration):
         blank=int(sa.get("blank-label-index") or 0),
         beam_size=int(sa.get("beam-size") or 8),
         max_symbols_per_frame=int(sa.get("max-symbols-per-frame") or 3),
-        expansion_topk=int(sa.get("expansion-topk") or 4))
+        expansion_topk=int(sa.get("expansion-topk") or 4),
+        device_beam=(sa.get("device-beam") or "true").lower()
+        not in ("false", "no", "0"))
 
 
 def label_scorer_from_config(config: Configuration,

@@ -32,7 +32,7 @@ class CachedAedDecoder:
 
     def __init__(self, model, params, beam_size: int = 4,
                  max_labels: int = 200, eos: int = 0,
-                 length_norm_scale: float = 1.0):
+                 length_norm_scale: float = 1.0, device_beam: bool = True):
         self.model = model
         # device-resident jit ARGUMENT, never a closure constant (the
         # remote-compile tunnel rejects flagship-size embedded literals)
@@ -41,6 +41,12 @@ class CachedAedDecoder:
         self.max_labels = max_labels
         self.eos = eos
         self.length_norm = length_norm_scale
+        self._device_search = None
+        if device_beam:
+            from .aed_device import make_aed_beam
+            self._device_search = make_aed_beam(
+                model, beam=beam_size, eos=eos, max_labels=max_labels,
+                length_norm=length_norm_scale)
 
         _encode = jax.jit(
             lambda p, f, l: model.apply({"params": p}, f, l,
@@ -76,6 +82,18 @@ class CachedAedDecoder:
             x = np.pad(x, ((0, t_pad - t), (0, 0)))
         enc, enc_mask = self._encode(jnp.asarray(x)[None],
                                      jnp.asarray([feat_len], jnp.int32))
+        if self._device_search is not None:
+            # fast path: whole label-sync beam in one device program
+            # (search/aed_device.py)
+            labels, n_lab, scores = self._device_search(self.params, enc,
+                                                        enc_mask)
+            labels, n_lab = np.asarray(labels), np.asarray(n_lab)
+            scores = np.asarray(scores)
+            return [CachedAedResult(
+                        [int(u) for u in labels[0, k, :n_lab[0, k]]],
+                        float(scores[0, k]))
+                    for k in range(labels.shape[1])
+                    if scores[0, k] < 1e29]
         B = self.beam_size
         enc_b = jnp.repeat(enc, B, axis=0)
         mask_b = jnp.repeat(enc_mask, B, axis=0)
@@ -158,3 +176,38 @@ class CachedAedDecoder:
 
     def recognize(self, features: np.ndarray, feat_len: int) -> List[int]:
         return self.decode(features, feat_len)[0].labels
+
+    # -- segment api (SearchAlgorithmV2 facade protocol) ---------------------
+    # so the decoder is config-constructible through api.SearchAlgorithm
+    # like the reference's encoder-decoder scorers (built by Nn::Module
+    # from config, /root/reference/src/Nn/Module.cc:132-218)
+
+    def enter_segment(self) -> None:
+        self._segment_result: List[int] = []
+        self._segment_features: Optional[np.ndarray] = None
+
+    def put_features(self, features: np.ndarray) -> None:
+        self._segment_features = np.asarray(features, np.float32)
+
+    def put_feature(self, feature: np.ndarray) -> None:
+        f = np.asarray(feature, np.float32)[None]
+        if self._segment_features is None:
+            self._segment_features = f
+        else:
+            self._segment_features = np.concatenate(
+                [self._segment_features, f])
+
+    def finish_segment(self) -> None:
+        if self._segment_features is not None:
+            feats = self._segment_features
+            self._segment_nbest = self.decode(feats, feats.shape[0])
+            self._segment_result = list(self._segment_nbest[0].labels)
+
+    def decode_many_steps(self) -> int:
+        return 0        # label-sync decode runs whole-segment at finish
+
+    def get_current_best_labels(self) -> List[int]:
+        return list(self._segment_result)
+
+    def n_best(self, n: int):
+        return list(getattr(self, "_segment_nbest", []))[:n]

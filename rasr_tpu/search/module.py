@@ -277,9 +277,20 @@ def create_search_algorithm(config: Configuration, model_combination):
 
 def _labelsync_search(config, model_combination, scorer, search_type,
                       sa, beam, we_beam, thr, lm):
-    score_fn, n_labels = _labelsync_score_fn(config, scorer)
     if search_type in ("lexiconfree-labelsync-beam-search",
                        "lexiconfree-labelsync"):
+        # device fast path: an AED built from [model] decodes with the
+        # whole label-sync beam in ONE device program
+        # (search/aed_device.py) instead of per-step scoring callbacks
+        model_type = (config.sub("model").get("type") or "").lower()
+        device = (sa.get("device-beam") or "true").lower() \
+            not in ("false", "no", "0")
+        if (device and not callable(scorer)
+                and model_type in ("aed", "attention", "encoder-decoder")
+                and config.sub("model").get("checkpoint")):
+            from ..nn.scorer_factory import aed_decoder_from_config
+            return aed_decoder_from_config(config)
+        score_fn, n_labels = _labelsync_score_fn(config, scorer)
         from .lexiconfree_labelsync import LexiconfreeLabelsyncBeamSearch
         return LexiconfreeLabelsyncBeamSearch(
             score_fn, n_labels,
@@ -288,6 +299,7 @@ def _labelsync_search(config, model_combination, scorer, search_type,
             max_labels=int(sa.get("max-labels") or 200),
             length_norm_scale=float(sa.get("length-norm-scale") or 1.0),
             score_threshold=thr)
+    score_fn, n_labels = _labelsync_score_fn(config, scorer)
     from .tree_labelsync import TreeLabelsyncBeamSearch
     return TreeLabelsyncBeamSearch(
         score_fn, model_combination.lexicon,

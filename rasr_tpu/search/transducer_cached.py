@@ -21,16 +21,26 @@ import numpy as np
 
 from .transducer_beam import TransducerBeamSearch, TransducerHypothesis
 
+_DEAD_SCORE = 1e29     # device beam marks dead slots with -log p ~ 1e30
+
 
 class CachedTransducerDecoder(TransducerBeamSearch):
     """Beam decoding with per-hypothesis prediction-network state."""
 
     def __init__(self, model, params, blank: int = 0, beam_size: int = 8,
-                 max_symbols_per_frame: int = 3, expansion_topk: int = 4):
+                 max_symbols_per_frame: int = 3, expansion_topk: int = 4,
+                 device_beam: bool = True, max_labels: int = 128):
         self.model = model
         # device-resident jit ARGUMENT, never a closure constant (the
         # remote-compile tunnel rejects flagship-size embedded literals)
         self.params = jax.device_put(params)
+        self._device_search = None
+        if device_beam:
+            from .transducer_device import make_transducer_beam
+            self._device_search = make_transducer_beam(
+                model, beam=beam_size, blank=blank,
+                max_symbols=max_symbols_per_frame, topk=expansion_topk,
+                max_labels=max_labels)
 
         _encode = jax.jit(
             lambda p, f, l: model.apply({"params": p}, f, l,
@@ -142,6 +152,22 @@ class CachedTransducerDecoder(TransducerBeamSearch):
             self._segment_features = np.concatenate(
                 [self._segment_features, f])
 
+    def _decode_encoded(self, enc, out_lens) -> List[TransducerHypothesis]:
+        """Beam decode one encoded segment: device fast path (whole beam
+        in a lax.scan, search/transducer_device.py) or the host cached
+        search."""
+        if self._device_search is not None:
+            labels, n_lab, scores = self._device_search(self.params, enc,
+                                                        out_lens)
+            labels, n_lab = np.asarray(labels), np.asarray(n_lab)
+            scores = np.asarray(scores)
+            return [TransducerHypothesis(
+                        tuple(int(u) for u in labels[0, k, :n_lab[0, k]]),
+                        float(scores[0, k]))
+                    for k in range(labels.shape[1])
+                    if scores[0, k] < _DEAD_SCORE]
+        return self.decode(np.asarray(enc[0]), int(out_lens[0]))
+
     def finish_segment(self) -> None:
         if self._segment_features is not None:
             feats = self._segment_features
@@ -152,8 +178,7 @@ class CachedTransducerDecoder(TransducerBeamSearch):
                 x = np.pad(x, ((0, t_pad - t), (0, 0)))
             enc, out_lens = self._encode(
                 jnp.asarray(x)[None], jnp.asarray([t], jnp.int32))
-            self._segment_nbest = self.decode(np.asarray(enc[0]),
-                                              int(out_lens[0]))
+            self._segment_nbest = self._decode_encoded(enc, out_lens)
             self._segment_result = list(self._segment_nbest[0].labels)
 
     def decode_many_steps(self) -> int:
@@ -178,4 +203,4 @@ class CachedTransducerDecoder(TransducerBeamSearch):
             x = np.pad(x, ((0, t_pad - t), (0, 0)))
         enc, out_lens = self._encode(jnp.asarray(x)[None],
                                      jnp.asarray([feat_len], jnp.int32))
-        return self.recognize(np.asarray(enc[0]), int(out_lens[0]))
+        return list(self._decode_encoded(enc, out_lens)[0].labels)
