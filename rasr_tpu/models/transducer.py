@@ -90,11 +90,14 @@ class TransducerModel(nn.Module):
     n_heads: int = 4
     dropout: float = 0.1
     dtype: Any = jnp.bfloat16
+    causal: bool = False     # streaming encoder (past-only context);
+    #                          parameter layout identical to offline
 
     def setup(self):
         self.encoder = ConformerEncoder(
             self.d_model, self.encoder_layers, self.n_heads,
-            dropout=self.dropout, dtype=self.dtype, name="encoder")
+            dropout=self.dropout, dtype=self.dtype, causal=self.causal,
+            name="encoder")
         self.prediction = PredictionNetwork(self.vocab_size,
                                             hidden_dim=self.pred_hidden,
                                             name="prediction")

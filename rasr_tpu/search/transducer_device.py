@@ -38,6 +38,7 @@ negative log-probs per framework convention (best first).
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Tuple
 
 import jax
@@ -124,15 +125,10 @@ def make_transducer_beam(model, *, beam: int = 8, blank: int = 0,
                              ).astype(x.dtype)
         return jax.tree_util.tree_map(g, tree)
 
-    @jax.jit
-    def search(params, enc: jnp.ndarray, enc_lens: jnp.ndarray
-               ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-        B, T, _E = enc.shape
-        # encoder-side joint projection for ALL frames, once
-        e_proj = model.apply({"params": params}, enc,
-                             method=model.joint_enc_proj)       # (B, T, J)
-
-        # seed: every slot holds the BOS-consumed prediction state
+    @partial(jax.jit, static_argnames=("B",))
+    def init(params, B: int):
+        """Fresh beam state: one live empty hypothesis per utterance,
+        prediction network seeded with BOS."""
         carry0 = model.apply({"params": params}, B * K,
                              method=model.predict_init)
         carry0, out0 = model.apply(
@@ -148,6 +144,19 @@ def make_transducer_beam(model, *, beam: int = 8, blank: int = 0,
         score0 = jnp.full((B, K), NEG_INF, jnp.float32).at[:, 0].set(0.0)
         h1_0 = jnp.zeros((B, K), jnp.uint32).at[:, 0].set(_H1_OFFSET)
         h2_0 = jnp.zeros((B, K), jnp.uint32).at[:, 0].set(_H2_OFFSET)
+        return ((labels0, n0, score0, h1_0, h2_0), carry0, pred0)
+
+    @jax.jit
+    def advance(params, state, enc: jnp.ndarray, n_valid: jnp.ndarray):
+        """Consume a chunk of encoder frames: enc (B, C, E), n_valid (B,)
+        valid frames at the FRONT of the chunk.  Returns the advanced
+        beam state — chunked advancing is exactly equivalent to one full
+        pass (the beam state is the scan carry), which is what makes
+        lossless streaming RNN-T decoding possible."""
+        B, C, _E = enc.shape
+        # encoder-side joint projection for the whole chunk, once
+        e_proj = model.apply({"params": params}, enc,
+                             method=model.joint_enc_proj)       # (B, C, J)
 
         def frame(state, xs):
             # the carried set is the live pool entering this frame
@@ -245,16 +254,36 @@ def make_transducer_beam(model, *, beam: int = 8, blank: int = 0,
             state = jax.tree_util.tree_map(keep, new_state, state)
             return state, None
 
-        state0 = ((labels0, n0, score0, h1_0, h2_0), carry0, pred0)
         xs = (e_proj.transpose(1, 0, 2),
-              (jnp.arange(T)[:, None] < enc_lens[None, :]))
-        state, _ = jax.lax.scan(frame, state0, xs)
-        labels, n, score = state[0][0], state[0][1], state[0][2]
+              (jnp.arange(C)[:, None] < n_valid[None, :]))
+        state, _ = jax.lax.scan(frame, state, xs)
+        return state
 
+    @jax.jit
+    def finalize(state) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        """Current beam, best first — non-destructive (usable for
+        streaming partials)."""
+        labels, n, score = state[0][0], state[0][1], state[0][2]
         fin_score, order = jax.lax.top_k(score, K)
         oh = jax.nn.one_hot(order, K, dtype=jnp.float32)
         out_labels = gather_bk(oh, labels)
         out_n = _pick_i(oh, n)
         return out_labels, out_n, -fin_score
 
+    @jax.jit
+    def _search(params, enc: jnp.ndarray, enc_lens: jnp.ndarray
+                ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        state = init(params, enc.shape[0])
+        state = advance(params, state, enc, enc_lens)
+        return finalize(state)
+
+    def search(params, enc, enc_lens):
+        """Whole-utterance decode (init -> advance -> finalize), one
+        device program.  `search.init/advance/finalize` expose the
+        chunked streaming API."""
+        return _search(params, enc, enc_lens)
+
+    search.init = init
+    search.advance = advance
+    search.finalize = finalize
     return search

@@ -165,6 +165,71 @@ class TestHostAgreement:
             assert scores[0, 0] <= want.score + 1e-3, f"seed {seed}"
 
 
+class TestStreaming:
+    def test_chunked_advance_equals_full(self, toy):
+        """The beam state is the scan carry: advancing it in chunks must
+        be EXACTLY the whole-utterance search (lossless streaming)."""
+        model, params = toy
+        T = 12
+        enc = jax.random.normal(jax.random.PRNGKey(21), (2, T, E_DIM))
+        lens = jnp.asarray([12, 9], jnp.int32)
+        search = make_transducer_beam(model, beam=4, blank=0,
+                                      max_symbols=2, topk=3, max_labels=16)
+        want = jax.tree_util.tree_map(np.asarray,
+                                      search(params, enc, lens))
+
+        state = search.init(params, 2)
+        for lo, hi in ((0, 5), (5, 8), (8, 12)):
+            n_valid = jnp.clip(lens - lo, 0, hi - lo)
+            state = search.advance(params, state, enc[:, lo:hi], n_valid)
+        got = jax.tree_util.tree_map(np.asarray, search.finalize(state))
+        np.testing.assert_array_equal(got[0], want[0])
+        np.testing.assert_array_equal(got[1], want[1])
+        np.testing.assert_allclose(got[2], want[2], rtol=1e-5)
+
+    def test_streaming_session_lossless(self):
+        """Causal encoder + chunked beam: feeding audio features in
+        chunks yields the same labels as one offline pass."""
+        from rasr_tpu.search.transducer_stream import \
+            StreamingTransducerSession
+        model = TransducerModel(vocab_size=V, d_model=E_DIM,
+                                encoder_layers=1, pred_hidden=8,
+                                joint_dim=8, n_heads=2,
+                                dtype=jnp.float32, causal=True)
+        params = model.init(jax.random.PRNGKey(3),
+                            jnp.zeros((1, 8, 10)), jnp.asarray([8]),
+                            jnp.zeros((1, 2), jnp.int32))["params"]
+        feats = np.asarray(jax.random.normal(jax.random.PRNGKey(6),
+                                             (64, 10)))
+        sess = StreamingTransducerSession(model, params, beam_size=4,
+                                          max_symbols_per_frame=2,
+                                          expansion_topk=3,
+                                          feat_bucket=16, enc_bucket=4)
+        for lo in range(0, 64, 16):
+            sess.feed(feats[lo:lo + 16])
+            sess.partial()          # non-destructive mid-stream reads
+        got = sess.finish()
+
+        # offline reference on the same (causal) model
+        encode = jax.jit(lambda p, f, l: model.apply(
+            {"params": p}, f, l, method=model.encode))
+        enc, out_lens = encode(params, jnp.asarray(feats)[None],
+                               jnp.asarray([64], jnp.int32))
+        beam = make_transducer_beam(model, beam=4, max_symbols=2,
+                                    topk=3, max_labels=128)
+        labels, n, _ = jax.tree_util.tree_map(
+            np.asarray, beam(params, enc, out_lens))
+        want = [int(u) for u in labels[0, 0, :n[0, 0]]]
+        assert got == want
+
+    def test_requires_causal_encoder(self, toy):
+        from rasr_tpu.search.transducer_stream import \
+            StreamingTransducerSession
+        model, params = toy
+        with pytest.raises(ValueError, match="causal"):
+            StreamingTransducerSession(model, params)
+
+
 class TestCachedDecoderDevicePath:
     def test_device_at_least_as_good_as_host(self, toy):
         model, params = toy
