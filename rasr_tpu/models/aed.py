@@ -60,6 +60,11 @@ class AedModel(nn.Module):
     n_heads: int = 4
     dropout: float = 0.1
     dtype: Dtype = jnp.bfloat16
+    # positional-table length for step-wise decoding; positions at or
+    # beyond this would silently clamp the sinusoidal gather, so
+    # decode_step asserts against it and config plumbing validates
+    # max-labels < max_positions (ADVICE r3)
+    max_positions: int = 512
 
     def setup(self):
         self.encoder = ConformerEncoder(
@@ -93,7 +98,8 @@ class AedModel(nn.Module):
         y_t (B, 1) int32 token, position (B,) current index; requires
         apply(..., mutable=['cache']).  Returns logits (B, V)."""
         y = self.embed(y_t).astype(self.dtype)
-        pos_table = jnp.asarray(_sinusoidal(512, self.d_model), dtype=y.dtype)
+        pos_table = jnp.asarray(_sinusoidal(self.max_positions, self.d_model),
+                                dtype=y.dtype)
         y = y + pos_table[position][:, None, :]
         cross = enc_mask[:, None, None, :]
         for block in self.blocks:

@@ -187,6 +187,11 @@ def _aed_model_from_config(config: Configuration):
     if not (ckpt and vocab):
         raise ValueError("model.checkpoint and model.vocab-size required "
                          "for the AED decoder")
+    # size the positional table to cover the configured label budget
+    # (max-labels > the default 512 would otherwise clamp the gather
+    # and repeat the last embedding, ADVICE r3)
+    want = int(config.sub("search-algorithm").get("max-labels") or 0)
+    max_pos = max(int(mc.get("max-positions") or 512), want + 1)
     model = AedModel(
         vocab_size=vocab,
         d_model=int(mc.get("d-model") or 256),
@@ -194,6 +199,7 @@ def _aed_model_from_config(config: Configuration):
                            or mc.get("n-layers") or 12),
         decoder_layers=int(mc.get("decoder-layers") or 4),
         n_heads=int(mc.get("n-heads") or 4),
+        max_positions=max_pos,
         dtype=jnp.float32 if (mc.get("dtype") or "") == "float32"
         else jnp.bfloat16)
     dim = int(mc.get("feature-dim") or 80)
@@ -207,17 +213,30 @@ def _aed_model_from_config(config: Configuration):
     return model, params
 
 
-def aed_decoder_from_config(config: Configuration):
+def aed_decoder_from_config(config: Configuration,
+                            beam_size: Optional[int] = None):
     """CachedAedDecoder (device label-sync beam) from [model] + beam
     options from [search-algorithm] — the encoder-decoder path the
-    reference builds from config (src/Nn/Module.cc:132-218)."""
+    reference builds from config (src/Nn/Module.cc:132-218).
+
+    `beam_size`, when given (the search factory passes its
+    _pruning-derived value), wins over the raw config read so the
+    device and host paths honor max-beam-size identically."""
     from ..search.aed_cached import CachedAedDecoder
     model, params = _aed_model_from_config(config)
     sa = config.sub("search-algorithm")
+    if beam_size is None:
+        beam_size = int(sa.get("max-beam-size") or sa.get("beam-size") or 8)
+    max_labels = int(sa.get("max-labels") or 200)
+    if max_labels >= model.max_positions:
+        raise ValueError(
+            f"search-algorithm.max-labels={max_labels} exceeds the AED "
+            f"decoder's positional table ({model.max_positions}); set "
+            f"model.max-positions accordingly")
     return CachedAedDecoder(
         model, params,
-        beam_size=int(sa.get("beam-size") or 8),
-        max_labels=int(sa.get("max-labels") or 200),
+        beam_size=beam_size,
+        max_labels=max_labels,
         eos=int(sa.get("sentence-end-index") or 0),
         length_norm_scale=float(sa.get("length-norm-scale") or 1.0),
         device_beam=(sa.get("device-beam") or "true").lower()
@@ -264,9 +283,13 @@ def transducer_decoder_from_config(config: Configuration):
     return CachedTransducerDecoder(
         model, params,
         blank=int(sa.get("blank-label-index") or 0),
-        beam_size=int(sa.get("beam-size") or 8),
+        beam_size=int(sa.get("max-beam-size") or sa.get("beam-size") or 8),
         max_symbols_per_frame=int(sa.get("max-symbols-per-frame") or 3),
         expansion_topk=int(sa.get("expansion-topk") or 4),
+        # label budget of the device beam: emissions past this are
+        # score-killed on device, so long segments need it raised
+        # (host path has no cap; documented in the decoder docstring)
+        max_labels=int(sa.get("max-labels") or 128),
         device_beam=(sa.get("device-beam") or "true").lower()
         not in ("false", "no", "0"))
 

@@ -185,6 +185,7 @@ class CachedAedDecoder:
     def enter_segment(self) -> None:
         self._segment_result: List[int] = []
         self._segment_features: Optional[np.ndarray] = None
+        self._segment_nbest: List[CachedAedResult] = []
 
     def put_features(self, features: np.ndarray) -> None:
         self._segment_features = np.asarray(features, np.float32)

@@ -281,15 +281,19 @@ def _labelsync_search(config, model_combination, scorer, search_type,
                        "lexiconfree-labelsync"):
         # device fast path: an AED built from [model] decodes with the
         # whole label-sync beam in ONE device program
-        # (search/aed_device.py) instead of per-step scoring callbacks
+        # (search/aed_device.py) instead of per-step scoring callbacks.
+        # score-threshold pruning is a host-search-only feature, so a
+        # configured threshold keeps the host path (same pruning
+        # contract as the reference's per-stage descriptors,
+        # doc/search_v2.rst:183-330).
         model_type = (config.sub("model").get("type") or "").lower()
         device = (sa.get("device-beam") or "true").lower() \
             not in ("false", "no", "0")
-        if (device and not callable(scorer)
+        if (device and not callable(scorer) and not math.isfinite(thr)
                 and model_type in ("aed", "attention", "encoder-decoder")
                 and config.sub("model").get("checkpoint")):
             from ..nn.scorer_factory import aed_decoder_from_config
-            return aed_decoder_from_config(config)
+            return aed_decoder_from_config(config, beam_size=beam)
         score_fn, n_labels = _labelsync_score_fn(config, scorer)
         from .lexiconfree_labelsync import LexiconfreeLabelsyncBeamSearch
         return LexiconfreeLabelsyncBeamSearch(

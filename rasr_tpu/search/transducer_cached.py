@@ -25,7 +25,12 @@ _DEAD_SCORE = 1e29     # device beam marks dead slots with -log p ~ 1e30
 
 
 class CachedTransducerDecoder(TransducerBeamSearch):
-    """Beam decoding with per-hypothesis prediction-network state."""
+    """Beam decoding with per-hypothesis prediction-network state.
+
+    `max_labels` bounds the device beam's emitted-label buffer: the
+    device search score-kills any emission past that many labels, so
+    segments expected to exceed it need `search-algorithm.max-labels`
+    raised (the host fallback, device_beam=False, has no cap)."""
 
     def __init__(self, model, params, blank: int = 0, beam_size: int = 8,
                  max_symbols_per_frame: int = 3, expansion_topk: int = 4,
@@ -140,6 +145,7 @@ class CachedTransducerDecoder(TransducerBeamSearch):
     def enter_segment(self) -> None:
         self._segment_result: List[int] = []
         self._segment_features = None
+        self._segment_nbest: List[TransducerHypothesis] = []
 
     def put_features(self, features: np.ndarray) -> None:
         self._segment_features = np.asarray(features, np.float32)

@@ -54,11 +54,17 @@ _HP = jax.lax.Precision.HIGHEST
 
 
 def _masked_logsumexp(eq: jnp.ndarray, scores: jnp.ndarray) -> jnp.ndarray:
-    """Per-candidate logsumexp over its equality class (see ctc_decode)."""
-    c = jnp.max(scores, axis=1, keepdims=True)
-    e = jnp.exp(scores - c)
-    s = jnp.einsum("bij,bj->bi", eq.astype(jnp.float32), e, precision=_HP)
-    return jnp.where(s > 0, jnp.log(s) + c, NEG_INF)
+    """Per-candidate logsumexp over its equality class.
+
+    Shifts by the PER-CLASS max (not the row max): a class far below the
+    row's best would otherwise underflow exp() and collapse to NEG_INF,
+    killing a live hypothesis instead of keeping its true score — the
+    "exact log-sum recombination" contract requires full dynamic range.
+    """
+    cls_max = jnp.max(jnp.where(eq, scores[:, None, :], NEG_INF), axis=2)
+    e = jnp.where(eq, jnp.exp(scores[:, None, :] - cls_max[:, :, None]), 0.0)
+    s = jnp.sum(e, axis=2)
+    return jnp.where(cls_max > NEG_INF / 2, jnp.log(s) + cls_max, NEG_INF)
 
 
 def _merge_topk(score, h1, h2, k):
