@@ -1,0 +1,117 @@
+"""TPU emission scoring for the classic word-conditioned search.
+
+The reference decouples NN forwarding from the host search with buffered
+batch scorers (src/Mm/BatchFeatureScorer.hh:34: addFeature()/flush() fill
+a device batch while feed() consumes the previous one;
+src/Speech/Recognizer.cc:272-281 drives the loop).  The TPU-native
+equivalent leans on JAX's async dispatch: `forward(utterance k+1)` is
+enqueued on the device BEFORE the host search consumes utterance k's
+already-materialized scores, so the chip computes posteriors strictly in
+the shadow of the host beam search — the double-buffered emission-batch
+design named as TPU target #2 in SURVEY.md §3.1.
+
+Emission score convention (negative log, as the search expects):
+
+    score[t, s] = -am_scale * (log p(s | x_t) - prior_scale * log p(s))
+
+i.e. scaled-prior-divided posteriors, the reference's hybrid scorer
+contract (src/Mm/Module.cc nn-precomputed-hybrid; prior estimation
+src/Nn/Prior.hh).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Iterable, Iterator, List, Optional, Tuple
+
+import numpy as np
+
+
+class HybridEmissionScorer:
+    """Batched, bucketed, double-buffered hybrid emission scoring."""
+
+    def __init__(self, model, params, log_priors: Optional[np.ndarray],
+                 prior_scale: float = 0.7, am_scale: float = 1.0,
+                 feat_bucket: int = 256):
+        import jax
+        import jax.numpy as jnp
+
+        self.model = model
+        # device-resident jit ARGUMENT, never a closure constant (the
+        # remote-compile tunnel rejects model-size embedded literals)
+        self.params = jax.device_put(params)
+        self.prior_scale = float(prior_scale)
+        self.am_scale = float(am_scale)
+        self.feat_bucket = int(feat_bucket)
+        if log_priors is not None:
+            lp = np.asarray(log_priors, np.float32)
+            self._prior = jnp.asarray(prior_scale * lp)
+        else:
+            self._prior = jnp.zeros((model.n_classes,), jnp.float32)
+        #: wall seconds the host spent BLOCKED on device results (the
+        #: non-overlapped remainder; total forward time is larger but
+        #: hidden under the search)
+        self.blocked_seconds = 0.0
+        self.utterances = 0
+
+        def fwd(p, prior, feats, lens):
+            logits, _ = model.apply({"params": p}, feats, lens,
+                                    deterministic=True)
+            post = jax.nn.log_softmax(logits, axis=-1)
+            return -self.am_scale * (post - prior[None, None, :])
+
+        self._fwd = jax.jit(fwd)
+        self._jnp = jnp
+
+    # -- single utterance -----------------------------------------------------
+
+    def _dispatch(self, feats: np.ndarray):
+        """Enqueue one utterance's forward; returns (device array, T)."""
+        jnp = self._jnp
+        x = np.asarray(feats, np.float32)
+        t = x.shape[0]
+        b = self.feat_bucket
+        t_pad = max(b, ((t + b - 1) // b) * b)
+        if t_pad != t:
+            x = np.pad(x, ((0, t_pad - t), (0, 0)))
+        out = self._fwd(self.params, self._prior, jnp.asarray(x)[None],
+                        jnp.asarray([t], jnp.int32))
+        return out, t
+
+    def _fetch(self, out, t: int) -> np.ndarray:
+        t0 = time.perf_counter()
+        scores = np.asarray(out[0, :t])
+        self.blocked_seconds += time.perf_counter() - t0
+        self.utterances += 1
+        return scores
+
+    def score(self, feats: np.ndarray) -> np.ndarray:
+        """(T, D) features -> (T, S) emission -log scores."""
+        return self._fetch(*self._dispatch(feats))
+
+    # -- pipelined corpus scoring ----------------------------------------------
+
+    def pipelined(self, feats_iter: Iterable[np.ndarray]
+                  ) -> Iterator[np.ndarray]:
+        """Yield emission matrices with one-utterance device lookahead:
+        while the caller (the host tree search) consumes utterance k,
+        utterance k+1's forward already runs on the chip."""
+        pending: Optional[Tuple[object, int]] = None
+        for feats in feats_iter:
+            nxt = self._dispatch(feats)
+            if pending is not None:
+                yield self._fetch(*pending)
+            pending = nxt
+        if pending is not None:
+            yield self._fetch(*pending)
+
+
+def estimate_log_priors(labels: np.ndarray, frames: np.ndarray,
+                        n_classes: int, floor: float = 1e-8) -> np.ndarray:
+    """Log state priors from frame-label counts (src/Nn/Prior.hh's
+    mean-posterior estimate, computed from the alignment instead)."""
+    counts = np.full((n_classes,), floor, np.float64)
+    for i in range(labels.shape[0]):
+        t = int(frames[i])
+        np.add.at(counts, labels[i, :t], 1.0)
+    return np.log(counts / counts.sum()).astype(np.float32)

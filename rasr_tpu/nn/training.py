@@ -267,6 +267,56 @@ def spec_augment(rng, feats, feat_lens, n_freq_masks: int = 2,
     return jnp.where(tmask[:, :, None], 0.0, out)
 
 
+class FrameCeTrainer(CtcTrainer):
+    """Frame-labeled cross-entropy training for hybrid NN-HMM acoustic
+    models (the reference's BufferedAlignedFeatureProcessor recipe,
+    src/Nn/BufferedFeatureExtractor.hh:38): batch = (feats (B, T, D),
+    feat_lens, frame labels (B, T) tied-state ids, label frame counts).
+    Reuses CtcTrainer's sharded step machinery; only the loss and the
+    posterior accessor differ (HybridConformerAm returns full-rate
+    logits, models/hybrid.py)."""
+
+    def _loss_fn(self, params, batch, dropout_rng):
+        feats, feat_lens, labels, label_frames = batch
+        logits, _ = self.model.apply(
+            {"params": params}, feats, feat_lens, deterministic=False,
+            rngs={"dropout": dropout_rng})
+        T = logits.shape[1]
+        valid = (jnp.arange(T)[None, :]
+                 < label_frames[:, None]).astype(jnp.float32)
+        lp = jax.nn.log_softmax(logits, axis=-1)
+        ce = -jnp.take_along_axis(lp, labels[..., None], axis=-1)[..., 0]
+        return jnp.sum(ce * valid) / jnp.maximum(jnp.sum(valid), 1.0)
+
+    def log_probs_fn(self) -> Callable:
+        """jitted (params, feats, lens) -> (frame log-posteriors, lens)."""
+        model = self.model
+
+        @jax.jit
+        def fn(params, feats, lens):
+            logits, out_lens = model.apply(
+                {"params": params}, feats, lens, deterministic=True)
+            return jax.nn.log_softmax(logits, axis=-1), out_lens
+
+        return fn
+
+    def frame_accuracy_fn(self) -> Callable:
+        """jitted (params, feats, lens, labels, frames) -> accuracy."""
+        model = self.model
+
+        @jax.jit
+        def fn(params, feats, lens, labels, frames):
+            logits, _ = model.apply({"params": params}, feats, lens,
+                                    deterministic=True)
+            pred = jnp.argmax(logits, axis=-1)
+            T = logits.shape[1]
+            valid = (jnp.arange(T)[None, :] < frames[:, None])
+            hits = jnp.sum((pred == labels) & valid)
+            return hits / jnp.maximum(jnp.sum(valid), 1)
+
+        return fn
+
+
 class PipelinedCtcTrainer:
     """CTC training with the conformer block stack pipeline-staged over a
     (stage, data) mesh (models.pipelined) — GPipe microbatching + data

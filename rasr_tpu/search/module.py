@@ -36,10 +36,13 @@ def _pruning(sa: Configuration):
 
 
 class GmmWordRecognizer:
-    """Classic GMM-HMM word recognition behind the SearchAlgorithmV2-ish
-    segment API: features buffer on put, the emission matrix is one
-    device GEMM at finish, then the host word-conditioned search runs
-    (the reference's AdvancedTreeSearch workflow, config 3)."""
+    """Classic word recognition behind the SearchAlgorithmV2-ish segment
+    API: features buffer on put, the emission matrix is one device
+    program at finish (GMM GEMM or hybrid NN forward), then the host
+    word-conditioned search runs (the reference's AdvancedTreeSearch
+    workflow, config 3).  `gmm` is any emission scorer with
+    `score(feats (T, D)) -> (T, S)` -log scores (mm.GmmScorer or
+    nn.hybrid_scorer.HybridEmissionScorer)."""
 
     def __init__(self, search, gmm):
         self._search = search
@@ -94,13 +97,74 @@ class GmmWordRecognizer:
         self.finish_segment()
         return " ".join(self._search.best_words())
 
+    def decode_pipelined(self, feats_iter):
+        """Decode a corpus stream with emission forwarding OVERLAPPED:
+        when the scorer supports `pipelined()` (the hybrid NN scorer),
+        utterance k+1's TPU forward runs while the host search consumes
+        utterance k — the reference's buffered-scorer feed loop
+        (src/Speech/Recognizer.cc:272-281).  Yields best-word lists."""
+        if hasattr(self._gmm, "pipelined"):
+            src = self._gmm.pipelined(feats_iter)
+        else:
+            src = (self._gmm.score(np.asarray(f, np.float32))
+                   for f in feats_iter)
+        for scores in src:
+            scores = np.asarray(scores)
+            self._search.reset()
+            self._search.set_lookahead_scores(scores)
+            if self._search.dynamic_beam is not None:
+                self._search.dynamic_beam.reset()
+            for t in range(scores.shape[0]):
+                self._search.feed(scores[t])
+            yield self._search.best_words()
+
     def create_lattice(self):
         return self._search.create_lattice()
 
 
+def _hybrid_emission_scorer(config: Configuration):
+    """HybridEmissionScorer from [model]: type=hybrid, checkpoint,
+    n-classes, d-model, n-layers, n-heads, feature-dim, priors-file,
+    prior-scale, am-scale — the NN acoustic model of BASELINE config 3
+    (reference hybrid scorers src/Nn/Module.cc:110-129)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..models.hybrid import HybridConformerAm
+    from ..nn.checkpoint import load_params
+    from ..nn.hybrid_scorer import HybridEmissionScorer
+    mc = config.sub("model")
+    ckpt = mc.get("checkpoint")
+    n_classes = int(mc.get("n-classes") or 0)
+    if not (ckpt and n_classes):
+        raise ValueError("model.checkpoint and model.n-classes required "
+                         "for the hybrid acoustic model")
+    model = HybridConformerAm(
+        n_classes=n_classes,
+        d_model=int(mc.get("d-model") or 384),
+        n_layers=int(mc.get("n-layers") or 8),
+        n_heads=int(mc.get("n-heads") or 4),
+        dtype=jnp.float32 if (mc.get("dtype") or "") == "float32"
+        else jnp.bfloat16)
+    dim = int(mc.get("feature-dim") or 80)
+    template = model.init(jax.random.PRNGKey(0),
+                          jnp.zeros((1, 8, dim)),
+                          jnp.asarray([8]))["params"]
+    params, _ = load_params(ckpt, template)
+    params = jax.tree_util.tree_map(
+        lambda x: jnp.asarray(x, jnp.bfloat16)
+        if np.asarray(x).dtype == np.float16 else x, params)
+    pf = mc.get("priors-file")
+    log_priors = np.loadtxt(pf, dtype=np.float32) if pf else None
+    return HybridEmissionScorer(
+        model, params, log_priors,
+        prior_scale=float(mc.get("prior-scale") or 0.7),
+        am_scale=float(mc.get("am-scale") or 1.0),
+        feat_bucket=int(mc.get("feature-bucket") or 256))
+
+
 def _gmm_word_recognizer(config: Configuration, model_combination):
     from ..am.acoustic_model import AcousticModel
-    from ..mm import GmmScorer, MixtureSet
     from .hmm_timesync import WordConditionedTreeSearch
     lexicon = model_combination.lexicon
     if lexicon is None:
@@ -108,11 +172,17 @@ def _gmm_word_recognizer(config: Configuration, model_combination):
     am = AcousticModel.create(config.sub("acoustic-model"), lexicon)
     ms_cfg = config.sub("mixture-set")
     ms_path = ms_cfg.get("file")
-    if not ms_path:
-        raise ValueError("mixture-set.file required for "
-                         "word-conditioned-tree-search")
-    gmm = GmmScorer(MixtureSet.read_pms(ms_path),
-                    mode=ms_cfg.get("mode") or "max")
+    if (config.sub("model").get("type") or "").lower() == "hybrid":
+        # hybrid NN-HMM: TPU conformer posteriors feed the same search
+        gmm = _hybrid_emission_scorer(config)
+    elif ms_path:
+        from ..mm import GmmScorer, MixtureSet
+        gmm = GmmScorer(MixtureSet.read_pms(ms_path),
+                        mode=ms_cfg.get("mode") or "max")
+    else:
+        raise ValueError("word-conditioned-tree-search needs an emission "
+                         "scorer: mixture-set.file (GMM) or [model] "
+                         "type=hybrid + checkpoint (NN)")
     sa = config.sub("search-algorithm")
     beam, _blank, thr, we_beam = _pruning(sa)
     lm = model_combination.language_model

@@ -1,0 +1,235 @@
+"""End-to-end hybrid NN-HMM recognition at CI scale (BASELINE config 3).
+
+Trains a tiny conformer frame classifier on the hybrid synthetic task's
+oracle alignments, then decodes unseen utterances with the classic
+word-conditioned tree search + ARPA LM, with TPU-style (here CPU)
+emission forwarding double-buffered against the host search — the full
+loop the reference realizes with BufferedAlignedFeatureProcessor +
+BatchFeatureScorer + AdvancedTreeSearch
+(/root/reference/src/Speech/Recognizer.cc:170-290,
+src/Mm/BatchFeatureScorer.hh:34).
+"""
+
+import textwrap
+
+import numpy as np
+import pytest
+
+from rasr_tpu.core.configuration import Configuration
+from rasr_tpu.data.synth_hybrid import HybridSynthTask
+
+
+@pytest.fixture(scope="module")
+def task():
+    # pair_ratio widened: CI proves the pipeline, not acoustic
+    # difficulty (the bench task keeps the confusable 1.035 ratio)
+    return HybridSynthTask(n_words=50, n_phonemes=10, branching=5,
+                           min_pron=3, max_pron=5, pair_ratio=1.3)
+
+
+@pytest.fixture(scope="module")
+def trained(task, tmp_path_factory):
+    """Train the tiny hybrid AM on oracle frame labels; returns
+    (ckpt path, priors path, model config dict, feature pipeline)."""
+    import jax
+    import jax.numpy as jnp
+
+    from rasr_tpu.models.hybrid import HybridConformerAm
+    from rasr_tpu.nn.checkpoint import save_params
+    from rasr_tpu.nn.hybrid_scorer import estimate_log_priors
+    from rasr_tpu.nn.training import (FrameCeTrainer, make_dynamic_optimizer,
+                                      warmup_cosine)
+    from rasr_tpu.parallel import make_mesh
+    from rasr_tpu.signal.dsp import MfccPipeline
+    from rasr_tpu.signal import dsp
+
+    tmp = tmp_path_factory.mktemp("hybrid")
+    pipe = MfccPipeline(sample_rate=16000, filter_width=70.0)
+
+    def feats_of(samples, num_frames, lengths=None):
+        x = dsp.preemphasis(samples.astype(jnp.float32), 1.0)
+        frames = dsp.frame_signal(x, pipe.length, pipe.shift, num_frames)
+        frames = dsp.apply_window(frames, "hamming")
+        amp = dsp.rfft_amplitude(frames, pipe.fft_len, pipe.fft_scale)
+        fb = dsp.apply_matrix(amp, pipe.mel_matrix)
+        logfb = dsp.log10(jnp.maximum(fb, 1e-6))
+        mask = None
+        if lengths is not None:
+            mask = (jnp.arange(num_frames)[None, :]
+                    < lengths[:, None]).astype(jnp.float32)
+        return dsp.normalize_segment(logfb, mask=mask)
+
+    seconds = 6.0
+    n = int(seconds * 16000)
+    audio, ns, labels, frames, _orths = task.batch(
+        seed=100, batch_size=48, max_seconds=seconds,
+        min_words=3, max_words=5)
+    pad = np.zeros((48, n), np.float32)
+    pad[:, :audio.shape[1]] = audio
+    t_feat = pipe.n_frames(n)
+    flens = np.asarray([min(pipe.n_frames(int(x)), t_feat) for x in ns],
+                       np.int32)
+    feats = np.asarray(jax.jit(
+        lambda s, l: feats_of(s, t_feat, l))(jnp.asarray(pad),
+                                             jnp.asarray(flens)))
+    lab = np.zeros((48, t_feat), np.int32)
+    lfr = np.minimum(frames, t_feat)
+    lab[:, :labels.shape[1]] = labels[:, :t_feat]
+
+    cfg = dict(n_classes=task.n_classes, d_model=32, n_layers=1, n_heads=2)
+    model = HybridConformerAm(**cfg, dtype=jnp.float32)
+    mesh = make_mesh(n_devices=1)
+    steps = 180
+    trainer = FrameCeTrainer(
+        model, mesh, optimizer=make_dynamic_optimizer(),
+        example_shape=(8, t_feat, pipe.n_filters),
+        lr_schedule=warmup_cosine(3e-3, 20, decay_steps=steps))
+    rng = np.random.default_rng(0)
+    for _ in range(steps):
+        idx = rng.integers(0, 48, size=8)
+        trainer.train_step(feats[idx], flens[idx], lab[idx], lfr[idx])
+    # gate on PHONEME-level accuracy: the 3 HMM states inside a phoneme
+    # differ only by a 5% formant shift, and the search traverses all 3
+    # states of the winning phoneme anyway, so state-level accuracy is
+    # a pessimistic (and irrelevant) readiness signal
+    lp, _ = trainer.log_probs_fn()(trainer.params, jnp.asarray(feats),
+                                   jnp.asarray(flens))
+    pred = np.argmax(np.asarray(lp), axis=-1)
+    valid = np.arange(t_feat)[None, :] < lfr[:, None]
+    pacc = ((pred // 3 == lab // 3) & valid).sum() / valid.sum()
+    assert pacc > 0.75, f"phoneme frame accuracy {pacc} too low to decode"
+
+    ckpt = str(tmp / "hybrid.msgpack")
+    save_params(ckpt, trainer.params)
+    priors = estimate_log_priors(lab, lfr, task.n_classes)
+    priors_path = str(tmp / "priors.txt")
+    np.savetxt(priors_path, priors)
+    arpa_path = str(tmp / "lm.arpa")
+    task.write_arpa(arpa_path, n_tokens=30_000, order=3)
+    return dict(ckpt=ckpt, priors=priors_path, arpa=arpa_path,
+                model_cfg=cfg, pipe=pipe, feats_of=feats_of, tmp=tmp)
+
+
+def _search_from_config(task, trained, extra=""):
+    from rasr_tpu.api import ModelCombination
+    from rasr_tpu.lm import ArpaLm, ScaledLanguageModel
+    from rasr_tpu.search.module import create_search_algorithm
+
+    conf_path = str(trained["tmp"] / "decode.config")
+    with open(conf_path, "w") as fh:
+        fh.write(textwrap.dedent(f"""\
+            [acoustic-model.state-tying]
+            type = monophone
+            [acoustic-model.tdp.*]
+            loop = 2.0
+            forward = 0.0
+            skip = 20.0
+            exit = 0.0
+            [acoustic-model.tdp.silence]
+            loop = 0.0
+            forward = 2.0
+            skip = infinity
+            exit = 4.0
+            [search-algorithm]
+            type = word-conditioned-tree-search
+            max-beam-size = 512
+            {extra}
+            [model]
+            type = hybrid
+            checkpoint = {trained['ckpt']}
+            n-classes = {task.n_classes}
+            d-model = {trained['model_cfg']['d_model']}
+            n-layers = {trained['model_cfg']['n_layers']}
+            n-heads = {trained['model_cfg']['n_heads']}
+            feature-dim = {trained['pipe'].n_filters}
+            priors-file = {trained['priors']}
+            prior-scale = 0.7
+            am-scale = 1.0
+            dtype = float32
+        """))
+    config = Configuration()
+    config.set_from_file(conf_path)
+    mc = ModelCombination(
+        lexicon=task.lexicon,
+        language_model=ScaledLanguageModel(ArpaLm(trained["arpa"]), 2.0))
+    return create_search_algorithm(config, mc)
+
+
+def _eval_feats(task, trained, n_utts, seed=777):
+    import jax
+    import jax.numpy as jnp
+    pipe, feats_of = trained["pipe"], trained["feats_of"]
+    rng = np.random.default_rng(seed)
+    out = []
+    for _ in range(n_utts):
+        audio, orth, _lab = task.utterance(rng, 3, 5)
+        t = pipe.n_frames(len(audio))
+        f = jax.jit(lambda s, nf=t: feats_of(s, nf))(
+            jnp.asarray(audio)[None])
+        out.append((np.asarray(f[0]), orth))
+    return out
+
+
+class TestHybridRecognizer:
+    def test_end_to_end_wer(self, task, trained):
+        """Unseen utterances decode to low WER through the config-built
+        hybrid recognizer (TPU AM emissions -> classic search + LM)."""
+        from rasr_tpu.bliss.evaluation import Evaluator
+        algo = _search_from_config(task, trained)
+        utts = _eval_feats(task, trained, 5)
+        ev = Evaluator("hybrid")
+        err = ref = 0
+        for feats, orth in utts:
+            hyp = algo.recognize_segment(feats)
+            counts = ev.evaluate(orth, hyp)
+            err += counts.errors
+            ref += counts.ref_len
+        wer = err / max(ref, 1)
+        assert wer < 0.25, f"hybrid end-to-end WER {wer}"
+
+    def test_pipelined_matches_serial(self, task, trained):
+        """decode_pipelined (double-buffered emissions) returns exactly
+        the serial per-segment results."""
+        algo = _search_from_config(task, trained)
+        utts = _eval_feats(task, trained, 3, seed=778)
+        serial = [algo.recognize_segment(f).split() for f, _o in utts]
+        piped = list(algo.decode_pipelined(f for f, _o in utts))
+        assert piped == serial
+        # overlap accounting exists and is sane
+        sc = algo._gmm
+        assert sc.utterances >= 3
+        assert sc.blocked_seconds >= 0.0
+
+    def test_priors_shift_scores(self, task, trained):
+        """prior-scale materially changes emission scores (the hybrid
+        scorer actually applies the prior division)."""
+        import jax.numpy as jnp  # noqa: F401
+        from rasr_tpu.search.module import _hybrid_emission_scorer
+        conf = Configuration()
+        conf_path = str(trained["tmp"] / "sc.config")
+        for ps, name in ((0.0, "a"), (1.0, "b")):
+            with open(conf_path, "w") as fh:
+                fh.write(textwrap.dedent(f"""\
+                    [model]
+                    type = hybrid
+                    checkpoint = {trained['ckpt']}
+                    n-classes = {task.n_classes}
+                    d-model = {trained['model_cfg']['d_model']}
+                    n-layers = {trained['model_cfg']['n_layers']}
+                    n-heads = {trained['model_cfg']['n_heads']}
+                    feature-dim = {trained['pipe'].n_filters}
+                    priors-file = {trained['priors']}
+                    prior-scale = {ps}
+                    dtype = float32
+                """))
+            c = Configuration()
+            c.set_from_file(conf_path)
+            if name == "a":
+                s0 = _hybrid_emission_scorer(c)
+            else:
+                s1 = _hybrid_emission_scorer(c)
+        utts = _eval_feats(task, trained, 1, seed=779)
+        e0 = s0.score(utts[0][0])
+        e1 = s1.score(utts[0][0])
+        assert e0.shape == e1.shape == (utts[0][0].shape[0], task.n_classes)
+        assert not np.allclose(e0, e1)
