@@ -1200,7 +1200,12 @@ class ForcedAlignmentNode(FlfNode):
         out.boundaries = np.asarray(bounds or [0], np.int32)
         out.final_states = np.asarray(finals, np.int32)
         out.final_scores = np.zeros((len(finals), D))
-        return out.connect()
+        out = out.connect()
+        if not len(out.final_states) or out.n_states == 0:
+            # reference sequence unreachable in this lattice
+            return FlfLattice(semiring=lat.semiring, n_states=1,
+                              words=lat.words)
+        return out
 
 
 @register_node("segment-builder")

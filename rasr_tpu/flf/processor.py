@@ -459,3 +459,4 @@ class FlfNetwork:
 # extended node tier (registration side effects; import last to avoid a
 # circular import — nodes.py uses register_node/FlfNode defined above)
 from . import nodes  # noqa: E402,F401
+from . import nodes_lp  # noqa: E402,F401

@@ -32,7 +32,17 @@ class HybridEmissionScorer:
 
     def __init__(self, model, params, log_priors: Optional[np.ndarray],
                  prior_scale: float = 0.7, am_scale: float = 1.0,
-                 feat_bucket: int = 256):
+                 feat_bucket: int = 256, frontend=None,
+                 n_frames_fn=None, frame_samples: int = 160):
+        """`frontend`, when given, fuses feature extraction into the
+        device program: a traceable (samples (B, N), num_frames static,
+        n_frames (B,)) -> (B, num_frames, D) feature function (the dsp
+        log-mel chain), so `score`/`pipelined` take RAW AUDIO and the
+        full front-end + AM forward runs as one XLA program per
+        utterance.  `n_frames_fn(n_samples) -> frame count` supplies the
+        window/shift frame convention (e.g. MfccPipeline.n_frames);
+        audio is padded to `feat_bucket * frame_samples`-sample buckets
+        so only a handful of program shapes compile."""
         import jax
         import jax.numpy as jnp
 
@@ -43,6 +53,7 @@ class HybridEmissionScorer:
         self.prior_scale = float(prior_scale)
         self.am_scale = float(am_scale)
         self.feat_bucket = int(feat_bucket)
+        self.frame_samples = int(frame_samples)
         if log_priors is not None:
             lp = np.asarray(log_priors, np.float32)
             self._prior = jnp.asarray(prior_scale * lp)
@@ -60,15 +71,37 @@ class HybridEmissionScorer:
             post = jax.nn.log_softmax(logits, axis=-1)
             return -self.am_scale * (post - prior[None, None, :])
 
-        self._fwd = jax.jit(fwd)
+        if frontend is None:
+            self._fwd = jax.jit(fwd)
+        else:
+            def fused(p, prior, samples, n_frames, num_frames):
+                feats = frontend(samples, num_frames, n_frames)
+                return fwd(p, prior, feats, n_frames)
+
+            self._fwd = jax.jit(fused, static_argnums=(4,))
+        self._frontend = frontend
+        self._n_frames_fn = n_frames_fn or (lambda n: n // frame_samples)
         self._jnp = jnp
 
     # -- single utterance -----------------------------------------------------
 
     def _dispatch(self, feats: np.ndarray):
-        """Enqueue one utterance's forward; returns (device array, T)."""
+        """Enqueue one utterance's forward; returns (device array, T).
+        With a fused frontend, `feats` is raw audio (N,) samples."""
         jnp = self._jnp
         x = np.asarray(feats, np.float32)
+        if self._frontend is not None:
+            n = x.shape[0]
+            t = self._n_frames_fn(n)
+            b = self.feat_bucket * self.frame_samples
+            n_pad = max(b, ((n + b - 1) // b) * b)
+            if n_pad != n:
+                x = np.pad(x, (0, n_pad - n))
+            t_pad = self._n_frames_fn(n_pad)
+            t = min(t, t_pad)
+            out = self._fwd(self.params, self._prior, jnp.asarray(x)[None],
+                            jnp.asarray([t], jnp.int32), t_pad)
+            return out, t
         t = x.shape[0]
         b = self.feat_bucket
         t_pad = max(b, ((t + b - 1) // b) * b)
