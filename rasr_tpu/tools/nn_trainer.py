@@ -154,6 +154,199 @@ class NnTrainerApp(Application):
         self.log("saved checkpoint -> %s (step %d)", ckpt, trainer.step)
         return 0
 
+    def _frame_model(self, dim: int):
+        """[model] for the segmentwise actions: `type = linear` (the
+        reference's legacy FFNN shape, src/Nn/NeuralNetwork.hh:37) or
+        `type = hybrid` (conformer frame AM, models/hybrid.py); returns
+        (model_apply(params, (T, D)) -> (T, S) log-posteriors, params,
+        save(params) hook)."""
+        import jax
+        import jax.numpy as jnp
+        from ..nn.checkpoint import load_params, save_params
+        m = self.config.sub("model")
+        n_classes = int(m.get("n-classes") or 0)
+        if not n_classes:
+            raise ValueError("model.n-classes required")
+        ckpt = m.get("checkpoint")
+        typ = (m.get("type") or "linear").lower()
+        if typ == "linear":
+            rng = np.random.default_rng(int(m.get("seed") or 0))
+            params = {"w": jnp.asarray(
+                0.1 * rng.standard_normal((dim, n_classes)), jnp.float32),
+                "b": jnp.zeros((n_classes,), jnp.float32)}
+            if ckpt:
+                params, _ = load_params(ckpt, params)
+
+            def apply(p, feats):
+                return jax.nn.log_softmax(feats @ p["w"] + p["b"], -1)
+        elif typ == "hybrid":
+            from ..models.hybrid import HybridConformerAm
+            model = HybridConformerAm(
+                n_classes=n_classes,
+                d_model=int(m.get("d-model") or 256),
+                n_layers=int(m.get("n-layers") or 6),
+                n_heads=int(m.get("n-heads") or 4),
+                dtype=jnp.float32)
+            params = model.init(jax.random.PRNGKey(0),
+                                jnp.zeros((1, 8, dim)),
+                                jnp.asarray([8]))["params"]
+            if ckpt:
+                params, _ = load_params(ckpt, params)
+
+            def apply(p, feats):
+                logits, _ = model.apply(
+                    {"params": p}, feats[None],
+                    jnp.asarray([feats.shape[0]], jnp.int32))
+                return jax.nn.log_softmax(logits[0], -1)
+        else:
+            raise ValueError(f"unknown model type {typ!r}")
+
+        def save(params, path):
+            save_params(path, jax.device_get(params))
+
+        return apply, params, save
+
+    def _segmentwise(self, update_mode: str) -> int:
+        """supervised-segmentwise-training / batch-estimation: lattice-
+        based discriminative training per the [sequence-training]
+        section (reference Nn::SegmentwiseNnTrainer via
+        src/Tools/NnTrainer/NnTrainer.cc:133-144)."""
+        import optax
+        from ..am.acoustic_model import AcousticModel
+        from ..nn.segmentwise_trainer import SegmentwiseNnTrainer
+        corpus = CorpusDescription(self.config.sub("corpus"))
+        lexicon = Lexicon(self.config.sub("lexicon"))
+        cache = FeatureCacheReader(
+            self.config.sub("feature-cache").get("path"))
+        am = AcousticModel.create(self.config.sub("acoustic-model"),
+                                  lexicon)
+        st = self.config.sub("sequence-training")
+        opt_cfg = self.config.sub("optimizer")
+        lr = float(opt_cfg.get("learning-rate") or 1e-4)
+        if (opt_cfg.get("type") or "adam").lower() == "rprop":
+            from ..nn.optim import rprop
+            optimizer = rprop(init_step=lr)
+        else:
+            optimizer = optax.adam(lr)
+        lm = None
+        if self.config.sub("lm").get("file"):
+            from ..lm import ArpaLm, ScaledLanguageModel
+            lm_cfg = self.config.sub("lm")
+            lm = ScaledLanguageModel(ArpaLm(lm_cfg.get("file")),
+                                     float(lm_cfg.get("scale") or 1.0))
+
+        first = None
+        for seg in corpus.segments():
+            try:
+                first = cache.features(seg.full_name)
+                break
+            except KeyError:
+                continue
+        if first is None:
+            raise ValueError("no features found for any segment")
+        apply, params, save = self._frame_model(first.shape[1])
+        trainer = SegmentwiseNnTrainer(
+            am, apply, params, optimizer,
+            criterion=(st.get("criterion") or "mmi").lower(),
+            am_scale=float(st.get("am-scale") or 1.0),
+            lm_scale=float(st.get("lm-scale") or 1.0),
+            frame_rejection_threshold=float(
+                st.get("frame-rejection-threshold") or 0.0),
+            beam_size=int(st.get("denominator-beam-size") or 128),
+            lm=lm, update_mode=update_mode)
+        epochs = int(self.config.sub("trainer").get("epochs") or 1)
+        for _epoch in range(epochs):
+            for seg in corpus.segments():
+                try:
+                    feats = cache.features(seg.full_name)
+                except KeyError:
+                    continue
+                trainer.process_segment(feats, seg.orth or "")
+        if update_mode == "batch":
+            trainer.estimate()
+        ckpt = self.config.sub("trainer").get("checkpoint") \
+            or "model.msgpack"
+        save(trainer.params, ckpt)
+        for k, v in trainer.stats.summary().items():
+            self.log("%s: %s", k, v)
+        self.log("saved checkpoint -> %s", ckpt)
+        return 0
+
+    def action_supervised_segmentwise_training(self) -> int:
+        return self._segmentwise("segment")
+
+    def action_batch_estimation(self) -> int:
+        return self._segmentwise("batch")
+
+    def action_unsupervised_training(self) -> int:
+        """Self-training without transcriptions: CTC pseudo-labels from
+        the current model's greedy decode supervise the next step (the
+        reference's unsupervised action trains from the un-labeled
+        buffered feature stream, src/Tools/NnTrainer/NnTrainer.cc:185;
+        pseudo-label self-training is its modern realization)."""
+        import jax.numpy as jnp
+        from ..nn.checkpoint import load_params, save_params
+        corpus = CorpusDescription(self.config.sub("corpus"))
+        lexicon = Lexicon(self.config.sub("lexicon"))
+        cache = FeatureCacheReader(
+            self.config.sub("feature-cache").get("path"))
+        t = self.config.sub("trainer")
+        batch_size = int(t.get("batch-size") or 8)
+        epochs = int(t.get("epochs") or 1)
+        data: List[np.ndarray] = []
+        for seg in corpus.segments():
+            try:
+                data.append(cache.features(seg.full_name))
+            except KeyError:
+                continue
+        if not data:
+            raise ValueError("no training data")
+        dim = data[0].shape[1]
+        model, trainer = self._model_and_trainer(dim, len(lexicon.lemmas))
+        resume = t.get("resume") or ""
+        if resume:
+            trainer.params, step = load_params(resume, trainer.params)
+            trainer.step = step
+        lp_fn = trainer.log_probs_fn()
+        data.sort(key=len)
+        trained = skipped = 0
+        for _epoch in range(epochs):
+            for start in range(0, len(data), batch_size):
+                chunk = data[start:start + batch_size]
+                dp = trainer.mesh.shape.get("data", 1)
+                while len(chunk) % dp:
+                    chunk = chunk + chunk[:dp - len(chunk) % dp]
+                pad_T = -(-max(len(f) for f in chunk) // 32) * 32
+                feats = np.zeros((len(chunk), pad_T, dim), np.float32)
+                fl = np.zeros((len(chunk),), np.int32)
+                for i, f in enumerate(chunk):
+                    feats[i, :len(f)] = f[:pad_T]
+                    fl[i] = min(len(f), pad_T)
+                lp, out_lens = lp_fn(trainer.params, jnp.asarray(feats),
+                                     jnp.asarray(fl))
+                hyp = np.asarray(lp).argmax(-1)
+                items = []
+                for i in range(len(chunk)):
+                    seq, prev = [], 0
+                    for u in hyp[i, :int(out_lens[i])]:
+                        if u != 0 and u != prev:
+                            seq.append(int(u))
+                        prev = u
+                    items.append((chunk[i], seq))
+                if all(not l for _f, l in items):
+                    skipped += 1
+                    continue
+                items = [(f, l if l else [1]) for f, l in items]
+                pad_L = max(len(l) for _f, l in items)
+                bf, bfl, bl, bll = _pad_batch(items, pad_T, pad_L)
+                trainer.train_step(bf, bfl, bl, bll)
+                trained += 1
+        ckpt = t.get("checkpoint") or "model.msgpack"
+        save_params(ckpt, trainer.params, step=trainer.step)
+        self.log("unsupervised: %d batches trained, %d skipped -> %s",
+                 trained, skipped, ckpt)
+        return 0
+
     def action_compute_priors(self) -> int:
         """Label priors by averaging model posteriors over the corpus
         (reference Nn::Prior, src/Nn/Prior.hh)."""
@@ -314,6 +507,10 @@ class NnTrainerApp(Application):
         action = self.config.get("action")
         dispatch = {
             "supervised-training": self.action_supervised_training,
+            "supervised-segmentwise-training":
+                self.action_supervised_segmentwise_training,
+            "batch-estimation": self.action_batch_estimation,
+            "unsupervised-training": self.action_unsupervised_training,
             "compute-priors": self.action_compute_priors,
             "combine-statistics": self.action_combine_statistics,
             "get-log-prior-from-mixture-set":
