@@ -39,6 +39,9 @@ class AdaptationAccumulator:
     # full second-moment per dimension for CMLLR: G_d = sum_t gamma_t(g)/var *
     # [1,x][1,x]^T accumulated directly:
     G: Optional[np.ndarray] = None  # (D, D+1, D+1) filled by CMLLR accumulate
+    # full per-Gaussian outer-product sums for semi-tied covariance
+    # estimation (accumulate_scatter; src/Mm/SemiTiedAdaptation.hh)
+    sum_xx: Optional[np.ndarray] = None  # (N, D, D)
 
     @classmethod
     def zeros(cls, dim: int, n_densities: int) -> "AdaptationAccumulator":
@@ -55,6 +58,23 @@ class AdaptationAccumulator:
         np.add.at(self.gamma, lab, w)
         np.add.at(self.sum_x, lab, x * w[:, None])
         np.add.at(self.sum_x2, lab, x * x * w[:, None])
+
+    def accumulate_scatter(self, features: np.ndarray,
+                           density_path: np.ndarray,
+                           weights: Optional[np.ndarray] = None) -> None:
+        """Additionally accumulate full (N, D, D) outer-product sums —
+        the statistics semi-tied covariance estimation needs on top of
+        the diagonal ones.  Call alongside (not instead of)
+        `accumulate`."""
+        if self.sum_xx is None:
+            self.sum_xx = np.zeros((self.n_densities, self.dim, self.dim))
+        x = np.asarray(features, dtype=np.float64)
+        lab = np.asarray(density_path)
+        ok = lab >= 0
+        x, lab = x[ok], lab[ok]
+        w = np.ones(len(x)) if weights is None else np.asarray(weights)[ok]
+        np.add.at(self.sum_xx, lab,
+                  x[:, :, None] * x[:, None, :] * w[:, None, None])
 
 
 def estimate_mllr_mean_transform(acc: AdaptationAccumulator,
@@ -151,6 +171,133 @@ def estimate_cmllr_transform(acc: AdaptationAccumulator,
 def apply_feature_transform(features: np.ndarray, W: np.ndarray) -> np.ndarray:
     """x' = A x + b for (T, D) features with W = [b | A]."""
     return features @ W[:, 1:].T + W[:, 0]
+
+
+def estimate_band_mllr_transform(acc: AdaptationAccumulator,
+                                 mixture_set: MixtureSet,
+                                 n_bands: int = 1,
+                                 min_occupancy: float = 100.0
+                                 ) -> Optional[np.ndarray]:
+    """Band-diagonal MLLR mean transform (reference BandMllrEstimator,
+    src/Mm/BandMllrAdaptation.cc:50-114, `mllr-bands` param): row d of
+    the (D, D+1) transform may use only the bias column and mean
+    components within `n_bands` of d — the per-row normal equations
+    shrink to the (2*n_bands+2) allowed indices, needing far less
+    adaptation data than full MLLR."""
+    if acc.gamma.sum() < min_occupancy:
+        return None
+    mean, var, _, _ = mixture_set.packed()
+    D = acc.dim
+    W = np.zeros((D, D + 1))
+    ext = np.concatenate([np.ones((len(mean), 1)), mean], axis=1)
+    for d in range(D):
+        gv = acc.gamma / var[:, d]
+        G = (ext.T * gv) @ ext
+        z = (acc.sum_x[:, d] / var[:, d]) @ ext
+        # allowed extended indices: bias (0) + band around d (1-based)
+        lo, hi = max(0, d - n_bands), min(D - 1, d + n_bands)
+        idx = np.concatenate([[0], np.arange(lo + 1, hi + 2)])
+        Gs = G[np.ix_(idx, idx)]
+        Gs += 1e-6 * np.eye(len(idx)) * max(np.trace(Gs) / len(idx),
+                                            1e-12)
+        W[d, idx] = np.linalg.solve(Gs, z[idx])
+    return W
+
+
+def estimate_semi_tied_transform(acc: AdaptationAccumulator,
+                                 mixture_set: MixtureSet,
+                                 iterations: int = 10,
+                                 row_iterations: int = 3,
+                                 min_occupancy: float = 100.0
+                                 ) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """Semi-tied covariance transform (Gales 1999; reference
+    SemiTiedEstimator, src/Mm/SemiTiedAdaptation.cc): one shared square
+    transform A for the class plus per-Gaussian diagonal variances.
+
+    Model: p(x | g) = |A| N(A x; A mu_g, diag(sigma_g^2)) — i.e. full
+    covariances Sigma_g = A^{-1} diag A^{-T} with a tied A.  Needs the
+    full per-Gaussian scatter (`acc.accumulate_scatter`); the update
+    alternates the closed-form diagonal variances
+    sigma^2_{g,i} = (A S_g A^T)_{ii} / gamma_g with the row-wise
+    cofactor update a_i = c_i G_i^{-1} sqrt(beta / c_i G_i^{-1} c_i^T),
+    G_i = sum_g gamma_g S_g / sigma^2_{g,i}.
+
+    Returns (A (D, D), new diagonal variances (N, D)); None without
+    enough observations or scatter statistics."""
+    if acc.sum_xx is None:
+        raise ValueError("semi-tied estimation needs full scatter "
+                         "statistics (accumulate_scatter)")
+    beta = float(acc.gamma.sum())
+    if beta < min_occupancy:
+        return None
+    mean, _var, _, _ = mixture_set.packed()
+    D = acc.dim
+    live = np.flatnonzero(acc.gamma > 1e-8)
+    # scatter around the MODEL means:
+    # S_g = sum_xx - mu sum_x^T - sum_x mu^T + gamma mu mu^T
+    S = np.zeros((len(live), D, D))
+    gam = acc.gamma[live]
+    for i, g in enumerate(live):
+        mu = mean[g]
+        S[i] = (acc.sum_xx[g] - np.outer(mu, acc.sum_x[g])
+                - np.outer(acc.sum_x[g], mu)
+                + acc.gamma[g] * np.outer(mu, mu))
+        # numerical floor keeps S_g positive semidefinite enough
+        S[i] += 1e-8 * np.trace(S[i]) / D * np.eye(D)
+
+    A = np.eye(D)
+    for _ in range(iterations):
+        # E-like step: diagonal variances under current A
+        AS = np.einsum("ij,gjk,lk->gil", A, S, A)          # (G, D, D)
+        sig2 = np.maximum(np.einsum("gii->gi", AS) / gam[:, None], 1e-10)
+        for _r in range(row_iterations):
+            for i in range(D):
+                G_i = np.einsum("g,gjk->jk", 1.0 / sig2[:, i], S)
+                # cofactor row of A (direction the det term pulls toward)
+                c = np.linalg.inv(A).T[i]
+                Gi_inv = np.linalg.inv(
+                    G_i + 1e-8 * np.trace(G_i) / D * np.eye(D))
+                cg = c @ Gi_inv
+                denom = float(cg @ c)
+                if denom <= 0:
+                    continue
+                A[i] = cg * math.sqrt(beta / denom)
+    AS = np.einsum("ij,gjk,lk->gil", A, S, A)
+    sig2 = np.maximum(np.einsum("gii->gi", AS) / gam[:, None], 1e-10)
+    new_vars = np.array(mixture_set.covariances, dtype=np.float64,
+                        copy=True)
+    new_vars[live] = sig2
+    return A, new_vars
+
+
+def semi_tied_objective(A: np.ndarray, gamma: np.ndarray,
+                        S: np.ndarray) -> float:
+    """Gales' auxiliary objective for a semi-tied transform (used by
+    the estimation tests): beta log|A| - 1/2 sum_g gamma_g sum_i
+    log((A S_g A^T)_ii / gamma_g)."""
+    live = np.flatnonzero(gamma > 1e-8)
+    beta = float(gamma.sum())
+    sign, logdet = np.linalg.slogdet(A)
+    if sign <= 0:
+        return -np.inf
+    AS = np.einsum("ij,gjk,lk->gil", A, S[live], A)
+    diag = np.maximum(np.einsum("gii->gi", AS)
+                      / gamma[live, None], 1e-12)
+    return beta * logdet - 0.5 * float(
+        (gamma[live, None] * np.log(diag)).sum())
+
+
+def apply_semi_tied_transform(mixture_set: MixtureSet, A: np.ndarray,
+                              new_vars: np.ndarray) -> MixtureSet:
+    """Adapted mixture set scoring in the transformed space: means
+    become A mu with the re-estimated diagonal variances; score
+    features as A x (+ the constant log|A| term, irrelevant to
+    classification/alignment argmax)."""
+    new_means = mixture_set.means @ A.T
+    return MixtureSet(mixture_set.dim, new_means,
+                      np.asarray(new_vars, np.float64),
+                      mixture_set.densities.copy(),
+                      [m for m in mixture_set.mixtures])
 
 
 # ---------------------------------------------------------------------------

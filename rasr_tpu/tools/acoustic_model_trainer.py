@@ -462,7 +462,7 @@ class AcousticModelTrainerApp(Application):
     # ModelTransformEstimator.cc; estimate-* accumulates statistics,
     # calculate-* solves the transform) ---------------------------------------
 
-    def _accumulate_adaptation(self):
+    def _accumulate_adaptation(self, scatter: bool = False):
         from ..mm.adaptation import AdaptationAccumulator
         am = self._load_am()
         tc = self._trainer_config()
@@ -477,6 +477,8 @@ class AcousticModelTrainerApp(Application):
                 acc = per_key[key] = AdaptationAccumulator.zeros(
                     feats.shape[1], ms.n_densities)
             acc.accumulate(feats, np.asarray(dens, np.int64))
+            if scatter:
+                acc.accumulate_scatter(feats, np.asarray(dens, np.int64))
         return ms, per_key
 
     @staticmethod
@@ -486,6 +488,8 @@ class AcousticModelTrainerApp(Application):
             arrays[f"{k}::gamma"] = acc.gamma
             arrays[f"{k}::sum_x"] = acc.sum_x
             arrays[f"{k}::sum_x2"] = acc.sum_x2
+            if acc.sum_xx is not None:
+                arrays[f"{k}::sum_xx"] = acc.sum_xx
         np.savez_compressed(path, **arrays)
 
     @staticmethod
@@ -503,6 +507,8 @@ class AcousticModelTrainerApp(Application):
         for acc in per_key.values():
             acc.n_densities, acc.dim = acc.sum_x.shape
             acc.G = None
+            if not hasattr(acc, "sum_xx"):
+                acc.sum_xx = None
         return per_key
 
     def action_estimate_affine_transform(self) -> int:
@@ -577,6 +583,72 @@ class AcousticModelTrainerApp(Application):
         out = tc.get("adaptation-accumulator-file") or "mllr.acc.npz"
         self._write_adaptation_accumulators(out, per_key)
         self.log("MLLR statistics for %d keys -> %s", len(per_key), out)
+        return 0
+
+    def action_calculate_band_adaptation(self) -> int:
+        """Band-diagonal MLLR transforms from the MLLR statistics
+        (reference BandMllrEstimator, src/Mm/BandMllrAdaptation.cc;
+        `mllr-bands` param)."""
+        from ..mm.adaptation import estimate_band_mllr_transform
+        tc = self._trainer_config()
+        ms = MixtureSet.read_pms(tc.get("old-mixture-set-file"))
+        per_key = self._read_adaptation_accumulators(
+            tc.get("adaptation-accumulator-file") or "mllr.acc.npz")
+        n_bands = int(tc.get("mllr-bands") or 1)
+        min_obs = float(tc.get("min-observations") or 100.0)
+        transforms = {k: estimate_band_mllr_transform(
+            acc, ms, n_bands=n_bands, min_occupancy=min_obs)
+            for k, acc in per_key.items()}
+        out = tc.get("adaptation-file") or "band_mllr.npz"
+        np.savez_compressed(out, **{k: v for k, v in transforms.items()
+                                    if v is not None})
+        self.log("band-MLLR (%d bands) transforms for %d keys -> %s",
+                 n_bands, len(transforms), out)
+        return 0
+
+    def action_estimate_semi_tied(self) -> int:
+        """Accumulate semi-tied covariance statistics (diagonal + full
+        per-density scatter; reference SemiTiedEstimator,
+        src/Mm/SemiTiedAdaptation.hh)."""
+        tc = self._trainer_config()
+        _ms, per_key = self._accumulate_adaptation(scatter=True)
+        out = tc.get("adaptation-accumulator-file") or "semitied.acc.npz"
+        self._write_adaptation_accumulators(out, per_key)
+        self.log("semi-tied statistics for %d keys -> %s",
+                 len(per_key), out)
+        return 0
+
+    def action_calculate_semi_tied(self) -> int:
+        """Semi-tied covariance transforms + re-estimated diagonal
+        variances from the scatter statistics (Gales 1999; reference
+        src/Mm/SemiTiedAdaptation.cc)."""
+        from ..mm.adaptation import (apply_semi_tied_transform,
+                                     estimate_semi_tied_transform)
+        tc = self._trainer_config()
+        ms = MixtureSet.read_pms(tc.get("old-mixture-set-file"))
+        per_key = self._read_adaptation_accumulators(
+            tc.get("adaptation-accumulator-file") or "semitied.acc.npz")
+        arrays = {}
+        applied = None
+        apply_key = tc.get("apply-key")
+        min_obs = float(tc.get("min-observations") or 100.0)
+        for k, acc in per_key.items():
+            res = estimate_semi_tied_transform(acc, ms,
+                                               min_occupancy=min_obs)
+            if res is None:
+                continue
+            A, new_vars = res
+            arrays[f"{k}::A"] = A
+            arrays[f"{k}::vars"] = new_vars
+            if apply_key == k:
+                applied = apply_semi_tied_transform(ms, A, new_vars)
+        out = tc.get("adaptation-file") or "semitied.npz"
+        np.savez_compressed(out, **arrays)
+        if applied is not None:
+            applied.write_pms(tc.get("new-mixture-set-file")
+                              or "semitied.pms")
+        self.log("semi-tied transforms for %d keys -> %s",
+                 len(arrays) // 2, out)
         return 0
 
     def action_calculate_adaptation(self) -> int:
@@ -867,6 +939,10 @@ class AcousticModelTrainerApp(Application):
                 self.action_score_affine_transform,
             "estimate-adaptation": self.action_estimate_adaptation,
             "calculate-adaptation": self.action_calculate_adaptation,
+            "calculate-band-adaptation":
+                self.action_calculate_band_adaptation,
+            "estimate-semi-tied": self.action_estimate_semi_tied,
+            "calculate-semi-tied": self.action_calculate_semi_tied,
             "convert-mixture-set": self.action_convert_mixture_set,
             "convert-mixture-set-to-mixture-set-estimator":
                 self.action_convert_to_estimator,

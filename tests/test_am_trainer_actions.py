@@ -174,6 +174,42 @@ class TestAdaptation:
                    old_mixture_set_file=f"{tmp_path}/m.pms",
                    affine_transform_file=f"{tmp_path}/cmllr.npz") == 0
 
+    def test_band_mllr_pipeline(self, setup):
+        tmp_path, config = setup
+        assert run(config, "estimate-adaptation",
+                   old_mixture_set_file=f"{tmp_path}/m.pms",
+                   adaptation_accumulator_file=f"{tmp_path}/m.npz") == 0
+        assert run(config, "calculate-band-adaptation",
+                   old_mixture_set_file=f"{tmp_path}/m.pms",
+                   adaptation_accumulator_file=f"{tmp_path}/m.npz",
+                   adaptation_file=f"{tmp_path}/band.npz",
+                   mllr_bands=1, min_observations=10) == 0
+        z = np.load(f"{tmp_path}/band.npz")
+        W = z[z.files[0]]
+        assert W.shape == (DIM, DIM + 1)
+        # band structure: zero outside bias + tri-diagonal band
+        for d in range(DIM):
+            for j in range(DIM):
+                if abs(j - d) > 1:
+                    assert W[d, j + 1] == 0.0
+
+    def test_semi_tied_pipeline(self, setup):
+        tmp_path, config = setup
+        assert run(config, "estimate-semi-tied",
+                   old_mixture_set_file=f"{tmp_path}/m.pms",
+                   adaptation_accumulator_file=f"{tmp_path}/st.npz") == 0
+        assert run(config, "calculate-semi-tied",
+                   old_mixture_set_file=f"{tmp_path}/m.pms",
+                   adaptation_accumulator_file=f"{tmp_path}/st.npz",
+                   adaptation_file=f"{tmp_path}/semitied.npz",
+                   min_observations=10) == 0
+        z = np.load(f"{tmp_path}/semitied.npz")
+        a_keys = [k for k in z.files if k.endswith("::A")]
+        assert a_keys
+        A = z[a_keys[0]]
+        assert A.shape == (DIM, DIM)
+        assert np.linalg.det(A) != 0
+
     def test_mllr_pipeline(self, setup):
         tmp_path, config = setup
         assert run(config, "estimate-adaptation",
