@@ -67,7 +67,15 @@ class HmmPrefixTree:
                                                     am.alphabet)
                 node = 0
                 for pid, allo in zip(phones, allos):
-                    nxt = self.nodes[node].children.get(pid)
+                    # key by the full allophone, not the phoneme: with
+                    # context-dependent tying, words sharing a phoneme
+                    # prefix can still differ in the last shared
+                    # phoneme's RIGHT context (b{a+c} vs b{a+d}) — a
+                    # phoneme-keyed tree would collapse them onto one
+                    # node's emissions (the reference's tree builders
+                    # key on allophones, src/Search/TreeBuilder.hh)
+                    key = (pid, allo.left, allo.right, allo.boundary)
+                    nxt = self.nodes[node].children.get(key)
                     if nxt is None:
                         is_sil = am.is_silence_phoneme(pid)
                         n_states = am.topology.n_states(is_sil)
@@ -79,7 +87,7 @@ class HmmPrefixTree:
                         self.nodes.append(HmmTreeNode(
                             phoneme=pid, emissions=emissions,
                             is_silence=is_sil))
-                        self.nodes[node].children[pid] = nxt
+                        self.nodes[node].children[key] = nxt
                     node = nxt
                 self.nodes[node].word_ends.append(
                     (lemma.id, lp.score, 0, True))

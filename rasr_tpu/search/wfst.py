@@ -28,17 +28,28 @@ from ..fsa.automaton import EPS, Automaton, compose, connect
 from ..lm.arpa import ArpaLm, SENTENCE_BEGIN, SENTENCE_END
 
 
-def lexicon_to_transducer(lexicon: Lexicon, token_of_phoneme=None
-                          ) -> Automaton:
+def lexicon_to_transducer(lexicon: Lexicon, token_of_phoneme=None,
+                          word_boundary_label: Optional[int] = None,
+                          include_silence: bool = False) -> Automaton:
     """Closed lexicon transducer L: input tokens, output lemma-id+1 on the
-    final arc of each pronunciation (0 is the epsilon label)."""
+    final arc of each pronunciation (0 is the epsilon label).
+
+    `word_boundary_label` puts an explicit marker token on the closure
+    arc back to the root instead of epsilon — the context-dependency
+    composition keys on it to reset triphone contexts at word ends
+    (reference ContextTransducerBuilder boundary handling).
+    `include_silence` adds the silence lemma's pronunciation as an
+    ordinary (LM-transparent) chain."""
     tok = token_of_phoneme or (lambda pid: pid - 1)
     L = Automaton()
     root = L.add_state()
     L.initial = root
     L.set_final(root)
+    closure = (EPS if word_boundary_label is None
+               else word_boundary_label)
     for lemma in lexicon.lemmas:
-        if lemma.special:
+        is_sil = lemma.special == "silence"
+        if lemma.special and not (include_silence and is_sil):
             continue
         for lp in lemma.pronunciations:
             tokens = [tok(p) for p in lp.pronunciation.phonemes]
@@ -46,13 +57,17 @@ def lexicon_to_transducer(lexicon: Lexicon, token_of_phoneme=None
                 continue
             state = root
             for i, t in enumerate(tokens):
-                nxt = root if False else L.add_state()
+                nxt = L.add_state()
                 last = i == len(tokens) - 1
-                L.add_arc(state, nxt, t,
-                          (lemma.id + 1) if last else EPS,
+                # silence is LM-transparent: epsilon output lets the
+                # chain pass composition at every G state (the
+                # reference adds silence self-loops to G)
+                out_label = (EPS if is_sil or not last
+                             else lemma.id + 1)
+                L.add_arc(state, nxt, t, out_label,
                           lp.score if last else 0.0)
                 state = nxt
-            L.add_arc(state, root, EPS, EPS, 0.0)
+            L.add_arc(state, root, closure, EPS, 0.0)
     return L
 
 
@@ -299,3 +314,289 @@ class WfstDecoder:
     def recognize(self, log_probs: np.ndarray, lexicon: Lexicon) -> List[str]:
         best = self.decode(log_probs)
         return [lexicon.lemmas[w].preferred_orth for w in best.words]
+
+
+# ---------------------------------------------------------------------------
+# context-dependency composition + HMM expansion (triphone C o L o G)
+# ---------------------------------------------------------------------------
+#
+# The reference's WFST module composes a context-dependency transducer C
+# with the lexicon/LM graph and decodes the allophone-level result
+# (src/Search/Wfst/ContextTransducerBuilder.cc).  Here the C-composition
+# is computed fused: expand_context() walks the phoneme-level L o G with
+# the classic one-phoneme-delayed context construction (state carries the
+# pending phoneme arc; its allophone resolves once the right neighbor is
+# known), producing the allophone-input C o L o G directly — same result
+# as materializing C and composing, without the intermediate blowup.
+# expand_hmm() then applies the HMM topology + TDPs per allophone arc
+# (the reference's H-level / TransitionModel::apply role).
+
+
+def build_clg(am, lm: Optional[ArpaLm] = None, lm_scale: float = 1.0,
+              include_silence: bool = True) -> Automaton:
+    """Allophone-input decoding graph C o (L o G) for the acoustic
+    model's lexicon: input = allophone index + 1 (am.alphabet), output
+    = lemma id + 1, weights = pronunciation + scaled LM scores."""
+    lex = am.lexicon
+    wb = len(lex.phoneme_inventory) + 1           # word-boundary marker
+    L = lexicon_to_transducer(lex, token_of_phoneme=lambda p: p,
+                              word_boundary_label=wb,
+                              include_silence=include_silence)
+    if lm is None:
+        LG = L
+    else:
+        G = arpa_to_automaton(lm, lex, scale=lm_scale)
+        LG = connect(compose(L, G))
+    return expand_context(LG, am, wb)
+
+
+def expand_context(LG: Automaton, am, wb_label: int) -> Automaton:
+    """Fused C-composition: phoneme-input L o G -> allophone-input
+    C o L o G with within-word triphone contexts and word-boundary
+    resets (the tree builder's allophone convention,
+    am/allophone.py allophones_of_pronunciation)."""
+    from ..am.allophone import IS_FINAL, IS_INITIAL, Allophone
+    inv = am.lexicon.phoneme_inventory
+
+    def ctx(pid: int) -> int:
+        if pid and pid <= len(inv) and not inv.by_id(pid).context_dependent:
+            return 0
+        return pid
+
+    out = Automaton()
+    # state key: (lg_state, left_ctx_of_pending, pending_arc_key or None,
+    #             pending_is_initial)
+    ids: Dict[Tuple, int] = {}
+    stack: List[Tuple] = []
+
+    def state(key: Tuple) -> int:
+        if key not in ids:
+            ids[key] = out.add_state()
+            stack.append(key)
+        return ids[key]
+
+    def allo_label(pid: int, left: int, right: int, initial: bool,
+                   final: bool) -> int:
+        if not inv.by_id(pid).context_dependent:
+            a = Allophone(pid, 0, 0,
+                          (IS_INITIAL if initial else 0)
+                          | (IS_FINAL if final else 0))
+        else:
+            a = Allophone(pid, ctx(left), ctx(right),
+                          (IS_INITIAL if initial else 0)
+                          | (IS_FINAL if final else 0))
+        return am.alphabet.index(a) + 1
+
+    init_key = (LG.initial, 0, None, True)
+    out.initial = state(init_key)
+    seen = set()
+    while stack:
+        key = stack.pop()
+        if key in seen:
+            continue
+        seen.add(key)
+        sid = ids[key]
+        lg_s, left, pending, p_init = key
+        if pending is None:
+            if lg_s in LG.final:
+                out.set_final(sid, LG.final[lg_s])
+            for arc in LG.arcs[lg_s]:
+                if arc.ilabel == EPS:
+                    out.add_arc(sid, state((arc.target, left, None, p_init)),
+                                EPS, arc.olabel, arc.weight)
+                elif arc.ilabel == wb_label:
+                    out.add_arc(sid, state((arc.target, 0, None, True)),
+                                EPS, arc.olabel, arc.weight)
+                else:
+                    # buffer the phoneme arc; emit once right ctx known
+                    state_key = (arc.target, left,
+                                 (arc.ilabel, arc.olabel, arc.weight),
+                                 p_init)
+                    out.add_arc(sid, state(state_key), EPS, EPS, 0.0)
+        else:
+            pid, p_out, p_w = pending
+            if lg_s in LG.final:
+                # pending phoneme is utterance-final: right ctx 0
+                lab = allo_label(pid, left, 0, p_init, True)
+                fin = state((lg_s, ctx(pid), "final", False))
+                out.add_arc(sid, fin, lab, p_out, p_w)
+                out.set_final(fin, LG.final[lg_s])
+            for arc in LG.arcs[lg_s]:
+                if arc.ilabel == EPS:
+                    out.add_arc(sid, state((arc.target, left, pending,
+                                            p_init)),
+                                EPS, arc.olabel, arc.weight)
+                elif arc.ilabel == wb_label:
+                    # pending phoneme is word-final
+                    lab = allo_label(pid, left, 0, p_init, True)
+                    mid = state((arc.target, 0, None, True))
+                    out.add_arc(sid, mid, lab, p_out, p_w + arc.weight)
+                else:
+                    lab = allo_label(pid, left, arc.ilabel, p_init, False)
+                    nxt = state((arc.target, ctx(pid),
+                                 (arc.ilabel, arc.olabel, arc.weight),
+                                 False))
+                    out.add_arc(sid, nxt, lab, p_out, p_w)
+    # drop "final" sentinel states from key space (they are plain states)
+    return connect(out)
+
+
+def expand_hmm(clg: Automaton, am) -> Automaton:
+    """H-level expansion: each allophone arc becomes its HMM state chain
+    with emission-class input labels and TDP loop/forward/skip weights
+    (reference TransitionModel::apply, src/Am/TransitionModel.hh:70).
+    Exit penalties ride on the chain-leaving arc."""
+    out = Automaton()
+    for _ in range(clg.n_states):
+        out.add_state()
+    out.initial = clg.initial
+    for s, w in clg.final.items():
+        out.set_final(s, w)
+    for s in range(clg.n_states):
+        for arc in clg.arcs[s]:
+            if arc.ilabel == EPS:
+                out.add_arc(s, arc.target, EPS, arc.olabel, arc.weight)
+                continue
+            allo = am.alphabet.allophone(arc.ilabel - 1)
+            is_sil = am.is_silence_phoneme(allo.central)
+            tdp = am.transitions.tdp_for(is_sil)
+            n_states = am.topology.n_states(is_sil)
+            reps = am.topology.state_repetitions
+            ems = [am.state_tying.emission_index(allo, q // reps) + 1
+                   for q in range(n_states)]
+            chain = [out.add_state() for _ in range(n_states)]
+            # entry (first emission consumed entering state 0)
+            out.add_arc(s, chain[0], ems[0], arc.olabel, arc.weight)
+            for q in range(n_states):
+                out.add_arc(chain[q], chain[q], ems[q], EPS, tdp.loop)
+                if q + 1 < n_states:
+                    out.add_arc(chain[q], chain[q + 1], ems[q + 1],
+                                EPS, tdp.forward)
+                    if q + 2 < n_states and math.isfinite(tdp.skip):
+                        out.add_arc(chain[q], chain[q + 2], ems[q + 2],
+                                    EPS, tdp.skip)
+            # leave the chain: exit penalty, epsilon (next chain's entry
+            # arc consumes the next emission)
+            out.add_arc(chain[-1], arc.target, EPS, EPS,
+                        tdp.forward + tdp.exit)
+    return out
+
+
+class HmmWfstDecoder:
+    """Time-synchronous Viterbi beam over a static emission-class
+    automaton (expand_hmm output): per frame every non-eps arc relaxes
+    with weight + emission score, then bounded epsilon closure; state-
+    level recombination (LM state lives in the graph, so Viterbi over
+    graph states is exact for a static G)."""
+
+    def __init__(self, graph: Automaton, beam_size: int = 1024,
+                 score_threshold: float = math.inf):
+        self.graph = graph
+        self.beam_size = beam_size
+        self.score_threshold = score_threshold
+        # CSR arc arrays for the hot loop
+        srcs, tgts, ils, ols, ws = [], [], [], [], []
+        for s in range(graph.n_states):
+            for a in graph.arcs[s]:
+                srcs.append(s)
+                tgts.append(a.target)
+                ils.append(a.ilabel)
+                ols.append(a.olabel)
+                ws.append(a.weight)
+        self._src = np.asarray(srcs, np.int64)
+        self._tgt = np.asarray(tgts, np.int64)
+        self._il = np.asarray(ils, np.int64)
+        self._ol = np.asarray(ols, np.int64)
+        self._w = np.asarray(ws, np.float64)
+        self._em_arcs = np.flatnonzero(self._il != EPS)
+        self._eps_arcs = np.flatnonzero(self._il == EPS)
+
+    def _eps_relax(self, pot: np.ndarray, back: np.ndarray,
+                   back_arc: np.ndarray) -> None:
+        """Bounded epsilon relaxation to fixpoint (graphs here have
+        acyclic eps structure plus word-return arcs)."""
+        for _ in range(64):
+            src = self._src[self._eps_arcs]
+            cand = pot[src] + self._w[self._eps_arcs]
+            tgt = self._tgt[self._eps_arcs]
+            better = cand < pot[tgt] - 1e-12
+            if not np.any(better):
+                break
+            ks = self._eps_arcs[better]
+            np.minimum.at(pot, tgt[better], cand[better])
+            win = (pot[self._tgt[ks]] ==
+                   (pot[self._src[ks]] + self._w[ks]))
+            back[self._tgt[ks[win]]] = self._src[ks[win]]
+            back_arc[self._tgt[ks[win]]] = ks[win]
+
+    def decode(self, scores: np.ndarray) -> Tuple[List[int], float]:
+        """(T, S) emission -log scores (1-based class = ilabel-1 maps to
+        column ilabel-1) -> (lemma ids, total score)."""
+        n = self.graph.n_states
+        INF = np.inf
+        pot = np.full(n, INF)
+        pot[self.graph.initial] = 0.0
+        # traceback: per (frame, state) winning arc
+        tb: List[np.ndarray] = []
+        back = np.full(n, -1, np.int64)
+        back_arc = np.full(n, -1, np.int64)
+        self._eps_relax(pot, back, back_arc)
+        tb_pre = (back.copy(), back_arc.copy())
+        ea = self._em_arcs
+        esrc, etgt = self._src[ea], self._tgt[ea]
+        eil, ew = self._il[ea], self._w[ea]
+        for t in range(scores.shape[0]):
+            em = scores[t]
+            cand = pot[esrc] + ew + em[eil - 1]
+            new_pot = np.full(n, INF)
+            np.minimum.at(new_pot, etgt, cand)
+            back = np.full(n, -1, np.int64)
+            back_arc = np.full(n, -1, np.int64)
+            win = cand == new_pot[etgt]
+            back[etgt[win]] = esrc[win]
+            back_arc[etgt[win]] = ea[win]
+            # beam pruning
+            finite = new_pot[np.isfinite(new_pot)]
+            if len(finite) > self.beam_size:
+                cut = np.partition(finite, self.beam_size)[self.beam_size]
+                new_pot[new_pot > cut] = INF
+            if math.isfinite(self.score_threshold) and len(finite):
+                new_pot[new_pot > finite.min()
+                        + self.score_threshold] = INF
+            pot = new_pot
+            self._eps_relax(pot, back, back_arc)
+            tb.append((back.copy(), back_arc.copy()))
+        finals = [(pot[s] + w, s) for s, w in self.graph.final.items()
+                  if np.isfinite(pot[s])]
+        if not finals:
+            return [], math.inf
+        total, state = min(finals)
+        # traceback: word outputs live only on emission (entry) arcs
+        # (expand_context puts outputs on resolving allophone arcs; eps
+        # arcs here are chain exits / LM backoffs / buffers, all eps-out)
+        words: List[int] = []
+
+        def unwind_eps(state, back, back_arc):
+            for _ in range(1 << 16):
+                k = back_arc[state]
+                if k < 0 or self._il[k] != EPS:
+                    return state
+                if self._ol[k] != EPS:
+                    words.append(int(self._ol[k]) - 1)
+                state = int(back[state])
+            raise RuntimeError("epsilon traceback cycle")
+
+        for back, back_arc in reversed(tb):
+            state = unwind_eps(state, back, back_arc)
+            k = back_arc[state]
+            if k >= 0:
+                if self._ol[k] != EPS:
+                    words.append(int(self._ol[k]) - 1)
+                state = int(back[state])
+        unwind_eps(state, *tb_pre)
+        words.reverse()
+        return words, float(total)
+
+    def recognize(self, scores: np.ndarray, lexicon) -> List[str]:
+        words, _ = self.decode(scores)
+        return [lexicon.lemmas[w].preferred_orth for w in words]
