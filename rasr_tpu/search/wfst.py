@@ -600,3 +600,104 @@ class HmmWfstDecoder:
     def recognize(self, scores: np.ndarray, lexicon) -> List[str]:
         words, _ = self.decode(scores)
         return [lexicon.lemmas[w].preferred_orth for w in words]
+
+
+class DynamicLmWfstDecoder:
+    """On-the-fly LM composition over the LM-free C o L graph
+    (reference src/Search/Wfst/DynamicLmFst.cc): the static graph holds
+    only lexicon + context-dependency + TDPs; hypotheses carry an LM
+    history and word outputs score through the LM as they appear, so
+    the G-expansion never materializes.  Exact for Viterbi because
+    recombination keys on (graph state, LM history)."""
+
+    def __init__(self, graph: Automaton, lm, lexicon,
+                 lm_scale: float = 1.0, beam_size: int = 2048,
+                 score_threshold: float = math.inf):
+        self.graph = graph
+        self.lm = lm
+        self.lm_scale = lm_scale
+        self.beam_size = beam_size
+        self.score_threshold = score_threshold
+        self._tokens = {}
+        for lemma in lexicon.lemmas:
+            st = lemma.syntactic_tokens
+            self._tokens[lemma.id] = st[0] if st else None
+
+    def decode(self, scores: np.ndarray) -> Tuple[List[int], float]:
+        lm = self.lm
+        hist0 = lm.initial_history()
+        # hyp: (state, hist) -> (score, words tuple)
+        beam: Dict[Tuple[int, object], Tuple[float, Tuple[int, ...]]] = {}
+
+        def relax(state, hist, score, words, out: Dict) -> None:
+            key = (state, hist)
+            prev = out.get(key)
+            if prev is None or score < prev[0]:
+                out[key] = (score, words)
+
+        def eps_closure(out: Dict) -> None:
+            stack = list(out.items())
+            while stack:
+                (state, hist), (score, words) = stack.pop()
+                cur = out.get((state, hist))
+                if cur is None or cur[0] < score - 1e-12:
+                    continue
+                for arc in self.graph.arcs[state]:
+                    if arc.ilabel != EPS:
+                        continue
+                    s2, h2, w2 = score + arc.weight, hist, words
+                    if arc.olabel != EPS:
+                        lemma_id = arc.olabel - 1
+                        tok = self._tokens.get(lemma_id)
+                        if tok is not None:
+                            s2 += self.lm_scale * lm.score(hist, tok)
+                            h2 = lm.extended_history(hist, tok)
+                        w2 = words + (lemma_id,)
+                    key = (arc.target, h2)
+                    prev = out.get(key)
+                    if prev is None or s2 < prev[0]:
+                        out[key] = (s2, w2)
+                        stack.append((key, (s2, w2)))
+
+        beam[(self.graph.initial, hist0)] = (0.0, ())
+        eps_closure(beam)
+        for t in range(scores.shape[0]):
+            em = scores[t]
+            new: Dict = {}
+            for (state, hist), (score, words) in beam.items():
+                for arc in self.graph.arcs[state]:
+                    if arc.ilabel == EPS:
+                        continue
+                    s2 = score + arc.weight + float(em[arc.ilabel - 1])
+                    h2, w2 = hist, words
+                    if arc.olabel != EPS:
+                        lemma_id = arc.olabel - 1
+                        tok = self._tokens.get(lemma_id)
+                        if tok is not None:
+                            s2 += self.lm_scale * lm.score(hist, tok)
+                            h2 = lm.extended_history(hist, tok)
+                        w2 = words + (lemma_id,)
+                    relax(arc.target, h2, s2, w2, new)
+            eps_closure(new)
+            if len(new) > self.beam_size or \
+                    math.isfinite(self.score_threshold):
+                items = sorted(new.items(), key=lambda kv: kv[1][0])
+                best = items[0][1][0] if items else 0.0
+                items = [kv for kv in items
+                         if kv[1][0] <= best + self.score_threshold]
+                new = dict(items[:self.beam_size])
+            beam = new
+        finals = []
+        for (state, hist), (score, words) in beam.items():
+            if state in self.graph.final:
+                end = self.lm_scale * lm.sentence_end_score(hist)
+                finals.append((score + self.graph.final[state] + end,
+                               words))
+        if not finals:
+            return [], math.inf
+        total, words = min(finals, key=lambda x: x[0])
+        return list(words), float(total)
+
+    def recognize(self, scores: np.ndarray, lexicon) -> List[str]:
+        words, _ = self.decode(scores)
+        return [lexicon.lemmas[w].preferred_orth for w in words]

@@ -153,3 +153,26 @@ class TestParityWithTreeSearch:
         scores = synth_triphone_emissions(ws, prons, am, rng)
         hyp = [w for w in dec.recognize(scores, lex) if w != "[SILENCE]"]
         assert hyp == [f"w{int(w)}" for w in ws]
+
+
+class TestDynamicLm:
+    def test_dynamic_lm_matches_static_g(self, setup):
+        """On-the-fly LM composition over C o L must equal the static
+        C o L o G decode (reference DynamicLmFst)."""
+        from rasr_tpu.search.wfst import DynamicLmWfstDecoder
+        lex, am, prons, lm, lang = setup
+        lm_scale = 2.0
+        static_dec = HmmWfstDecoder(
+            expand_hmm(build_clg(am, lm, lm_scale=lm_scale), am),
+            beam_size=4096)
+        dyn_dec = DynamicLmWfstDecoder(
+            expand_hmm(build_clg(am, None), am), lm, lex,
+            lm_scale=lm_scale, beam_size=4096)
+        rng = np.random.default_rng(31)
+        for _ in range(4):
+            ws = lang.sample_sentence(rng, 3, 5)
+            scores = synth_triphone_emissions(ws, prons, am, rng)
+            w_static, s_static = static_dec.decode(scores)
+            w_dyn, s_dyn = dyn_dec.decode(scores)
+            assert w_static == w_dyn
+            assert abs(s_static - s_dyn) < 1e-6
