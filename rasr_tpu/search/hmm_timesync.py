@@ -67,22 +67,26 @@ class HmmPrefixTree:
                                                     am.alphabet)
                 node = 0
                 for pid, allo in zip(phones, allos):
-                    # key by the full allophone, not the phoneme: with
-                    # context-dependent tying, words sharing a phoneme
-                    # prefix can still differ in the last shared
-                    # phoneme's RIGHT context (b{a+c} vs b{a+d}) — a
-                    # phoneme-keyed tree would collapse them onto one
-                    # node's emissions (the reference's tree builders
-                    # key on allophones, src/Search/TreeBuilder.hh)
-                    key = (pid, allo.left, allo.right, allo.boundary)
+                    # key by (phoneme, EMISSION CLASSES), not the bare
+                    # phoneme: with context-dependent tying, words
+                    # sharing a phoneme prefix can still differ in the
+                    # last shared phoneme's RIGHT context (b{a+c} vs
+                    # b{a+d}) — a phoneme-keyed tree would collapse
+                    # them onto one node's emissions.  Keying on the
+                    # tied classes keeps full sharing under monophone
+                    # tying (same classes -> same node) while splitting
+                    # exactly where the tying distinguishes contexts
+                    # (the reference's minimized tree builder merges on
+                    # equal state sequences, src/Search/TreeBuilder.hh)
+                    is_sil = am.is_silence_phoneme(pid)
+                    n_states = am.topology.n_states(is_sil)
+                    reps = am.topology.state_repetitions
+                    emissions = tuple(
+                        am.state_tying.emission_index(allo, s // reps)
+                        for s in range(n_states))
+                    key = (pid, emissions)
                     nxt = self.nodes[node].children.get(key)
                     if nxt is None:
-                        is_sil = am.is_silence_phoneme(pid)
-                        n_states = am.topology.n_states(is_sil)
-                        reps = am.topology.state_repetitions
-                        emissions = tuple(
-                            am.state_tying.emission_index(allo, s // reps)
-                            for s in range(n_states))
                         nxt = len(self.nodes)
                         self.nodes.append(HmmTreeNode(
                             phoneme=pid, emissions=emissions,
