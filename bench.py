@@ -169,7 +169,48 @@ def setup(quant: str = ""):
         greedy = jnp.argmax(lp, axis=-1)
         return labels, n_lab, scores, greedy, out_lens
 
-    return task, model, params, trained, pipe, decode, T_feat, N
+    # optional LM-fused decode path (scripts/train_unit_lm.py artifact):
+    # the whole shallow-fusion prefix beam + LSTM recurrence in one scan
+    decode_fused = None
+    lm_meta = None
+    lm_params = None
+    lm_path = os.path.join(ASSET_DIR, "unit_lm.msgpack")
+    lm_json = os.path.join(ASSET_DIR, "unit_lm.json")
+    if os.path.exists(lm_path) and os.path.exists(lm_json):
+        from rasr_tpu.lm.neural import LstmLmModel
+        from rasr_tpu.nn.checkpoint import load_params
+        from rasr_tpu.search.ctc_decode_lm import ctc_prefix_beam_lm
+        with open(lm_json) as fh:
+            lm_meta = json.load(fh)
+        lm_model = LstmLmModel(**lm_meta["model"])
+        lm_template = lm_model.init(jax.random.PRNGKey(0),
+                                    jnp.zeros((1, 4), jnp.int32))["params"]
+        lm_params, _ = load_params(lm_path, lm_template)
+        lm_params = jax.device_put(lm_params)
+        n_lm_layers = lm_meta["model"]["n_layers"]
+        bos_id = lm_meta["bos_id"]
+
+        @jax.jit
+        def decode_fused(params, lmp, samples, n_frames, lm_scale):
+            x = dsp.preemphasis(samples.astype(jnp.float32), 1.0)
+            frames = dsp.frame_signal(x, pipe.length, pipe.shift, T_feat)
+            frames = dsp.apply_window(frames, "hamming")
+            amp = dsp.rfft_amplitude(frames, pipe.fft_len, pipe.fft_scale)
+            fb = dsp.apply_matrix(amp, pipe.mel_matrix)
+            logfb = dsp.log10(jnp.maximum(fb, 1e-6))
+            mask = (jnp.arange(T_feat)[None, :]
+                    < n_frames[:, None]).astype(jnp.float32)
+            feats = dsp.normalize_segment(logfb, mask=mask)
+            logits, out_lens, _ = model.apply(
+                {"params": params}, feats, n_frames, deterministic=True)
+            lp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
+            labels, n_lab, scores = ctc_prefix_beam_lm(
+                lp, out_lens, lmp, bos_id=bos_id, n_layers=n_lm_layers,
+                lm_scale=lm_scale, beam=8, topk=16)
+            return labels, n_lab, scores
+
+    return (task, model, params, trained, pipe, decode, T_feat, N,
+            decode_fused, lm_params, lm_meta)
 
 
 def eval_wer(task, pipe, decode, params, T_feat, N, ev_batch=32,
@@ -214,7 +255,7 @@ def eval_wer(task, pipe, decode, params, T_feat, N, ev_batch=32,
     greedy_wer = score_wer(
         task.units_to_orth(collapse(greedy[i, :out_lens[i]]))
         for i in range(ev_batch))
-    return wer, greedy_wer, pad, flens
+    return wer, greedy_wer, pad, flens, orths
 
 
 def encoder_gflops(model, T_feat: int) -> float:
@@ -246,13 +287,51 @@ def main():
     import jax.numpy as jnp
 
     quant = os.environ.get("RASR_BENCH_QUANT", "")
-    task, model, params, trained, pipe, decode, T_feat, N = setup(quant)
+    (task, model, params, trained, pipe, decode, T_feat, N,
+     decode_fused, lm_params, lm_meta) = setup(quant)
 
     # -- quality gate: WER on the held-out eval stream at the hard
     # condition (nonzero operating point) -----------------------------------
     ev_batch = 32
-    wer, greedy_wer, pad, flens = eval_wer(task, pipe, decode, params,
-                                           T_feat, N, ev_batch)
+    wer, greedy_wer, pad, flens, orths = eval_wer(
+        task, pipe, decode, params, T_feat, N, ev_batch)
+
+    # -- LM-fused operating point: dev-calibrated shallow fusion must
+    # STRICTLY beat the greedy decode on the eval stream ---------------------
+    fused = {}
+    if decode_fused is not None:
+        import jax.numpy as _jnp
+        from rasr_tpu.bliss.evaluation import Evaluator
+
+        def fused_wer_of(pad_a, flens_a, orths_a, scale):
+            labels, n_lab, _ = decode_fused(
+                params, lm_params, _jnp.asarray(pad_a), flens_a,
+                _jnp.asarray(scale, _jnp.float32))
+            labels, n_lab = np.asarray(labels), np.asarray(n_lab)
+            ev = Evaluator("bench-fused")
+            err = ref = 0
+            for i, orth in enumerate(orths_a):
+                hyp = task.units_to_orth(
+                    [int(u) for u in labels[i, 0, :n_lab[i, 0]]])
+                counts = ev.evaluate(orth, hyp)
+                err += counts.errors
+                ref += counts.ref_len
+            return err / max(ref, 1)
+
+        # dev stream (disjoint seed) picks the fusion weight
+        _dw, _dg, dev_pad, dev_flens, dev_orths = eval_wer(
+            task, pipe, decode, params, T_feat, N, ev_batch,
+            seed=EVAL_SEED + 77)
+        best = None
+        for s in (0.2, 0.35, 0.5, 0.7):
+            dwer = fused_wer_of(dev_pad, dev_flens, dev_orths, s)
+            if best is None or dwer < best[1]:
+                best = (s, dwer)
+        lm_scale = best[0]
+        fused_wer = fused_wer_of(pad, flens, orths, lm_scale)
+        fused = {"fused_wer": round(fused_wer, 4),
+                 "fused_lm_scale": lm_scale,
+                 "lm_heldout_nll": lm_meta.get("heldout_nll")}
 
     # -- throughput (measured on the same hard-condition audio) -------------
     batch = 256
@@ -294,7 +373,24 @@ def main():
         "greedy_wer": round(greedy_wer, 4),
         "tflops": round(tflops, 1),
         "mfu": round(tflops / peak, 4),
+        **fused,
     }
+    if fused and decode_fused is not None:
+        # fused-path throughput on the same big batch
+        fout = decode_fused(params, lm_params, big, big_lens,
+                            jnp.asarray(fused["fused_lm_scale"],
+                                        jnp.float32))
+        jax.block_until_ready(fout)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            fout = decode_fused(params, lm_params, big, big_lens,
+                                jnp.asarray(fused["fused_lm_scale"],
+                                            jnp.float32))
+        jax.block_until_ready(fout)
+        fdt = time.perf_counter() - t0
+        result["fused_x_realtime"] = round(audio_seconds / fdt, 1)
+        result["fused_beats_greedy"] = bool(
+            result["fused_wer"] < result["greedy_wer"])
     print(json.dumps(result))
 
 

@@ -21,12 +21,13 @@ def main():
     import jax.numpy as jnp
     from rasr_tpu.models.quantized import (calibrate_activation_scales,
                                            quantize_params)
-    task, model, params, trained, pipe, decode, T_feat, N = bench.setup()
+    (task, model, params, trained, pipe, decode, T_feat, N,
+     _df, _lp, _lmm) = bench.setup()
     assert trained, "flagship checkpoint required"
     qparams = quantize_params(params, model.n_layers, keep_names=True)
 
     # features for a small hard-condition batch (the bench's condition)
-    _, _, pad, flens = bench.eval_wer(task, pipe, decode, params, T_feat,
+    _, _, pad, flens, _o = bench.eval_wer(task, pipe, decode, params, T_feat,
                                       N, ev_batch=32)
     import jax
     from rasr_tpu.signal import dsp

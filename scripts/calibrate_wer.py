@@ -18,12 +18,13 @@ import bench  # noqa: E402
 def main():
     snrs = [float(a) for a in sys.argv[1:]] or [None, 20.0, 15.0, 10.0,
                                                 8.0, 5.0, 3.0, 0.0]
-    task, model, params, trained, pipe, decode, T_feat, N = bench.setup()
+    (task, model, params, trained, pipe, decode, T_feat, N,
+     _df, _lp, _lmm) = bench.setup()
     print(f"flagship trained={trained}")
     for snr in snrs:
         for warp in [(0.92, 1.08)] if snr is not None else [(0.96, 1.04)]:
             cond = dict(snr_db=snr, noise="babble", warp_range=warp)
-            wer, greedy_wer, _, _ = bench.eval_wer(
+            wer, greedy_wer, _, _, _o = bench.eval_wer(
                 task, pipe, decode, params, T_feat, N, ev_batch=32,
                 condition=cond)
             print(f"snr={snr} warp={warp}: beam WER={wer:.4f} "

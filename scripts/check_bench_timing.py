@@ -27,9 +27,10 @@ def main() -> int:
     import jax
     import jax.numpy as jnp
 
-    task, model, params, trained, pipe, decode, T_feat, N = bench.setup("")
+    (task, model, params, trained, pipe, decode, T_feat, N,
+     _df, _lp, _lmm) = bench.setup("")
     ev_batch = 32
-    wer, greedy_wer, pad, flens = bench.eval_wer(
+    wer, greedy_wer, pad, flens, _o = bench.eval_wer(
         task, pipe, decode, params, T_feat, N, ev_batch)
     batch = 256
     rng = np.random.default_rng(0)
