@@ -332,6 +332,16 @@ def main():
         fused = {"fused_wer": round(fused_wer, 4),
                  "fused_lm_scale": lm_scale,
                  "lm_heldout_nll": lm_meta.get("heldout_nll")}
+        # second, harder condition (babble 25 dB): fused stays nonzero
+        # here, so the LM-in-search win is visible away from saturation
+        h_wer, h_greedy, h_pad, h_flens, h_orths = eval_wer(
+            task, pipe, decode, params, T_feat, N, ev_batch,
+            condition=dict(EVAL_CONDITION, snr_db=25.0))
+        h_fused = fused_wer_of(h_pad, h_flens, h_orths, lm_scale)
+        fused["hard2_snr_db"] = 25.0
+        fused["hard2_wer"] = round(h_wer, 4)
+        fused["hard2_greedy_wer"] = round(h_greedy, 4)
+        fused["hard2_fused_wer"] = round(h_fused, 4)
 
     # -- throughput (measured on the same hard-condition audio) -------------
     batch = 256

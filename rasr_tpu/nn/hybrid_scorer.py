@@ -138,6 +138,62 @@ class HybridEmissionScorer:
         if pending is not None:
             yield self._fetch(*pending)
 
+    def _dispatch_batch(self, batch: List[np.ndarray]):
+        """Enqueue a bucket-padded multi-utterance forward (one device
+        program for the whole batch — the reference's BatchFeatureScorer
+        amortizes the NN call the same way, src/Mm/BatchFeatureScorer.hh:
+        34; on a remote-tunneled device this also amortizes the per-call
+        round-trip latency).  Returns (device array, lengths)."""
+        jnp = self._jnp
+        if self._frontend is not None:
+            ns = [x.shape[0] for x in batch]
+            ts = [self._n_frames_fn(n) for n in ns]
+            b = self.feat_bucket * self.frame_samples
+            n_pad = max(b, ((max(ns) + b - 1) // b) * b)
+            x = np.zeros((len(batch), n_pad), np.float32)
+            for i, a in enumerate(batch):
+                x[i, :len(a)] = a
+            t_pad = self._n_frames_fn(n_pad)
+            ts = [min(t, t_pad) for t in ts]
+            out = self._fwd(self.params, self._prior, jnp.asarray(x),
+                            jnp.asarray(ts, jnp.int32), t_pad)
+            return out, ts
+        ts = [x.shape[0] for x in batch]
+        bkt = self.feat_bucket
+        t_pad = max(bkt, ((max(ts) + bkt - 1) // bkt) * bkt)
+        x = np.zeros((len(batch), t_pad, batch[0].shape[1]), np.float32)
+        for i, f in enumerate(batch):
+            x[i, :len(f)] = f
+        out = self._fwd(self.params, self._prior, jnp.asarray(x),
+                        jnp.asarray(ts, jnp.int32))
+        return out, ts
+
+    def score_batch(self, inputs: List[np.ndarray], batch_size: int = 32
+                    ) -> Iterator[np.ndarray]:
+        """Score a corpus with bucket-batched forwards, all dispatched
+        up front (async) so the chip runs ahead of the host search;
+        yields per-utterance (T, S) matrices in the input order."""
+        order = sorted(range(len(inputs)), key=lambda i: len(inputs[i]))
+        chunks = [order[i:i + batch_size]
+                  for i in range(0, len(order), batch_size)]
+        pend = [(idx, self._dispatch_batch([inputs[i] for i in idx]))
+                for idx in chunks]
+        results: dict = {}
+        pos = 0
+        for idx, (out, ts) in pend:
+            t0 = time.perf_counter()
+            arr = np.asarray(out)
+            self.blocked_seconds += time.perf_counter() - t0
+            for j, i in enumerate(idx):
+                results[i] = arr[j, :ts[j]]
+                self.utterances += 1
+            while pos < len(inputs) and pos in results:
+                yield results.pop(pos)
+                pos += 1
+        while pos < len(inputs):
+            yield results.pop(pos)
+            pos += 1
+
 
 def estimate_log_priors(labels: np.ndarray, frames: np.ndarray,
                         n_classes: int, floor: float = 1e-8) -> np.ndarray:

@@ -229,7 +229,10 @@ def decode_set(task, search, scorer, seeds, min_w, max_w, snr_db=None):
     scorer.blocked_seconds = 0.0
     t0 = time.perf_counter()
     hyps = []
-    for scores in scorer.pipelined(a for a, _o in utts):
+    # bucket-batched forwards, all dispatched up front: one device
+    # program per ~32 utterances amortizes the remote-call latency
+    # (BatchFeatureScorer semantics) while the host search drains
+    for scores in scorer.score_batch([a for a, _o in utts]):
         search.reset()
         search.set_lookahead_scores(scores)
         if search.dynamic_beam is not None:

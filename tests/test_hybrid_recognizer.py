@@ -233,3 +233,36 @@ class TestHybridRecognizer:
         e1 = s1.score(utts[0][0])
         assert e0.shape == e1.shape == (utts[0][0].shape[0], task.n_classes)
         assert not np.allclose(e0, e1)
+
+
+class TestScoreBatch:
+    def test_batch_matches_serial(self, task, trained):
+        """score_batch (bucket-batched forwards) returns the same
+        emission matrices as per-utterance score()."""
+        from rasr_tpu.search.module import _hybrid_emission_scorer
+        import textwrap
+        conf_path = str(trained["tmp"] / "sb.config")
+        with open(conf_path, "w") as fh:
+            fh.write(textwrap.dedent(f"""\
+                [model]
+                type = hybrid
+                checkpoint = {trained['ckpt']}
+                n-classes = {task.n_classes}
+                d-model = {trained['model_cfg']['d_model']}
+                n-layers = {trained['model_cfg']['n_layers']}
+                n-heads = {trained['model_cfg']['n_heads']}
+                feature-dim = {trained['pipe'].n_filters}
+                priors-file = {trained['priors']}
+                dtype = float32
+            """))
+        from rasr_tpu.core.configuration import Configuration
+        c = Configuration()
+        c.set_from_file(conf_path)
+        sc = _hybrid_emission_scorer(c)
+        utts = _eval_feats(task, trained, 4, seed=780)
+        feats = [f for f, _o in utts]
+        serial = [sc.score(f) for f in feats]
+        batched = list(sc.score_batch(feats, batch_size=3))
+        assert len(batched) == len(serial)
+        for a, b in zip(serial, batched):
+            np.testing.assert_allclose(a, b, atol=2e-4)
