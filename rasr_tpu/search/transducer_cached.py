@@ -187,6 +187,37 @@ class CachedTransducerDecoder(TransducerBeamSearch):
             self._segment_nbest = self._decode_encoded(enc, out_lens)
             self._segment_result = list(self._segment_nbest[0].labels)
 
+    def recognize_batch(self, features: np.ndarray, lengths: np.ndarray,
+                        n_best: int = 1
+                        ) -> List[List[TransducerHypothesis]]:
+        """Corpus-batched decode: (B, T, D) features + (B,) lengths ->
+        per-utterance hypothesis lists, best first.  One encoder program
+        + one device beam program for the whole batch, so every
+        utterance decodes from the SAME padded encoder states a batched
+        greedy pass would see (at bf16, per-utterance re-padding shifts
+        encoder rounding enough to flip near-boundary tokens — batched
+        evaluation removes that confound and amortizes device calls)."""
+        x = np.asarray(features, np.float32)
+        B, t = x.shape[0], x.shape[1]
+        t_pad = max(128, ((t + 127) // 128) * 128)
+        if t_pad != t:
+            x = np.pad(x, ((0, 0), (0, t_pad - t), (0, 0)))
+        enc, out_lens = self._encode(
+            jnp.asarray(x), jnp.asarray(lengths, jnp.int32))
+        if self._device_search is not None:
+            labels, n_lab, scores = self._device_search(self.params, enc,
+                                                        out_lens)
+            labels, n_lab = np.asarray(labels), np.asarray(n_lab)
+            scores = np.asarray(scores)
+            return [[TransducerHypothesis(
+                        tuple(int(u) for u in labels[i, k, :n_lab[i, k]]),
+                        float(scores[i, k]))
+                     for k in range(min(n_best, labels.shape[1]))
+                     if scores[i, k] < _DEAD_SCORE]
+                    for i in range(B)]
+        return [self.decode(np.asarray(enc[i]),
+                            int(out_lens[i]))[:n_best] for i in range(B)]
+
     def decode_many_steps(self) -> int:
         return 0        # frame-sync decode runs whole-segment at finish
 
