@@ -199,7 +199,10 @@ class CachedTransducerDecoder(TransducerBeamSearch):
         evaluation removes that confound and amortizes device calls)."""
         x = np.asarray(features, np.float32)
         B, t = x.shape[0], x.shape[1]
-        t_pad = max(128, ((t + 127) // 128) * 128)
+        # keep the caller's time padding exactly (pad only to the 4x
+        # subsample factor): re-padding would change encoder rounding
+        # at bf16 — the confound recognize_batch exists to remove
+        t_pad = ((t + 3) // 4) * 4
         if t_pad != t:
             x = np.pad(x, ((0, 0), (0, t_pad - t), (0, 0)))
         enc, out_lens = self._encode(

@@ -103,3 +103,39 @@ def test_transducer_framesync_from_config(trained_ckpt, tmp_path):
     # n-best surface exposes the final beam
     nb = algo.recognize_segment_n_best(feats[0], 2)
     assert nb and nb[0][0] == " ".join(str(v) for v in LABELS[0])
+
+
+def test_recognize_batch_matches_per_segment(trained_ckpt, tmp_path):
+    """Corpus-batched decoding (one encoder + one device beam program)
+    returns the same best hypotheses as the per-segment API."""
+    ckpt, feats, _loss = trained_ckpt
+    path = tmp_path / "batch.config"
+    path.write_text(textwrap.dedent(f"""\
+        [search-algorithm]
+        type = transducer-framesync
+        beam-size = 4
+        blank-label-index = 0
+        max-symbols-per-frame = 3
+
+        [model]
+        type = transducer
+        checkpoint = {ckpt}
+        vocab-size = 8
+        d-model = 32
+        encoder-layers = 1
+        pred-hidden = 32
+        joint-dim = 32
+        n-heads = 2
+        feature-dim = 8
+        dtype = float32
+    """))
+    cfg = Configuration()
+    cfg.set_from_file(str(path))
+    algo = SearchAlgorithm(cfg)
+    lens = np.full((B,), 30, np.int32)
+    nbest = algo._search.recognize_batch(feats, lens, n_best=2)
+    assert len(nbest) == B
+    for b in range(B):
+        assert list(nbest[b][0].labels) == list(LABELS[b])
+        per_seg = algo.recognize_segment(feats[b])
+        assert per_seg == " ".join(str(v) for v in nbest[b][0].labels)
