@@ -219,13 +219,15 @@ def decode_set(task, search, scorer, seeds, min_w, max_w, snr_db=None):
     ev = Evaluator("hybrid")
     err = ref_len = 0
     stats_sum = {}
-    # warm every distinct bucket shape OUTSIDE the timed loop: XLA
+    # warm every device program shape OUTSIDE the timed loop: XLA
     # compiles are a one-time cost per shape (cached on disk), not
     # decode work — the reference pays tree/LM image builds the same
-    # way (MappedArchive caches, PersistentStateTree)
-    b = scorer.feat_bucket * scorer.frame_samples
-    for n_pad in sorted({max(b, -(-len(a) // b) * b) for a, _o in utts}):
-        scorer.score(np.zeros(n_pad, np.float32))
+    # way (MappedArchive caches, PersistentStateTree).  score_batch
+    # buckets by length, so running it once over silent audio of the
+    # same lengths compiles exactly the shapes the timed loop uses.
+    for _ in scorer.score_batch([np.zeros(len(a), np.float32)
+                                 for a, _o in utts]):
+        pass
     scorer.blocked_seconds = 0.0
     t0 = time.perf_counter()
     hyps = []
