@@ -182,6 +182,32 @@ class CachedAedDecoder:
     # like the reference's encoder-decoder scorers (built by Nn::Module
     # from config, /root/reference/src/Nn/Module.cc:132-218)
 
+    def recognize_batch(self, features: np.ndarray, lengths: np.ndarray,
+                        n_best: int = 1) -> List[List[CachedAedResult]]:
+        """Corpus-batched label-sync decode: (B, T, D) features + (B,)
+        lengths -> per-utterance result lists, best first.  One encoder
+        program + one device beam program for the whole batch; the
+        caller's time dimension passes through unchanged (re-padding
+        would compile a different XLA program with different bf16
+        rounding than a batched greedy baseline would see)."""
+        if self._device_search is None:
+            raise NotImplementedError("recognize_batch needs the device "
+                                      "beam (device_beam=True)")
+        x = np.asarray(features, np.float32)
+        B = x.shape[0]
+        enc, enc_mask = self._encode(jnp.asarray(x),
+                                     jnp.asarray(lengths, jnp.int32))
+        labels, n_lab, scores = self._device_search(self.params, enc,
+                                                    enc_mask)
+        labels, n_lab = np.asarray(labels), np.asarray(n_lab)
+        scores = np.asarray(scores)
+        return [[CachedAedResult(
+                    [int(u) for u in labels[i, k, :n_lab[i, k]]],
+                    float(scores[i, k]))
+                 for k in range(min(n_best, labels.shape[1]))
+                 if scores[i, k] < 1e29]
+                for i in range(B)]
+
     def enter_segment(self) -> None:
         self._segment_result: List[int] = []
         self._segment_features: Optional[np.ndarray] = None

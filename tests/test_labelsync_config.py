@@ -108,6 +108,25 @@ class TestLexiconfreeLabelsyncFromConfig:
             assert out == " ".join(str(v) for v in LABELS[b]), \
                 f"utt {b}: {out!r}"
 
+    def test_recognize_batch_matches_per_segment(self, trained_ckpt,
+                                                 tmp_path):
+        """Corpus-batched device beam == per-segment results."""
+        import numpy as np
+        ckpt, feats, _loss = trained_ckpt
+        cfg = _config(f"""\
+            [search-algorithm]
+            type = lexiconfree-labelsync
+            beam-size = 4
+            max-labels = 8
+            sentence-end-index = 0
+        """ + MODEL_SECTION.format(ckpt=ckpt), tmp_path)
+        algo = SearchAlgorithm(cfg)
+        lens = np.full((B,), feats.shape[1], np.int32)
+        nbest = algo._search.recognize_batch(np.asarray(feats), lens)
+        assert len(nbest) == B
+        for b in range(B):
+            assert list(nbest[b][0].labels) == list(LABELS[b])
+
 
 LEXICON_XML = textwrap.dedent("""\
     <lexicon>
