@@ -279,6 +279,90 @@ def _wfst_search(config: Configuration, model_combination, scorer):
     return WfstRecognizer(decoder, scorer, model_combination.lexicon)
 
 
+class WfstHmmRecognizer:
+    """Segment facade over the static C o L o G HMM decoders (the
+    reference's expanding-fsa-search, src/Search/Module.cc:39-132):
+    features buffer on put, the emission matrix comes from the
+    configured scorer (GMM / hybrid NN) — or the features ARE
+    precomputed emission scores when no scorer is configured
+    (nn-precomputed-hybrid mode) — and the graph Viterbi runs at
+    finish."""
+
+    def __init__(self, decoder, scorer, lexicon):
+        self._decoder = decoder
+        self._scorer = scorer
+        self._lexicon = lexicon
+        self._feats = None
+        self._result: List[str] = []
+
+    def enter_segment(self) -> None:
+        self._feats = None
+        self._result = []
+
+    def put_features(self, features) -> None:
+        f = np.asarray(features, np.float32)
+        self._feats = f if self._feats is None else             np.concatenate([self._feats, f])
+
+    def put_feature(self, feature) -> None:
+        self.put_features(np.asarray(feature, np.float32)[None])
+
+    def finish_segment(self) -> None:
+        if self._feats is None:
+            return
+        scores = (self._scorer.score(self._feats)
+                  if self._scorer is not None else self._feats)
+        self._result = [w for w in
+                        self._decoder.recognize(scores, self._lexicon)]
+
+    def best_words(self) -> List[str]:
+        return list(self._result)
+
+    def recognize_segment(self, features) -> str:
+        self.enter_segment()
+        self.put_features(features)
+        self.finish_segment()
+        return " ".join(self._result)
+
+
+def _wfst_hmm_search(config: Configuration, model_combination):
+    """expanding-fsa-search: triphone C o L o G build + H-level TDP
+    expansion + static-graph Viterbi; `lm-composition = dynamic` keeps
+    the graph LM-free and composes the LM on the fly
+    (reference src/Search/Wfst, DynamicLmFst.cc)."""
+    from ..am.acoustic_model import AcousticModel
+    from .wfst import (DynamicLmWfstDecoder, HmmWfstDecoder, build_clg,
+                       expand_hmm)
+    lexicon = model_combination.lexicon
+    if lexicon is None:
+        raise ValueError("expanding-fsa-search requires a lexicon")
+    am = AcousticModel.create(config.sub("acoustic-model"), lexicon)
+    sa = config.sub("search-algorithm")
+    beam, _blank, thr, _we = _pruning(sa)
+    lm = model_combination.language_model
+    dynamic = (sa.get("lm-composition") or "static").lower() == "dynamic"
+    if lm is not None and dynamic:
+        graph = expand_hmm(build_clg(am, None), am)
+        decoder = DynamicLmWfstDecoder(graph, lm.lm, lexicon,
+                                       lm_scale=lm.scale,
+                                       beam_size=beam,
+                                       score_threshold=thr)
+    else:
+        graph = expand_hmm(build_clg(
+            am, lm.lm if lm else None,
+            lm_scale=lm.scale if lm else 1.0), am)
+        decoder = HmmWfstDecoder(graph, beam_size=beam,
+                                 score_threshold=thr)
+    scorer = None
+    if (config.sub("model").get("type") or "").lower() == "hybrid":
+        scorer = _hybrid_emission_scorer(config)
+    elif config.sub("mixture-set").get("file"):
+        from ..mm import GmmScorer, MixtureSet
+        scorer = GmmScorer(
+            MixtureSet.read_pms(config.sub("mixture-set").get("file")),
+            mode=config.sub("mixture-set").get("mode") or "max")
+    return WfstHmmRecognizer(decoder, scorer, lexicon)
+
+
 def create_search_algorithm(config: Configuration, model_combination):
     """Construct the decoder named by search-algorithm.type."""
     sa = config.sub("search-algorithm")
@@ -291,7 +375,10 @@ def create_search_algorithm(config: Configuration, model_combination):
                        "word-conditioned-tree-search"):
         return _gmm_word_recognizer(config, model_combination)
 
-    if search_type in ("expanding-fsa-search", "wfst-search", "wfst"):
+    if search_type == "expanding-fsa-search":
+        return _wfst_hmm_search(config, model_combination)
+
+    if search_type in ("wfst-search", "wfst"):
         return _wfst_search(config, model_combination, scorer)
 
     if search_type in ("linear-search", "linear"):

@@ -176,3 +176,55 @@ class TestDynamicLm:
             w_dyn, s_dyn = dyn_dec.decode(scores)
             assert w_static == w_dyn
             assert abs(s_static - s_dyn) < 1e-6
+
+
+class TestExpandingFsaFromConfig:
+    def test_config_built_hmm_wfst(self, setup, tmp_path):
+        """expanding-fsa-search from .config (static and dynamic LM
+        composition) decodes precomputed emissions like the direct
+        decoders (reference Search::Module factory,
+        src/Search/Module.cc:39-132)."""
+        import textwrap
+        from rasr_tpu.api import ModelCombination
+        from rasr_tpu.core.configuration import Configuration
+        from rasr_tpu.lm import ArpaLm as _A, ScaledLanguageModel
+        from rasr_tpu.search.module import create_search_algorithm
+        lex, am, prons, lm, lang = setup
+        for comp in ("static", "dynamic"):
+            conf_path = str(tmp_path / f"wfst_{comp}.config")
+            with open(conf_path, "w") as fh:
+                fh.write(textwrap.dedent(f"""\
+                    [acoustic-model.state-tying]
+                    type = monophone
+                    [acoustic-model.tdp.*]
+                    loop = 2.0
+                    forward = 0.0
+                    skip = 20.0
+                    exit = 0.0
+                    [acoustic-model.tdp.silence]
+                    loop = 0.0
+                    forward = 2.0
+                    skip = infinity
+                    exit = 4.0
+                    [search-algorithm]
+                    type = expanding-fsa-search
+                    max-beam-size = 4096
+                    lm-composition = {comp}
+                """))
+            config = Configuration()
+            config.set_from_file(conf_path)
+            mc = ModelCombination(
+                lexicon=lex,
+                language_model=ScaledLanguageModel(lm, 2.0))
+            algo = create_search_algorithm(config, mc)
+            rng = np.random.default_rng(41)
+            ws = lang.sample_sentence(rng, 3, 5)
+            # config AM is monophone; use a monophone-consistent
+            # emission track (classes via the config-built AM's tying)
+            from rasr_tpu.am.acoustic_model import AcousticModel
+            am_cfg = AcousticModel.create(
+                config.sub("acoustic-model"), lex)
+            scores = synth_triphone_emissions(ws, prons, am_cfg, rng)
+            out = algo.recognize_segment(scores)
+            hyp = [w for w in out.split() if w != "[SILENCE]"]
+            assert hyp == [f"w{int(w)}" for w in ws], (comp, hyp)
