@@ -60,7 +60,7 @@ class HybridSynthTask:
             min_len=min_pron, max_len=max_pron)
         self.language = MarkovLanguage(n_words, branching=branching, seed=2)
         self.n_classes = 3 * (n_phonemes + 1)
-        self.sil_base = 3 * n_phonemes          # si states = last 3 classes
+        self.sil_base = 3 * n_phonemes          # the single silence class
 
         rng = np.random.default_rng(task_seed)
         n_pairs = (n_phonemes + 1) // 2
@@ -115,12 +115,13 @@ class HybridSynthTask:
         return x * env
 
     def _sil_labels(self, n_frames: int) -> List[int]:
-        """Silence frames split across the 3 si HMM states."""
-        per = max(n_frames // 3, 1)
-        out = []
-        for f in range(n_frames):
-            out.append(self.sil_base + min(f // per, 2))
-        return out
+        """Silence frame labels.  The acoustic models decode silence
+        with a SINGLE HMM state (HmmTopology.silence_states = 1), so
+        every silence frame gets the one class the search actually
+        scores — spreading labels over 3 pseudo-states would train 2/3
+        of the silence mass onto classes no hypothesis reads, making
+        silence systematically expensive at decode time."""
+        return [self.sil_base] * n_frames
 
     def _babble(self, rng: np.random.Generator, n: int) -> np.ndarray:
         """Speech-shaped interference: 3 overlapping talkers rendering

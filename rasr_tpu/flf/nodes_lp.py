@@ -590,6 +590,16 @@ class RescoreChainNode(_LpNode):
         lm = self.network.context.get("lm")
         if lm is None:
             raise ValueError("rescore: lm-rescorers need [lm] config")
+        # the LM composition runs on the legacy (am, lm) view, so any
+        # extra score dimensions would fold into am and vanish; within
+        # one rescore action lm-rescorers run FIRST (before tdp/pron/
+        # distance add dims) — warn when an upstream action already
+        # extended the semiring
+        extra = [k for k in lat.semiring.keys if k not in ("am", "lm")]
+        if extra:
+            print(f"<warning node=\"{self.name}\"> lm-rescorers fold "
+                  f"extra score dimensions {extra} into am; run the lm "
+                  f"rescore before dimension-adding actions</warning>")
         wl = lat.to_word_lattice()
         from ..lattice.rescore import compose_with_lm
         out = compose_with_lm(wl, lm,

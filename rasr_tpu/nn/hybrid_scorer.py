@@ -168,31 +168,46 @@ class HybridEmissionScorer:
                         jnp.asarray(ts, jnp.int32))
         return out, ts
 
-    def score_batch(self, inputs: List[np.ndarray], batch_size: int = 32
-                    ) -> Iterator[np.ndarray]:
-        """Score a corpus with bucket-batched forwards, all dispatched
-        up front (async) so the chip runs ahead of the host search;
-        yields per-utterance (T, S) matrices in the input order."""
+    def score_batch(self, inputs: List[np.ndarray], batch_size: int = 32,
+                    max_in_flight: int = 2) -> Iterator[np.ndarray]:
+        """Score a corpus with bucket-batched forwards dispatched ahead
+        of the host search; yields per-utterance (T, S) matrices in the
+        input order.  At most `max_in_flight` chunk outputs live on
+        device at once (unbounded dispatch would hold every chunk's
+        (B, T, S) posterior buffer simultaneously — an OOM at corpus
+        scale); depth 2 keeps the chip one chunk ahead, the
+        BatchFeatureScorer double-buffer discipline."""
+        from collections import deque
         order = sorted(range(len(inputs)), key=lambda i: len(inputs[i]))
         chunks = [order[i:i + batch_size]
                   for i in range(0, len(order), batch_size)]
-        pend = [(idx, self._dispatch_batch([inputs[i] for i in idx]))
-                for idx in chunks]
         results: dict = {}
         pos = 0
-        for idx, (out, ts) in pend:
+        pend: deque = deque()
+
+        def drain_one():
+            nonlocal pos
+            idx, (out, ts) = pend.popleft()
             t0 = time.perf_counter()
             arr = np.asarray(out)
             self.blocked_seconds += time.perf_counter() - t0
             for j, i in enumerate(idx):
                 results[i] = arr[j, :ts[j]]
                 self.utterances += 1
+
+        for idx in chunks:
+            pend.append((idx,
+                         self._dispatch_batch([inputs[i] for i in idx])))
+            if len(pend) > max_in_flight:
+                drain_one()
             while pos < len(inputs) and pos in results:
                 yield results.pop(pos)
                 pos += 1
-        while pos < len(inputs):
-            yield results.pop(pos)
-            pos += 1
+        while pend:
+            drain_one()
+            while pos < len(inputs) and pos in results:
+                yield results.pop(pos)
+                pos += 1
 
 
 def estimate_log_priors(labels: np.ndarray, frames: np.ndarray,

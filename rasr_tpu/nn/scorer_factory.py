@@ -189,9 +189,14 @@ def _aed_model_from_config(config: Configuration):
                          "for the AED decoder")
     # size the positional table to cover the configured label budget
     # (max-labels > the default 512 would otherwise clamp the gather
-    # and repeat the last embedding, ADVICE r3)
+    # and repeat the last embedding, ADVICE r3).  An EXPLICIT
+    # model.max-positions is honored verbatim so the downstream
+    # max-labels >= table validation can fire on a genuinely
+    # mis-sized model instead of being silently out-grown.
     want = int(config.sub("search-algorithm").get("max-labels") or 0)
-    max_pos = max(int(mc.get("max-positions") or 512), want + 1)
+    explicit_pos = mc.get("max-positions")
+    max_pos = (int(explicit_pos) if explicit_pos
+               else max(512, want + 1))
     model = AedModel(
         vocab_size=vocab,
         d_model=int(mc.get("d-model") or 256),

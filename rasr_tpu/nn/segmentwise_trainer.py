@@ -90,11 +90,18 @@ class SegmentwiseNnTrainer:
                                           silence_between_words=False)
         self._aligner_cls = Aligner
         if silence_class is None:
+            # derive from the ACTUAL tying of the silence allophone
+            # (a closed-form guess like n_classes - silence_states is
+            # wrong for monophone tying, which emits silence at
+            # 3*(sil_phoneme-1), not at the end of the class range)
+            silence_class = -1
             sil = next((l for l in am.lexicon.lemmas
                         if l.special == "silence"), None)
-            silence_class = (am.state_tying.n_classes
-                             - am.topology.silence_states
-                             if sil is not None else -1)
+            if sil is not None and sil.pronunciations:
+                from ..am.allophone import Allophone
+                pid = sil.pronunciations[0].pronunciation.phonemes[0]
+                silence_class = am.state_tying.emission_index(
+                    Allophone(pid, 0, 0, 3), 0)
         self.silence_class = int(silence_class)
 
         self._log_post = jax.jit(model_apply)

@@ -450,7 +450,12 @@ def _labelsync_search(config, model_combination, scorer, search_type,
                 and model_type in ("aed", "attention", "encoder-decoder")
                 and config.sub("model").get("checkpoint")):
             from ..nn.scorer_factory import aed_decoder_from_config
-            return aed_decoder_from_config(config, beam_size=beam)
+            # only pass an EXPLICIT beam: _pruning's fallback default
+            # (16) must not silently override the device decoder's own
+            # documented default (8)
+            explicit = (sa.get("max-beam-size") or sa.get("beam-size"))
+            return aed_decoder_from_config(
+                config, beam_size=beam if explicit else None)
         score_fn, n_labels = _labelsync_score_fn(config, scorer)
         from .lexiconfree_labelsync import LexiconfreeLabelsyncBeamSearch
         return LexiconfreeLabelsyncBeamSearch(

@@ -198,13 +198,12 @@ class CachedTransducerDecoder(TransducerBeamSearch):
         encoder rounding enough to flip near-boundary tokens — batched
         evaluation removes that confound and amortizes device calls)."""
         x = np.asarray(features, np.float32)
-        B, t = x.shape[0], x.shape[1]
-        # keep the caller's time padding exactly (pad only to the 4x
-        # subsample factor): re-padding would change encoder rounding
-        # at bf16 — the confound recognize_batch exists to remove
-        t_pad = ((t + 3) // 4) * 4
-        if t_pad != t:
-            x = np.pad(x, ((0, 0), (0, t_pad - t), (0, 0)))
+        B = x.shape[0]
+        # the caller's time dimension passes through UNCHANGED: any
+        # re-padding compiles a different XLA program whose bf16
+        # rounding can flip near-boundary tokens — the exact confound
+        # recognize_batch exists to remove (greedy and beam must see
+        # bit-identical encoder states)
         enc, out_lens = self._encode(
             jnp.asarray(x), jnp.asarray(lengths, jnp.int32))
         if self._device_search is not None:

@@ -397,6 +397,8 @@ def expand_context(LG: Automaton, am, wb_label: int) -> Automaton:
         seen.add(key)
         sid = ids[key]
         lg_s, left, pending, p_init = key
+        if pending == "final":
+            continue            # terminal sentinel: finality already set
         if pending is None:
             if lg_s in LG.final:
                 out.set_final(sid, LG.final[lg_s])
@@ -510,15 +512,19 @@ class HmmWfstDecoder:
         self._w = np.asarray(ws, np.float64)
         self._em_arcs = np.flatnonzero(self._il != EPS)
         self._eps_arcs = np.flatnonzero(self._il == EPS)
+        # loop-invariant eps-arc views, hoisted out of the per-frame
+        # fixpoint (mirrors the emission-arc hoists in decode())
+        self._eps_src = self._src[self._eps_arcs]
+        self._eps_tgt = self._tgt[self._eps_arcs]
+        self._eps_w = self._w[self._eps_arcs]
 
     def _eps_relax(self, pot: np.ndarray, back: np.ndarray,
                    back_arc: np.ndarray) -> None:
         """Bounded epsilon relaxation to fixpoint (graphs here have
         acyclic eps structure plus word-return arcs)."""
         for _ in range(64):
-            src = self._src[self._eps_arcs]
-            cand = pot[src] + self._w[self._eps_arcs]
-            tgt = self._tgt[self._eps_arcs]
+            cand = pot[self._eps_src] + self._eps_w
+            tgt = self._eps_tgt
             better = cand < pot[tgt] - 1e-12
             if not np.any(better):
                 break

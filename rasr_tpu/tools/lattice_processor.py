@@ -52,7 +52,7 @@ from ..core.configuration import Configuration
 from ..fsa.automaton import EPS
 from ..lattice import WordLattice, determinize_lattice, time_conditioned
 
-SILENCE_ORTHS = {"[SILENCE]", "!NULL", "<sil>", "[NOISE]"}
+from ..flf.nodes_lp import NONWORD_ORTHS as SILENCE_ORTHS
 
 #: reference action name -> Flf node type
 ACTION_NODES = {

@@ -123,7 +123,7 @@ def train_am(task, args, pipe, feats_of):
                n_layers=args.layers, n_heads=args.heads)
     model = HybridConformerAm(**cfg)
     key = (f"am_p{task.n_phonemes}_d{args.d_model}x{args.layers}"
-           f"_s{args.steps}_b{args.batch}")
+           f"_s{args.steps}_b{args.batch}_v2")   # v2: 1-state silence labels
     ckpt = os.path.join(CACHE, key + ".msgpack")
     priors_path = os.path.join(CACHE, key + ".priors.npy")
     meta_path = os.path.join(CACHE, key + ".meta.json")
