@@ -257,7 +257,7 @@ def decode_set(task, search, scorer, seeds, min_w, max_w, snr_db=None):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--words", type=int, default=20_000)
+    ap.add_argument("--words", type=int, default=100_000)
     ap.add_argument("--phonemes", type=int, default=42)
     ap.add_argument("--branching", type=int, default=20)
     ap.add_argument("--tokens", type=int, default=4_000_000)
