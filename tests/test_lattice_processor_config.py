@@ -348,3 +348,65 @@ class TestLegacyCli:
         lat.write_htk_slf(str(tmp_path / "x.slf"))
         assert lp_main(["best", str(tmp_path / "x.slf")]) == 0
         assert "a" in capsys.readouterr().out
+
+
+class TestRemainingActions:
+    def test_best_nbest_confidence_mbr(self, setup, capsys):
+        """single-best-legacy / extract-n-best-list /
+        word-posterior-confidence / search-minimum-bayes-risk /
+        determinization / remove-epsilon all run from config."""
+        assert run_chain(setup, f"""
+            [lattice-processor]
+            actions    = read,remove-epsilon,determinization,word-posterior-confidence,search-minimum-bayes-risk,write
+            selections = read,re,det,conf,mbr,write
+            [lattice-processor.read.lattice-archive]
+            path = {setup}/den.cache
+            format = flf
+            [lattice-processor.write.lattice-archive]
+            path = {setup}/out.cache
+            format = flf
+        """) == 0
+        out = read_out(setup)
+        assert out["c/r/s0"].n_arcs > 0
+
+    def test_single_best_and_nbest(self, setup):
+        assert run_chain(setup, f"""
+            [lattice-processor]
+            actions    = read,extract-n-best-list,single-best-legacy,write
+            selections = read,nb,best,write
+            [lattice-processor.read.lattice-archive]
+            path = {setup}/den.cache
+            format = flf
+            [lattice-processor.nb]
+            n = 3
+            [lattice-processor.write.lattice-archive]
+            path = {setup}/out.cache
+            format = flf
+        """) == 0
+        s0 = read_out(setup)["c/r/s0"]
+        # single best of the n-best union: one linear path
+        labels, _sc, arcs = s0.best()
+        assert labels  # non-empty best path survives the chain
+
+    def test_multiply_and_skip_empty(self, setup):
+        assert run_chain(setup, f"""
+            [lattice-processor]
+            actions    = read,multiply,skip-empty,write
+            selections = read,mult,skip,write
+            [lattice-processor.read.lattice-archive]
+            path = {setup}/den.cache
+            format = flf
+            [lattice-processor.mult]
+            key = am
+            value = 2.0
+            [lattice-processor.skip]
+            min-arcs = 1
+            [lattice-processor.write.lattice-archive]
+            path = {setup}/out.cache
+            format = flf
+        """) == 0
+        s0 = read_out(setup)["c/r/s0"]
+        ref = den_s0()
+        am_i = s0.semiring.id_of("am")
+        np.testing.assert_allclose(
+            sorted(s0.scores[:, am_i]), sorted(2.0 * ref.scores[:, 0]))
