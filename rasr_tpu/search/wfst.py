@@ -707,3 +707,102 @@ class DynamicLmWfstDecoder:
     def recognize(self, scores: np.ndarray, lexicon) -> List[str]:
         words, _ = self.decode(scores)
         return [lexicon.lemmas[w].preferred_orth for w in words]
+
+
+def hmm_wfst_lattice(decoder: HmmWfstDecoder, scores: np.ndarray,
+                     lattice_threshold: float = 20.0):
+    """Word lattice from the static-graph trellis (the reference WFST
+    module's lattice generation role, src/Search/Wfst/LatticeHandler,
+    BookKeeping.cc): forward + backward Viterbi potentials over the
+    frame-expanded trellis keep every transition lying on some path
+    within `lattice_threshold` of the global best; the surviving
+    sub-trellis IS the lattice — states are (frame, graph-state) pairs
+    with exact per-arc scores (graph weight + emission), word outputs
+    on their resolving arcs, epsilon elsewhere.  Path scores in the
+    lattice equal trellis path scores exactly; condense with the
+    existing lattice transforms (remove-epsilons / time-conditioned)
+    for word-level views.
+
+    Returns a legacy WordLattice (am_score carries the full combined
+    weight; lm_score 0 — the static graph folds LM/TDP/pron in)."""
+    from ..lattice.word_lattice import WordLattice
+
+    g = decoder.graph
+    n = g.n_states
+    T = scores.shape[0]
+    INF = np.inf
+    ea = decoder._em_arcs
+    esrc, etgt = decoder._src[ea], decoder._tgt[ea]
+    eil, ew = decoder._il[ea], decoder._w[ea]
+    z_src, z_tgt, z_w = (decoder._eps_src, decoder._eps_tgt,
+                         decoder._eps_w)
+    z_ol = decoder._ol[decoder._eps_arcs]
+
+    def relax(pot, src, tgt, w):
+        for _ in range(64):
+            cand = pot[src] + w
+            better = cand < pot[tgt] - 1e-12
+            if not np.any(better):
+                break
+            np.minimum.at(pot, tgt[better], cand[better])
+        return pot
+
+    # forward potentials BEFORE each frame's emission step
+    fwd = np.full((T + 1, n), INF)
+    pot = np.full(n, INF)
+    pot[g.initial] = 0.0
+    fwd[0] = relax(pot.copy(), z_src, z_tgt, z_w)
+    for t in range(T):
+        new = np.full(n, INF)
+        cand = fwd[t][esrc] + ew + scores[t][eil - 1]
+        np.minimum.at(new, etgt, cand)
+        fwd[t + 1] = relax(new, z_src, z_tgt, z_w)
+
+    # backward potentials (reverse relaxation) AFTER each frame
+    bwd = np.full((T + 1, n), INF)
+    pot = np.full(n, INF)
+    for s, w in g.final.items():
+        pot[s] = w
+    bwd[T] = relax(pot.copy(), z_tgt, z_src, z_w)
+    for t in range(T - 1, -1, -1):
+        new = np.full(n, INF)
+        cand = bwd[t + 1][etgt] + ew + scores[t][eil - 1]
+        np.minimum.at(new, esrc, cand)
+        bwd[t] = relax(new, z_tgt, z_src, z_w)
+
+    best = float(np.min(fwd[T] + bwd[T]))
+    if not math.isfinite(best):
+        return WordLattice(words={})
+    cut = best + lattice_threshold
+
+    lat = WordLattice(words={})
+    node_of: Dict[Tuple[int, int], int] = {}
+
+    def node(t, s):
+        key = (t, s)
+        if key not in node_of:
+            node_of[key] = lat.add_state(t)
+        return node_of[key]
+
+    for t in range(T):
+        em = scores[t]
+        # emission transitions inside the window
+        tot = fwd[t][esrc] + ew + em[eil - 1] + bwd[t + 1][etgt]
+        for k in np.flatnonzero(tot <= cut + 1e-9):
+            ol = int(decoder._ol[ea[k]])
+            lat.add_arc(node(t, int(esrc[k])), node(t + 1, int(etgt[k])),
+                        (ol - 1) if ol != EPS else EPS,
+                        float(ew[k] + em[eil[k] - 1]), 0.0)
+    for t in range(T + 1):
+        # epsilon transitions (chain exits / backoffs) at frame t
+        tot = fwd[t][z_src] + z_w + bwd[t][z_tgt]
+        for j in np.flatnonzero(tot <= cut + 1e-9):
+            ol = int(z_ol[j])
+            lat.add_arc(node(t, int(z_src[j])), node(t, int(z_tgt[j])),
+                        (ol - 1) if ol != EPS else EPS,
+                        float(z_w[j]), 0.0)
+    lat.initial = node(0, g.initial)
+    for s, w in g.final.items():
+        if (T, s) in node_of:
+            lat.set_final(node_of[(T, s)], float(w))
+    return lat

@@ -228,3 +228,39 @@ class TestExpandingFsaFromConfig:
             out = algo.recognize_segment(scores)
             hyp = [w for w in out.split() if w != "[SILENCE]"]
             assert hyp == [f"w{int(w)}" for w in ws], (comp, hyp)
+
+
+class TestWfstLattice:
+    def test_trellis_lattice_contains_best_and_alternatives(self, setup):
+        from rasr_tpu.search.wfst import hmm_wfst_lattice
+        lex, am, prons, lm, lang = setup
+        graph = expand_hmm(build_clg(am, lm, lm_scale=2.0), am)
+        dec = HmmWfstDecoder(graph, beam_size=4096)
+        rng = np.random.default_rng(51)
+        ws = lang.sample_sentence(rng, 3, 5)
+        scores = synth_triphone_emissions(ws, prons, am, rng)
+        words, total = dec.decode(scores)
+        lat = hmm_wfst_lattice(dec, scores, lattice_threshold=25.0)
+        assert lat.n_arcs > 0
+        # the lattice's Viterbi best equals the decoder's best
+        labels, lat_score = lat.best()
+        assert abs(lat_score + (lat.final[max(lat.final)] or 0)
+                   - total) < 1e-6 or abs(lat_score - total) < 1e-6
+        assert [l for l in labels] == words
+        # alternatives survive: more arcs than the single best path
+        best_arcs = len(labels) + scores.shape[0]
+        assert lat.n_arcs > best_arcs
+
+    def test_tight_threshold_shrinks_lattice(self, setup):
+        from rasr_tpu.search.wfst import hmm_wfst_lattice
+        lex, am, prons, lm, lang = setup
+        graph = expand_hmm(build_clg(am, lm, lm_scale=2.0), am)
+        dec = HmmWfstDecoder(graph, beam_size=4096)
+        rng = np.random.default_rng(52)
+        ws = lang.sample_sentence(rng, 3, 4)
+        scores = synth_triphone_emissions(ws, prons, am, rng)
+        wide = hmm_wfst_lattice(dec, scores, lattice_threshold=30.0)
+        tight = hmm_wfst_lattice(dec, scores, lattice_threshold=1.0)
+        assert tight.n_arcs < wide.n_arcs
+        labels, _sc = tight.best()
+        assert labels == dec.decode(scores)[0]
