@@ -317,6 +317,21 @@ class WfstHmmRecognizer:
     def best_words(self) -> List[str]:
         return list(self._result)
 
+    def create_lattice(self):
+        """Word lattice of the last segment (pruned-trellis lattice,
+        search.wfst.hmm_wfst_lattice); static-graph decoders only."""
+        from .wfst import HmmWfstDecoder, hmm_wfst_lattice
+        if not isinstance(self._decoder, HmmWfstDecoder):
+            raise NotImplementedError(
+                "lattice output needs the static-graph decoder "
+                "(lm-composition=static)")
+        scores = (self._scorer.score(self._feats)
+                  if self._scorer is not None else self._feats)
+        lat = hmm_wfst_lattice(self._decoder, scores)
+        lat.words = {l.id: l.preferred_orth
+                     for l in self._lexicon.lemmas}
+        return lat
+
     def recognize_segment(self, features) -> str:
         self.enter_segment()
         self.put_features(features)

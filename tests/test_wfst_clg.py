@@ -264,3 +264,49 @@ class TestWfstLattice:
         assert tight.n_arcs < wide.n_arcs
         labels, _sc = tight.best()
         assert labels == dec.decode(scores)[0]
+
+
+    def test_config_recognizer_lattice(self, setup, tmp_path):
+        """create_lattice through the config-built recognizer."""
+        import textwrap
+        from rasr_tpu.api import ModelCombination
+        from rasr_tpu.core.configuration import Configuration
+        from rasr_tpu.lm import ScaledLanguageModel
+        from rasr_tpu.search.module import create_search_algorithm
+        lex, am, prons, lm, lang = setup
+        conf_path = str(tmp_path / "wl.config")
+        with open(conf_path, "w") as fh:
+            fh.write(textwrap.dedent("""\
+                [acoustic-model.state-tying]
+                type = monophone
+                [acoustic-model.tdp.*]
+                loop = 2.0
+                forward = 0.0
+                skip = 20.0
+                exit = 0.0
+                [acoustic-model.tdp.silence]
+                loop = 0.0
+                forward = 2.0
+                skip = infinity
+                exit = 4.0
+                [search-algorithm]
+                type = expanding-fsa-search
+                max-beam-size = 4096
+            """))
+        config = Configuration()
+        config.set_from_file(conf_path)
+        mc = ModelCombination(lexicon=lex,
+                              language_model=ScaledLanguageModel(lm, 2.0))
+        algo = create_search_algorithm(config, mc)
+        from rasr_tpu.am.acoustic_model import AcousticModel
+        am_cfg = AcousticModel.create(config.sub("acoustic-model"), lex)
+        rng = np.random.default_rng(53)
+        ws = lang.sample_sentence(rng, 3, 4)
+        scores = synth_triphone_emissions(ws, prons, am_cfg, rng)
+        algo.recognize_segment(scores)
+        lat = algo.create_lattice()
+        assert lat.n_arcs > 0
+        labels, _sc = lat.best()
+        hyp = [lat.words[l] for l in labels if lat.words.get(l)
+               and lat.words[l] != "[SILENCE]"]
+        assert hyp == [f"w{int(w)}" for w in ws]
