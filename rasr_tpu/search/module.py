@@ -288,11 +288,14 @@ class WfstHmmRecognizer:
     (nn-precomputed-hybrid mode) — and the graph Viterbi runs at
     finish."""
 
-    def __init__(self, decoder, scorer, lexicon):
+    def __init__(self, decoder, scorer, lexicon,
+                 lattice_threshold: float = 20.0):
         self._decoder = decoder
         self._scorer = scorer
         self._lexicon = lexicon
+        self._lattice_threshold = lattice_threshold
         self._feats = None
+        self._scores = None
         self._result: List[str] = []
 
     def enter_segment(self) -> None:
@@ -309,26 +312,30 @@ class WfstHmmRecognizer:
     def finish_segment(self) -> None:
         if self._feats is None:
             return
-        scores = (self._scorer.score(self._feats)
-                  if self._scorer is not None else self._feats)
-        self._result = [w for w in
-                        self._decoder.recognize(scores, self._lexicon)]
+        self._scores = (self._scorer.score(self._feats)
+                        if self._scorer is not None else self._feats)
+        self._result = [w for w in self._decoder.recognize(
+            self._scores, self._lexicon)]
 
     def best_words(self) -> List[str]:
         return list(self._result)
 
     def create_lattice(self):
         """Word lattice of the last segment (pruned-trellis lattice,
-        search.wfst.hmm_wfst_lattice); static-graph decoders only."""
+        search.wfst.hmm_wfst_lattice); static-graph decoders only.
+        Lattice labels use the graph output space (lemma id + 1) so
+        lemma 0 never collides with epsilon."""
         from .wfst import HmmWfstDecoder, hmm_wfst_lattice
         if not isinstance(self._decoder, HmmWfstDecoder):
             raise NotImplementedError(
                 "lattice output needs the static-graph decoder "
                 "(lm-composition=static)")
-        scores = (self._scorer.score(self._feats)
-                  if self._scorer is not None else self._feats)
-        lat = hmm_wfst_lattice(self._decoder, scores)
-        lat.words = {l.id: l.preferred_orth
+        if getattr(self, "_scores", None) is None:
+            raise ValueError("create_lattice before finish_segment: "
+                             "no decoded segment buffered")
+        lat = hmm_wfst_lattice(self._decoder, self._scores,
+                               lattice_threshold=self._lattice_threshold)
+        lat.words = {l.id + 1: l.preferred_orth
                      for l in self._lexicon.lemmas}
         return lat
 
@@ -375,7 +382,9 @@ def _wfst_hmm_search(config: Configuration, model_combination):
         scorer = GmmScorer(
             MixtureSet.read_pms(config.sub("mixture-set").get("file")),
             mode=config.sub("mixture-set").get("mode") or "max")
-    return WfstHmmRecognizer(decoder, scorer, lexicon)
+    return WfstHmmRecognizer(
+        decoder, scorer, lexicon,
+        lattice_threshold=float(sa.get("lattice-threshold") or 20.0))
 
 
 def create_search_algorithm(config: Configuration, model_combination):

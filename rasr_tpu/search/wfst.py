@@ -709,8 +709,23 @@ class DynamicLmWfstDecoder:
         return [lexicon.lemmas[w].preferred_orth for w in words]
 
 
+def _relax_potentials(pot: np.ndarray, src: np.ndarray,
+                      tgt: np.ndarray, w: np.ndarray) -> np.ndarray:
+    """Bounded epsilon fixpoint over potentials only (the backpointered
+    twin lives in HmmWfstDecoder._eps_relax — keep bounds/tolerances in
+    sync)."""
+    for _ in range(64):
+        cand = pot[src] + w
+        better = cand < pot[tgt] - 1e-12
+        if not np.any(better):
+            break
+        np.minimum.at(pot, tgt[better], cand[better])
+    return pot
+
+
 def hmm_wfst_lattice(decoder: HmmWfstDecoder, scores: np.ndarray,
-                     lattice_threshold: float = 20.0):
+                     lattice_threshold: float = 20.0,
+                     max_trellis_bytes: int = 4 << 30):
     """Word lattice from the static-graph trellis (the reference WFST
     module's lattice generation role, src/Search/Wfst/LatticeHandler,
     BookKeeping.cc): forward + backward Viterbi potentials over the
@@ -723,6 +738,15 @@ def hmm_wfst_lattice(decoder: HmmWfstDecoder, scores: np.ndarray,
     existing lattice transforms (remove-epsilons / time-conditioned)
     for word-level views.
 
+    Arc labels use the GRAPH's output space — lemma id + 1 — with the
+    lattice's `words` dict keyed accordingly, so lemma id 0 cannot
+    collide with the epsilon label (0).
+
+    The two (T+1, n_states) float32 potential planes are dense;
+    `max_trellis_bytes` guards against silently allocating tens of GB
+    on production graphs (1M+ states) — word lattices at that scale
+    come from the tree search's lattice path, which is sparse.
+
     Returns a legacy WordLattice (am_score carries the full combined
     weight; lm_score 0 — the static graph folds LM/TDP/pron in)."""
     from ..lattice.word_lattice import WordLattice
@@ -730,6 +754,13 @@ def hmm_wfst_lattice(decoder: HmmWfstDecoder, scores: np.ndarray,
     g = decoder.graph
     n = g.n_states
     T = scores.shape[0]
+    need = 2 * (T + 1) * n * 4
+    if need > max_trellis_bytes:
+        raise MemoryError(
+            f"hmm_wfst_lattice trellis needs {need >> 20} MiB "
+            f"({T + 1} frames x {n} states x 2 planes); raise "
+            f"max_trellis_bytes or generate lattices with the tree "
+            f"search at this scale")
     INF = np.inf
     ea = decoder._em_arcs
     esrc, etgt = decoder._src[ea], decoder._tgt[ea]
@@ -738,41 +769,36 @@ def hmm_wfst_lattice(decoder: HmmWfstDecoder, scores: np.ndarray,
                          decoder._eps_w)
     z_ol = decoder._ol[decoder._eps_arcs]
 
-    def relax(pot, src, tgt, w):
-        for _ in range(64):
-            cand = pot[src] + w
-            better = cand < pot[tgt] - 1e-12
-            if not np.any(better):
-                break
-            np.minimum.at(pot, tgt[better], cand[better])
-        return pot
-
     # forward potentials BEFORE each frame's emission step
-    fwd = np.full((T + 1, n), INF)
+    fwd = np.full((T + 1, n), INF, np.float32)
     pot = np.full(n, INF)
     pot[g.initial] = 0.0
-    fwd[0] = relax(pot.copy(), z_src, z_tgt, z_w)
+    fwd[0] = _relax_potentials(pot.copy(), z_src, z_tgt, z_w)
     for t in range(T):
         new = np.full(n, INF)
         cand = fwd[t][esrc] + ew + scores[t][eil - 1]
         np.minimum.at(new, etgt, cand)
-        fwd[t + 1] = relax(new, z_src, z_tgt, z_w)
+        fwd[t + 1] = _relax_potentials(new, z_src, z_tgt, z_w)
 
     # backward potentials (reverse relaxation) AFTER each frame
-    bwd = np.full((T + 1, n), INF)
+    bwd = np.full((T + 1, n), INF, np.float32)
     pot = np.full(n, INF)
     for s, w in g.final.items():
         pot[s] = w
-    bwd[T] = relax(pot.copy(), z_tgt, z_src, z_w)
+    bwd[T] = _relax_potentials(pot.copy(), z_tgt, z_src, z_w)
     for t in range(T - 1, -1, -1):
         new = np.full(n, INF)
         cand = bwd[t + 1][etgt] + ew + scores[t][eil - 1]
         np.minimum.at(new, esrc, cand)
-        bwd[t] = relax(new, z_tgt, z_src, z_w)
+        bwd[t] = _relax_potentials(new, z_tgt, z_src, z_w)
 
     best = float(np.min(fwd[T] + bwd[T]))
+    empty = WordLattice(words={})
+    empty.add_state(0)
+    empty.initial = 0
+    empty.set_final(0, 0.0)
     if not math.isfinite(best):
-        return WordLattice(words={})
+        return empty                      # no complete path survived
     cut = best + lattice_threshold
 
     lat = WordLattice(words={})
@@ -784,25 +810,29 @@ def hmm_wfst_lattice(decoder: HmmWfstDecoder, scores: np.ndarray,
             node_of[key] = lat.add_state(t)
         return node_of[key]
 
+    # float32 planes: compare with a tolerance scaled to the cut
+    tol = 1e-3
     for t in range(T):
         em = scores[t]
-        # emission transitions inside the window
         tot = fwd[t][esrc] + ew + em[eil - 1] + bwd[t + 1][etgt]
-        for k in np.flatnonzero(tot <= cut + 1e-9):
+        for k in np.flatnonzero(tot <= cut + tol):
             ol = int(decoder._ol[ea[k]])
             lat.add_arc(node(t, int(esrc[k])), node(t + 1, int(etgt[k])),
-                        (ol - 1) if ol != EPS else EPS,
+                        ol if ol != EPS else EPS,
                         float(ew[k] + em[eil[k] - 1]), 0.0)
     for t in range(T + 1):
-        # epsilon transitions (chain exits / backoffs) at frame t
         tot = fwd[t][z_src] + z_w + bwd[t][z_tgt]
-        for j in np.flatnonzero(tot <= cut + 1e-9):
+        for j in np.flatnonzero(tot <= cut + tol):
             ol = int(z_ol[j])
             lat.add_arc(node(t, int(z_src[j])), node(t, int(z_tgt[j])),
-                        (ol - 1) if ol != EPS else EPS,
+                        ol if ol != EPS else EPS,
                         float(z_w[j]), 0.0)
-    lat.initial = node(0, g.initial)
+    if (0, g.initial) not in node_of:
+        return empty
+    lat.initial = node_of[(0, g.initial)]
     for s, w in g.final.items():
         if (T, s) in node_of:
             lat.set_final(node_of[(T, s)], float(w))
+    if not lat.final:
+        return empty
     return lat

@@ -242,11 +242,12 @@ class TestWfstLattice:
         words, total = dec.decode(scores)
         lat = hmm_wfst_lattice(dec, scores, lattice_threshold=25.0)
         assert lat.n_arcs > 0
-        # the lattice's Viterbi best equals the decoder's best
+        # the lattice's Viterbi best equals the decoder's best (float32
+        # potential planes: millinat tolerance); labels live in the
+        # graph output space (lemma id + 1)
         labels, lat_score = lat.best()
-        assert abs(lat_score + (lat.final[max(lat.final)] or 0)
-                   - total) < 1e-6 or abs(lat_score - total) < 1e-6
-        assert [l for l in labels] == words
+        assert abs(lat_score - total) < 1e-2, (lat_score, total)
+        assert [l - 1 for l in labels] == words
         # alternatives survive: more arcs than the single best path
         best_arcs = len(labels) + scores.shape[0]
         assert lat.n_arcs > best_arcs
@@ -263,7 +264,7 @@ class TestWfstLattice:
         tight = hmm_wfst_lattice(dec, scores, lattice_threshold=1.0)
         assert tight.n_arcs < wide.n_arcs
         labels, _sc = tight.best()
-        assert labels == dec.decode(scores)[0]
+        assert [l - 1 for l in labels] == dec.decode(scores)[0]
 
 
     def test_config_recognizer_lattice(self, setup, tmp_path):
@@ -308,5 +309,5 @@ class TestWfstLattice:
         assert lat.n_arcs > 0
         labels, _sc = lat.best()
         hyp = [lat.words[l] for l in labels if lat.words.get(l)
-               and lat.words[l] != "[SILENCE]"]
+               and lat.words[l] != "[SILENCE]"]  # words keyed lemma+1
         assert hyp == [f"w{int(w)}" for w in ws]
