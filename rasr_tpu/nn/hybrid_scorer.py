@@ -210,6 +210,67 @@ class HybridEmissionScorer:
                 pos += 1
 
 
+class StreamingHybridScorer:
+    """Chunked emission scoring for streaming classic recognition.
+
+    The classic word-conditioned search consumes emissions strictly
+    frame-by-frame (reference src/Speech/Recognizer.cc:272 feed loop),
+    so streaming hybrid recognition only needs the EMISSIONS to arrive
+    incrementally.  A bidirectional conformer AM needs right context:
+    each chunk is scored from an overlapping window
+    [chunk_start - left_context, chunk_end + right_context] and only
+    the central chunk's rows are emitted — the standard chunked
+    inference of non-causal encoders (the reference's chunked-onnx
+    encoder contract, src/Onnx/OnnxEncoder.hh:80).  Emissions are not
+    bit-identical to full-context scoring at chunk boundaries; the
+    context sizes trade latency for that mismatch.
+
+    feed(feats) -> (T_new, S) newly finalized emission rows (possibly
+    empty); finish() flushes the tail."""
+
+    def __init__(self, scorer: "HybridEmissionScorer", chunk: int = 64,
+                 right_context: int = 32, left_context: int = 64):
+        self._scorer = scorer
+        self.chunk = int(chunk)
+        self.right = int(right_context)
+        self.left = int(left_context)
+        self.reset()
+
+    def reset(self) -> None:
+        self._buf: Optional[np.ndarray] = None
+        self._done = 0          # frames already emitted
+
+    def _emit_ready(self, flush: bool = False) -> np.ndarray:
+        out = []
+        while True:
+            have = 0 if self._buf is None else len(self._buf)
+            end = self._done + self.chunk
+            if end + (0 if flush else self.right) > have:
+                if not flush or self._done >= have:
+                    break
+                end = have
+            lo = max(0, self._done - self.left)
+            hi = min(have, end + self.right)
+            scores = self._scorer.score(self._buf[lo:hi])
+            out.append(scores[self._done - lo:end - lo])
+            self._done = end
+        if not out:
+            S = self._scorer._prior.shape[0]
+            return np.zeros((0, S), np.float32)
+        return np.concatenate(out)
+
+    def feed(self, feats: np.ndarray) -> np.ndarray:
+        f = np.asarray(feats, np.float32)
+        if f.ndim == 1:
+            f = f[None]
+        self._buf = f if self._buf is None else \
+            np.concatenate([self._buf, f])
+        return self._emit_ready()
+
+    def finish(self) -> np.ndarray:
+        return self._emit_ready(flush=True)
+
+
 def estimate_log_priors(labels: np.ndarray, frames: np.ndarray,
                         n_classes: int, floor: float = 1e-8) -> np.ndarray:
     """Log state priors from frame-label counts (src/Nn/Prior.hh's

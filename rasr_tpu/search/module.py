@@ -44,23 +44,46 @@ class GmmWordRecognizer:
     `score(feats (T, D)) -> (T, S)` -log scores (mm.GmmScorer or
     nn.hybrid_scorer.HybridEmissionScorer)."""
 
-    def __init__(self, search, gmm):
+    def __init__(self, search, gmm, streaming_scorer=None):
+        """`streaming_scorer` (nn.hybrid_scorer.StreamingHybridScorer)
+        switches the segment API to STREAMING: put_features scores
+        finalized chunks immediately and feeds the frame-synchronous
+        search as emissions arrive (the reference classic decoder's
+        frame-streamed feed loop, src/Speech/Recognizer.cc:170-290);
+        finish_segment only flushes the tail.  Acoustic lookahead
+        needs the full emission matrix and stays off in this mode."""
         self._search = search
         self._gmm = gmm
+        self._stream = streaming_scorer
         self._feats: List[np.ndarray] = []
         self.statistics = search.statistics
 
     def enter_segment(self) -> None:
         self._feats = []
         self._search.reset()
+        if self._stream is not None:
+            self._stream.reset()
+            if self._search.dynamic_beam is not None:
+                self._search.dynamic_beam.reset()
+
+    def _feed_scores(self, scores) -> None:
+        for t in range(scores.shape[0]):
+            self._search.feed(scores[t])
 
     def put_feature(self, feature) -> None:
-        self._feats.append(np.asarray(feature, np.float32)[None])
+        self.put_features(np.asarray(feature, np.float32)[None])
 
     def put_features(self, features) -> None:
-        self._feats.append(np.asarray(features, np.float32))
+        f = np.asarray(features, np.float32)
+        if self._stream is not None:
+            self._feed_scores(self._stream.feed(f))
+            return
+        self._feats.append(f)
 
     def finish_segment(self) -> None:
+        if self._stream is not None:
+            self._feed_scores(self._stream.finish())
+            return
         if not self._feats:
             return
         feats = np.concatenate(self._feats)
@@ -69,8 +92,7 @@ class GmmWordRecognizer:
         self._search.set_lookahead_scores(scores)
         if self._search.dynamic_beam is not None:
             self._search.dynamic_beam.reset()
-        for t in range(scores.shape[0]):
-            self._search.feed(scores[t])
+        self._feed_scores(scores)
 
     def decode_many_steps(self) -> int:
         return 0  # decoding happens at finish_segment
@@ -204,7 +226,14 @@ def _gmm_word_recognizer(config: Configuration, model_combination):
         tree_image=sa.get("tree-image") or None,
         acoustic_lookahead=la_frames, acoustic_lookahead_scale=la_scale,
         dynamic_beam=dyn)
-    return GmmWordRecognizer(search, gmm)
+    stream = None
+    if (sa.get("streaming") or "").lower() in ("true", "yes", "1"):
+        from ..nn.hybrid_scorer import StreamingHybridScorer
+        stream = StreamingHybridScorer(
+            gmm, chunk=int(sa.get("streaming-chunk") or 64),
+            right_context=int(sa.get("streaming-right-context") or 32),
+            left_context=int(sa.get("streaming-left-context") or 64))
+    return GmmWordRecognizer(search, gmm, streaming_scorer=stream)
 
 
 class WfstRecognizer:

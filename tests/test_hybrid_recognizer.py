@@ -266,3 +266,77 @@ class TestScoreBatch:
         assert len(batched) == len(serial)
         for a, b in zip(serial, batched):
             np.testing.assert_allclose(a, b, atol=2e-4)
+
+
+class TestStreamingHybrid:
+    def test_streaming_matches_batch_wer(self, task, trained):
+        """Streaming classic recognition (chunked emissions with right
+        context feeding the frame-sync search) decodes the eval set
+        with the same accuracy as whole-segment scoring."""
+        from rasr_tpu.bliss.evaluation import Evaluator
+        batch_algo = _search_from_config(task, trained)
+        stream_algo = _search_from_config(
+            task, trained,
+            extra="streaming = true\n"
+                  "            streaming-chunk = 40\n"
+                  "            streaming-right-context = 24\n"
+                  "            streaming-left-context = 48\n")
+        utts = _eval_feats(task, trained, 4, seed=781)
+        ev = Evaluator("stream")
+        e_b = e_s = ref = 0
+        for feats, orth in utts:
+            hyp_b = batch_algo.recognize_segment(feats)
+            # feed the streaming recognizer in small put_features slices
+            stream_algo.enter_segment()
+            for t0 in range(0, len(feats), 25):
+                stream_algo.put_features(feats[t0:t0 + 25])
+            stream_algo.finish_segment()
+            hyp_s = " ".join(stream_algo._search.best_words())
+            cb = ev.evaluate(orth, hyp_b)
+            cs = ev.evaluate(orth, hyp_s)
+            e_b += cb.errors
+            e_s += cs.errors
+            ref += cb.ref_len
+        # chunk-boundary context mismatch may cost a little, not much
+        assert e_s <= e_b + max(2, ref // 10), (e_s, e_b, ref)
+
+    def test_streaming_scorer_chunks_cover_everything(self, task, trained):
+        """StreamingHybridScorer emits exactly T rows over any feed
+        slicing, close to the full-context scores away from chunk
+        boundaries."""
+        from rasr_tpu.nn.hybrid_scorer import StreamingHybridScorer
+        from rasr_tpu.search.module import _hybrid_emission_scorer
+        import textwrap
+        conf_path = str(trained["tmp"] / "st.config")
+        with open(conf_path, "w") as fh:
+            fh.write(textwrap.dedent(f"""\
+                [model]
+                type = hybrid
+                checkpoint = {trained['ckpt']}
+                n-classes = {task.n_classes}
+                d-model = {trained['model_cfg']['d_model']}
+                n-layers = {trained['model_cfg']['n_layers']}
+                n-heads = {trained['model_cfg']['n_heads']}
+                feature-dim = {trained['pipe'].n_filters}
+                priors-file = {trained['priors']}
+                dtype = float32
+            """))
+        c = Configuration()
+        c.set_from_file(conf_path)
+        sc = _hybrid_emission_scorer(c)
+        stream = StreamingHybridScorer(sc, chunk=32, right_context=16,
+                                       left_context=32)
+        feats = _eval_feats(task, trained, 1, seed=782)[0][0]
+        full = sc.score(feats)
+        rows = []
+        for t0 in range(0, len(feats), 17):
+            rows.append(stream.feed(feats[t0:t0 + 17]))
+        rows.append(stream.finish())
+        got = np.concatenate(rows)
+        assert got.shape == full.shape
+        # chunked inference of a GLOBAL-attention conformer is
+        # approximate everywhere (the window sees 48+16 frames, not the
+        # utterance) — require high frame-argmax agreement rather than
+        # numerical closeness
+        agree = (got.argmin(-1) == full.argmin(-1)).mean()
+        assert agree > 0.9, agree
