@@ -147,13 +147,48 @@ class LutStateTying(StateTying):
 
 
 class CartStateTying(StateTying):
-    """Decision-tree state tying; wraps a cart.DecisionTree."""
+    """Decision-tree state tying; wraps a cart.DecisionTree.
 
-    def __init__(self, tree, alphabet: AllophoneAlphabet):
+    With `precompute=True` (default) the whole (central, left, right,
+    state, boundary) grid is classified once via the tree's vectorized
+    classify_batch into a dense lookup table — emission_index becomes one
+    array read, which is what lets triphone tree builds and frame
+    labeling run at 100k-word scale (the reference caches the same
+    mapping inside its state-tying images,
+    src/Am/ClassicStateTying.hh:223)."""
+
+    def __init__(self, tree, alphabet: AllophoneAlphabet,
+                 precompute: bool = True, max_states: int = 3):
         self.tree = tree
         self.alphabet = alphabet
+        self._table: Optional[np.ndarray] = None
+        if precompute:
+            self._table = self.build_table(max_states)
+
+    def build_table(self, max_states: int = 3) -> np.ndarray:
+        """(P+1, P+1, P+1, max_states, 4) int32 table over phoneme ids
+        (0 = no context '#') x HMM state x boundary flags."""
+        inv = self.alphabet.inventory
+        n_p = len(inv)
+        syms = np.asarray(["#"] + [inv.by_id(i).symbol
+                                   for i in range(1, n_p + 1)])
+        c, l, r, s, b = np.meshgrid(
+            np.arange(n_p + 1), np.arange(n_p + 1), np.arange(n_p + 1),
+            np.arange(max_states), np.arange(4), indexing="ij")
+        out = self.tree.classify_batch({
+            "central": syms[c.ravel()],
+            "history[0]": syms[l.ravel()],
+            "future[0]": syms[r.ravel()],
+            "state": s.ravel(),
+            "boundary": b.ravel(),
+        })
+        return out.reshape(c.shape).astype(np.int32)
 
     def emission_index(self, allophone: Allophone, state: int) -> int:
+        if self._table is not None:
+            return int(self._table[allophone.central, allophone.left,
+                                   allophone.right, state,
+                                   allophone.boundary & 3])
         inv = self.alphabet.inventory
         def sym(pid):
             return inv.by_id(pid).symbol if pid else "#"

@@ -49,18 +49,31 @@ class HybridSynthTask:
                  sample_rate: int = 16_000, frame_samples: int = 160,
                  frames_per_state: Tuple[int, int] = (2, 5),
                  pair_ratio: float = 1.035,
-                 min_pron: int = 4, max_pron: int = 10):
+                 min_pron: int = 4, max_pron: int = 10,
+                 coarticulation: float = 0.0):
         self.n_words = n_words
         self.n_phonemes = n_phonemes
         self.sample_rate = sample_rate
         self.frame_samples = frame_samples
         self.frames_per_state = frames_per_state
+        #: formant interpolation toward the neighboring phoneme in the
+        #: onset/offset HMM states (0 = context-free rendering).  With
+        #: coarticulation on, triphone states become acoustically
+        #: distinct, which is what gives a CART on accumulated stats
+        #: real likelihood gain (the reason the reference ties triphone
+        #: inventories at all, src/Am/ClassicStateTying.hh:223).
+        self.coarticulation = coarticulation
+        #: optional frame-label override: callable
+        #: (central, left, right, state, boundary) -> class over LEXICON
+        #: phoneme ids (0 = no context); None = monophone-state labels
+        self.label_fn = None
         self.lexicon, self.am, self.prons = make_lexicon(
             n_words, n_phonemes=n_phonemes, seed=1,
             min_len=min_pron, max_len=max_pron)
         self.language = MarkovLanguage(n_words, branching=branching, seed=2)
         self.n_classes = 3 * (n_phonemes + 1)
         self.sil_base = 3 * n_phonemes          # the single silence class
+        self.sil_lex_id = n_phonemes + 1        # 'si' lexicon phoneme id
 
         rng = np.random.default_rng(task_seed)
         n_pairs = (n_phonemes + 1) // 2
@@ -85,11 +98,18 @@ class HybridSynthTask:
     _STATE_SCALE = (0.95, 1.0, 1.05)
 
     def render_phoneme(self, ph: int, rng: np.random.Generator,
-                       warp: float, durs: np.ndarray) -> np.ndarray:
-        """Audio for one phoneme: durs (3,) frames per HMM state."""
+                       warp: float, durs: np.ndarray,
+                       left_ph: Optional[int] = None,
+                       right_ph: Optional[int] = None) -> np.ndarray:
+        """Audio for one phoneme: durs (3,) frames per HMM state.
+
+        With `coarticulation` > 0, the onset state's formants shift
+        toward the left neighbor's and the offset state's toward the
+        right neighbor's (None = silence/utterance boundary: no shift)."""
         n_total = int(durs.sum()) * self.frame_samples
         x = np.zeros(n_total, np.float32)
         offs = 0
+        c = self.coarticulation
         for st in range(3):
             n = int(durs[st]) * self.frame_samples
             if n == 0:
@@ -97,8 +117,16 @@ class HybridSynthTask:
             t = np.arange(n, dtype=np.float32) / self.sample_rate
             seg = np.zeros(n, np.float32)
             s_scale = self._STATE_SCALE[st]
-            for f, bw, a in zip(self.formants[ph], self.bandwidths[ph],
-                                self.mix[ph]):
+            neighbor = None
+            if c > 0.0:
+                if st == 0 and left_ph is not None:
+                    neighbor = self.formants[left_ph]
+                elif st == 2 and right_ph is not None:
+                    neighbor = self.formants[right_ph]
+            for k, (f, bw, a) in enumerate(zip(
+                    self.formants[ph], self.bandwidths[ph], self.mix[ph])):
+                if neighbor is not None:
+                    f = f + c * (neighbor[k] - f)
                 f = min(f * warp * s_scale, 0.49 * self.sample_rate)
                 phase = rng.uniform(0, 2 * np.pi)
                 am = 1.0 + 0.25 * np.sin(
@@ -149,33 +177,61 @@ class HybridSynthTask:
 
         Word sequence is sampled from the Markov chain (the SAME chain
         whose counts built the ARPA LM) unless `word_ids` is given."""
+        from ..am.allophone import IS_FINAL, IS_INITIAL
         if word_ids is None:
             word_ids = self.language.sample_sentence(rng, min_words,
                                                      max_words)
         warp = float(rng.uniform(*warp_range))
         gain = float(rng.uniform(0.5, 1.5))
-        labels: List[int] = []
-        pieces: List[np.ndarray] = []
 
-        def add_silence(n_frames: int) -> None:
-            labels.extend(self._sil_labels(n_frames))
-            pieces.append(np.zeros(n_frames * self.frame_samples,
-                                   np.float32))
-
-        add_silence(int(rng.integers(3, 8)))
+        # -- plan first (all duration/gap draws), so each phoneme's
+        # neighbors — needed for coarticulated rendering and for
+        # allophone-state labels — are known before rendering.
+        # plan items: (ph or None=silence, durs (3,)|n_frames, boundary)
+        plan: List[Tuple[Optional[int], object, int]] = []
+        plan.append((None, int(rng.integers(3, 8)), 0))
         for i, w in enumerate(word_ids):
-            for ph in self.prons[int(w)]:
-                if ph < 0:
-                    break
+            pron = [int(ph) for ph in self.prons[int(w)] if ph >= 0]
+            for j, ph in enumerate(pron):
                 durs = rng.integers(*self.frames_per_state, size=3)
-                pieces.append(self.render_phoneme(int(ph), rng, warp, durs))
-                for st in range(3):
-                    labels.extend([3 * int(ph) + st] * int(durs[st]))
+                b = (IS_INITIAL if j == 0 else 0) \
+                    | (IS_FINAL if j == len(pron) - 1 else 0)
+                plan.append((ph, durs, b))
             # inter-word gap: none (fluent) or a silence the search can
             # hypothesize via the silence lemma (>= its 3-state minimum)
             if i + 1 < len(word_ids) and rng.random() < 0.6:
-                add_silence(int(rng.integers(3, 7)))
-        add_silence(int(rng.integers(3, 8)))
+                plan.append((None, int(rng.integers(3, 7)), 0))
+        plan.append((None, int(rng.integers(3, 8)), 0))
+
+        labels: List[int] = []
+        pieces: List[np.ndarray] = []
+        lab = self.label_fn
+        for k, (ph, durs, b) in enumerate(plan):
+            if ph is None:
+                n_frames = int(durs)
+                if lab is None:
+                    labels.extend(self._sil_labels(n_frames))
+                else:
+                    labels.extend([int(lab(self.sil_lex_id, 0, 0, 0,
+                                           IS_INITIAL | IS_FINAL))]
+                                  * n_frames)
+                pieces.append(np.zeros(n_frames * self.frame_samples,
+                                       np.float32))
+                continue
+            left = plan[k - 1][0] if k > 0 else None
+            right = plan[k + 1][0] if k + 1 < len(plan) else None
+            pieces.append(self.render_phoneme(ph, rng, warp, durs,
+                                              left_ph=left,
+                                              right_ph=right))
+            for st in range(3):
+                if lab is None:
+                    cls = 3 * ph + st
+                else:
+                    cls = int(lab(ph + 1,
+                                  0 if left is None else left + 1,
+                                  0 if right is None else right + 1,
+                                  st, b))
+                labels.extend([cls] * int(durs[st]))
 
         audio = np.concatenate(pieces) * gain
         audio += rng.normal(0.0, 0.01, size=audio.shape).astype(np.float32)

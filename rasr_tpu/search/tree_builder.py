@@ -155,7 +155,60 @@ class MinimizedTreeBuilder:
             if rho == CI_NEXT:
                 # followed by silence/noise, or segment end
                 return 1, True
-            return group_of(self._ctx(final_phone), rho), False
+            return group_of(self._ctx(final_phone), rho)
+
+        # merged entry groups: when the tying maps several right contexts
+        # of a word-final allophone onto the SAME emission sequence, the
+        # per-rho fan nodes collapse into one node whose single word end
+        # re-enters the UNION of the per-rho groups (exactly equivalent
+        # to the per-rho word ends, which all carried identical scores).
+        # This is what keeps across-word trees buildable at 100k words:
+        # fan-out per word drops from |phonemes| to the number of DISTINCT
+        # tied variants (the reference's minimized fan-out arcs,
+        # src/Search/TreeBuilder.hh:64).
+        merged_index: Dict[Tuple[int, frozenset], int] = {}
+        merged_members: Dict[int, Tuple[int, ...]] = {}   # gid -> base gids
+
+        def merged_group_of(left: int, rhos: frozenset) -> int:
+            mk = (left, rhos)
+            g = merged_index.get(mk)
+            if g is None:
+                base = tuple(sorted(group_of(left, rho) for rho in rhos))
+                g = len(groups)
+                groups.append([])          # filled after all registrations
+                merged_index[mk] = g
+                merged_members[g] = base
+            return g
+
+        # lasts variants per (penultimate context, final phoneme):
+        # [(emissions, entry group, can_close)], deduped by emissions
+        lasts_memo: Dict[Tuple[int, int], List[Tuple[Tuple, int, bool]]] = {}
+
+        def lasts_of(penult_ctx: int, p_last: int
+                     ) -> List[Tuple[Tuple, int, bool]]:
+            key = (penult_ctx, p_last)
+            hit = lasts_memo.get(key)
+            if hit is not None:
+                return hit
+            is_sil = am.is_silence_phoneme(p_last)
+            variants: Dict[Tuple, List[int]] = {}
+            for rho in rights:
+                allo = Allophone(p_last, penult_ctx, rho, IS_FINAL)
+                variants.setdefault(self._emissions(allo, is_sil),
+                                    []).append(rho)
+            out: List[Tuple[Tuple, int, bool]] = []
+            for emis, rho_list in variants.items():
+                close = CI_NEXT in rho_list
+                nz = frozenset(r for r in rho_list if r != CI_NEXT)
+                if not nz:
+                    grp = 1
+                elif len(nz) == 1:
+                    grp = group_of(self._ctx(p_last), next(iter(nz)))
+                else:
+                    grp = merged_group_of(self._ctx(p_last), nz)
+                out.append((emis, grp, close))
+            lasts_memo[key] = out
+            return out
 
         # ci entries (silence/noise) must exist in every group created
         # later too — collect them and patch at the end
@@ -201,19 +254,24 @@ class MinimizedTreeBuilder:
             penult_ctx = self._ctx(phones[n - 2])
             p_last = phones[n - 1]
             ci_last = not self.inv.by_id(p_last).context_dependent
-            lasts: List[Tuple[Allophone, int, bool]] = []
+            is_sil_last = am.is_silence_phoneme(p_last)
             if ci_last:
-                lasts.append((Allophone(p_last, 0, 0, IS_FINAL),
-                              START_GROUP, True))
+                lasts = [(self._emissions(
+                    Allophone(p_last, 0, 0, IS_FINAL), is_sil_last),
+                    START_GROUP, True)]
             elif not self.across_word:
-                lasts.append((Allophone(p_last, penult_ctx, 0, IS_FINAL),
-                              START_GROUP, True))
+                lasts = [(self._emissions(
+                    Allophone(p_last, penult_ctx, 0, IS_FINAL),
+                    is_sil_last), START_GROUP, True)]
             else:
-                for rho in rights:
-                    allo_l = Allophone(p_last, penult_ctx, rho, IS_FINAL)
-                    grp, close = wend_group(p_last, rho)
-                    lasts.append((allo_l, grp, close))
+                lasts = lasts_of(penult_ctx, p_last)
 
+            # first nodes per left context; the deep trie below them is
+            # shared across lam: the path (a1..ai) fixes every allophone
+            # in it (a1's left context is p0), so all left-context
+            # variants of a word point into the SAME subtree — this is
+            # most of the across-word sharing before minimization runs
+            firsts: List[int] = []
             for lam in (left_ctxs if (self.across_word and not ci0)
                         else [0]):
                 a0 = Allophone(p0, 0 if ci0 else lam,
@@ -226,14 +284,11 @@ class MinimizedTreeBuilder:
                     register_entry(first, lam, a0, ci=ci0)
                     if ci0:
                         ci_entries.append(first)
-                # the deep trie below first nodes is shared across lam:
-                # the path (a1..ai) fixes every allophone in it (a1's
-                # left context is p0), so all left-context variants of a
-                # word point into the SAME subtree — this is most of the
-                # across-word sharing before minimization even runs
-                node = first
+                firsts.append(first)
+            if interior:
+                node = firsts[0]
                 path: Tuple = ()
-                for a in interior:
+                for depth, a in enumerate(interior):
                     path = path + (akey(a),)
                     child_key = akey(a)
                     nxt = nodes[node].children.get(child_key)
@@ -245,16 +300,34 @@ class MinimizedTreeBuilder:
                             path_index[path] = nxt
                         else:
                             nodes[node].children[child_key] = nxt
+                    if depth == 0:
+                        for f in firsts[1:]:
+                            nodes[f].children[child_key] = nxt
                     node = nxt
-                for allo_l, grp, close in lasts:
-                    child_key = akey(allo_l)
-                    nxt = nodes[node].children.get(child_key)
+                tails = [node]
+            else:
+                tails = firsts
+            # word-final fan: one node per DISTINCT tied emission variant
+            for emis, grp, close in lasts:
+                child_key = ("L", p_last, emis)
+                went = (lemma_id, pron_score, grp, close)
+                for tail in tails:
+                    nxt = nodes[tail].children.get(child_key)
                     if nxt is None:
-                        is_sil = am.is_silence_phoneme(allo_l.central)
-                        nxt = new_node(node, child_key, allo_l, is_sil)
-                    went = (lemma_id, pron_score, grp, close)
+                        nxt = len(nodes)
+                        nodes.append(HmmTreeNode(
+                            phoneme=p_last, emissions=emis,
+                            is_silence=is_sil_last))
+                        nodes[tail].children[child_key] = nxt
                     if went not in nodes[nxt].word_ends:
                         nodes[nxt].word_ends.append(went)
+
+        # materialize merged groups now that every base group is complete
+        for g, base in merged_members.items():
+            union: set = set()
+            for b in base:
+                union.update(groups[b])
+            groups[g] = sorted(union)
 
         # ci entries belong to every group (silence can follow anything)
         for g in range(len(groups)):
@@ -340,7 +413,7 @@ def tree_image_key(am: AcousticModel, across_word: bool) -> str:
     """Content hash over everything the tree depends on: pronunciations,
     state tying outputs, topology, across-word flag."""
     h = hashlib.md5()
-    h.update(b"tree-image-v1")
+    h.update(b"tree-image-v2")
     h.update(str(across_word).encode())
     h.update(str(am.topology.__dict__).encode())
     for lemma in am.lexicon.lemmas:
@@ -350,7 +423,11 @@ def tree_image_key(am: AcousticModel, across_word: bool) -> str:
                                 np.int64).tobytes())
             h.update(np.float64(lp.score).tobytes())
     h.update(type(am.state_tying).__name__.encode())
-    h.update(np.int64(am.state_tying.n_classes()).tobytes())
+    n = am.state_tying.n_classes
+    h.update(np.int64(n() if callable(n) else n).tobytes())
+    table = getattr(am.state_tying, "_table", None)
+    if table is not None:
+        h.update(np.ascontiguousarray(table).tobytes())
     return h.hexdigest()[:16]
 
 

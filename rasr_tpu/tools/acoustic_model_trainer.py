@@ -264,7 +264,7 @@ class AcousticModelTrainerApp(Application):
         write the XML tree for CART state tying."""
         import pickle
         from ..cart.decision_tree import (DecisionTreeTrainer, Example,
-                                          Question)
+                                          phonetic_questions)
         tc = self._trainer_config()
         with open(tc.get("cart-example-file") or "cart.examples", "rb") as fh:
             stats = pickle.load(fh)
@@ -278,13 +278,8 @@ class AcousticModelTrainerApp(Application):
                            for p in (ex.properties["central"],
                                      ex.properties["history[0]"],
                                      ex.properties["future[0]"])})
-        questions = []
-        for key in ("central", "history[0]", "future[0]"):
-            for p in phonemes:
-                questions.append(Question(key, values={p}))
         max_state = max(ex.properties["state"] for ex in examples)
-        for s in range(max_state + 1):
-            questions.append(Question("state", min_value=s, max_value=s))
+        questions = phonetic_questions(phonemes, n_states=max_state + 1)
         trainer = DecisionTreeTrainer(
             questions,
             min_examples=float(tc.get("cart-minimum-examples") or 100.0),

@@ -208,3 +208,61 @@ class TestAcrossWordDecoding:
         xw = WordConditionedTreeSearch(am, beam_size=256,
                                        across_word=True)
         assert xw.recognize(scores) == ["AB", "BA"]
+
+
+class CoarseRightTying(StateTying):
+    """Triphone tying that distinguishes right context only as
+    {a-or-b} vs {other} for the FINAL phoneme — forces the builder's
+    emission-variant dedup and merged re-entry groups."""
+
+    def __init__(self, n_phones=3, states=3):
+        self.n = n_phones
+        self.states = states
+
+    def emission_index(self, allo, state: int) -> int:
+        rgrp = 1 if allo.right in (A, B) else 0
+        c = ((allo.central - 1) * (self.n + 1) + allo.left) * 2 + rgrp
+        return c * self.states + state
+
+    def n_classes(self) -> int:
+        return self.n * (self.n + 1) * 2 * self.states
+
+
+class TestMergedEntryGroups:
+    def test_variants_dedup_and_group_union(self, tmp_path):
+        am = make_am(tmp_path, CoarseRightTying())
+        tree = MinimizedTreeBuilder(am, across_word=True).build()
+        # word-final fan: rhos {a, b} share emissions -> ONE node whose
+        # word end re-enters the union group {a-starting, b-starting}
+        found_union = False
+        for nd in tree.nodes:
+            if nd.phoneme == SI:
+                continue
+            for (_l, _p, grp, close) in nd.word_ends:
+                entries = tree.entry_groups[grp]
+                centrals = {tree.nodes[n].phoneme for n in entries
+                            if tree.nodes[n].phoneme != SI}
+                if centrals == {A, B}:
+                    found_union = True
+                    assert not close   # rho=0 lives in its own variant
+        assert found_union
+
+    def test_merged_decode_equals_fullfan_decode(self, tmp_path):
+        """The merged-group tree must decode identically to the fully
+        split one when the tying itself is fully split (no merging
+        happens), and correctly under the coarse tying."""
+        tying = CoarseRightTying()
+        am = make_am(tmp_path, tying)
+
+        def cls(c, l, r, s):
+            from rasr_tpu.am.allophone import Allophone
+            return tying.emission_index(Allophone(c, l, r), s)
+
+        # "AB BA" fluent: a{0+b} b{a+b} | b{b+a} a{b+0}
+        path = []
+        for c, l, r in [(A, 0, B), (B, A, B), (B, B, A), (A, B, 0)]:
+            path.extend(cls(c, l, r, s) for s in range(3))
+        scores = synth_scores(am, tying, path)
+        xw = WordConditionedTreeSearch(am, beam_size=256,
+                                       across_word=True)
+        assert xw.recognize(scores) == ["AB", "BA"]
