@@ -101,6 +101,16 @@ class ModelCombination:
                 from .lm import ClassArpaLm
                 lm = ScaledLanguageModel(ClassArpaLm.load(
                     lm_cfg.get("file"), lm_cfg.get("classes")), scale)
+            elif lm_type in ("neural-lstm", "tfrnn", "simple-recurrent"):
+                # word-level recurrent LM, usable anywhere a LanguageModel
+                # goes (reference src/Lm/Module.cc:66-73 lmTfrnn)
+                from .lm.neural import NeuralLanguageModel
+                lm = ScaledLanguageModel(NeuralLanguageModel.load(
+                    lm_cfg.get("file"), lm_cfg.get("info"),
+                    state_compression=lm_cfg.get("state-compression")
+                    or None,
+                    max_batch=int(lm_cfg.get("max-batch-size") or 64)),
+                    scale)
             else:
                 raise ValueError(f"unsupported lm type {lm_type!r}")
         if label_scorer is None and config.sub("label-scorer").get("type"):

@@ -124,6 +124,38 @@ class MarkovLanguage:
         return sents
 
 
+@dataclass
+class TopicMarkovLanguage(MarkovLanguage):
+    """Markov word chain with a per-sentence hidden topic: each topic
+    reweights the shared successor sets.  An n-gram sees only the topic
+    MIXTURE (bounded context), while a recurrent LM can infer the topic
+    from the sentence prefix — the synthetic analogue of the long-range
+    structure that makes the reference's RecurrentLanguageModel
+    (src/Lm/RecurrentLanguageModel.hh:89) worth its cost over ARPA."""
+    n_topics: int = 4
+
+    def __post_init__(self):
+        super().__post_init__()
+        rng = np.random.default_rng(self.seed + 77)
+        self.topic_probs = rng.dirichlet(
+            np.full(self.branching, 0.25),
+            size=(self.n_topics, self.n_words))
+
+    def sample_sentence(self, rng: np.random.Generator,
+                        min_words: int = 3, max_words: int = 30
+                        ) -> List[int]:
+        topic = int(rng.integers(0, self.n_topics))
+        w = int(rng.choice(self.n_words, p=self.p_init))
+        out = [w]
+        while len(out) < max_words:
+            if len(out) >= min_words and rng.random() < self.p_end:
+                break
+            w = int(rng.choice(self.succ[w],
+                               p=self.topic_probs[topic, w]))
+            out.append(w)
+        return out
+
+
 def count_ngrams(sents: List[List[int]], order: int, n_words: int):
     """Per-order (keys (N, k) int32 sorted rows, counts) from sentences
     padded with <s>/</s> (ids n_words, n_words+1)."""

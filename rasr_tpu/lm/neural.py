@@ -53,7 +53,14 @@ class NeuralLanguageModel(LanguageModel):
 
     def __init__(self, model: LstmLmModel, params,
                  vocab: Sequence[str], bos: str = "<s>", eos: str = "</s>",
-                 unk: str = "<unk>", max_batch: int = 64):
+                 unk: str = "<unk>", max_batch: int = 64,
+                 state_compression: Optional[str] = None):
+        """state_compression: None stores raw float32 score rows per
+        history; "int8" quantizes each cached row to int8 with a per-row
+        affine scale (4x memory reduction for wide-beam/long-segment
+        searches — the reference's nn-output-compression,
+        src/Nn/CompressedVector.hh:52, src/Lm/RecurrentLanguageModel.hh:
+        292-293)."""
         self.model = model
         self.params = params
         self.vocab = list(vocab)
@@ -62,8 +69,58 @@ class NeuralLanguageModel(LanguageModel):
         self.eos = eos
         self.unk_id = self._ids.get(unk, 0)
         self.max_batch = max_batch
-        self._cache: Dict[Tuple[int, ...], np.ndarray] = {}
+        if state_compression not in (None, "int8"):
+            raise ValueError(
+                f"unknown state-compression {state_compression!r}")
+        self.state_compression = state_compression
+        self._cache: Dict[Tuple[int, ...], object] = {}
         self._fwd = jax.jit(self._forward)
+
+    @classmethod
+    def load(cls, file: str, info: str, **kwargs) -> "NeuralLanguageModel":
+        """Construct from a checkpoint pair: `file` = msgpack params,
+        `info` = JSON {"model": LstmLmModel kwargs, "vocab": [tokens]}
+        (the registration contract the reference keeps in
+        src/Lm/Module.cc:66-73 for its tfrnn/onnx recurrent LMs)."""
+        import json
+
+        from ..nn.checkpoint import load_params
+        with open(info) as fh:
+            meta = json.load(fh)
+        model = LstmLmModel(**meta["model"])
+        template = model.init(jax.random.PRNGKey(0),
+                              jnp.zeros((1, 2), jnp.int32))["params"]
+        params, _ = load_params(file, template)
+        return cls(model, params, meta["vocab"], **kwargs)
+
+    # -- cached-row codec -----------------------------------------------------
+
+    def _encode_row(self, row: np.ndarray):
+        if self.state_compression is None:
+            return row
+        lo = float(row.min())
+        hi = float(row.max())
+        scale = max(hi - lo, 1e-6) / 255.0
+        q = np.clip(np.round((row - lo) / scale), 0, 255) \
+            .astype(np.uint8)
+        return (q, np.float32(lo), np.float32(scale))
+
+    def _decode_row(self, packed) -> np.ndarray:
+        if self.state_compression is None:
+            return packed
+        q, lo, scale = packed
+        return q.astype(np.float32) * scale + lo
+
+    def cache_bytes(self) -> int:
+        """Resident byte size of the history-row cache (for the
+        state-compression artifact)."""
+        total = 0
+        for v in self._cache.values():
+            if self.state_compression is None:
+                total += v.nbytes
+            else:
+                total += v[0].nbytes + 8
+        return total
 
     def _forward(self, tokens):
         logits = self.model.apply({"params": self.params}, tokens)
@@ -88,28 +145,42 @@ class NeuralLanguageModel(LanguageModel):
         if row is None:
             self.prefetch([history])
             row = self._cache[history]
-        return row
+        return self._decode_row(row)
 
     def prefetch(self, histories: Sequence[Tuple[int, ...]]) -> None:
-        """Forward all uncached histories in one padded device batch."""
+        """Forward all uncached histories in one padded device batch.
+
+        Histories pad on the RIGHT (the causal LSTM never sees the pad
+        before each row's read position) and each row's score is read at
+        its own last-token position; batch and length pad to buckets so
+        XLA re-uses a handful of compilations."""
         todo = [tuple(h) for h in histories if tuple(h) not in self._cache]
         if not todo:
             return
         todo = list(dict.fromkeys(todo))
         for chunk_start in range(0, len(todo), self.max_batch):
             chunk = todo[chunk_start:chunk_start + self.max_batch]
-            max_len = max(len(h) for h in chunk)
-            # pad-left with BOS so the last position is the newest token
-            batch = np.full((len(chunk), max_len), self.bos_id, dtype=np.int32)
+            max_len = -(-max(len(h) for h in chunk) // 16) * 16
+            b = -(-len(chunk) // 8) * 8
+            batch = np.full((b, max_len), self.bos_id, dtype=np.int32)
             for i, h in enumerate(chunk):
-                batch[i, max_len - len(h):] = h
+                batch[i, :len(h)] = h
             lp = np.asarray(self._fwd(jnp.asarray(batch)))
             for i, h in enumerate(chunk):
-                self._cache[h] = lp[i, -1]
+                self._cache[h] = self._encode_row(lp[i, len(h) - 1])
 
     def score(self, history, token) -> float:
         tid = token if isinstance(token, int) else self.token_id(token)
         return float(-self._row(tuple(history))[tid])
+
+    def score_dense(self, history) -> np.ndarray:
+        """-ln p(w | history) for the whole vocabulary — the dense row
+        contract the tree search's batched word-end scoring and LM
+        lookahead consume (same convention as ArpaLm.score_dense), which
+        is what makes the neural LM a drop-in FIRST-PASS LM
+        (src/Lm/RecurrentLanguageModel.hh:89: usable anywhere a
+        LanguageModel goes)."""
+        return -self._row(tuple(history))
 
     def sentence_end_score(self, history) -> float:
         return self.score(history, self.eos)

@@ -470,23 +470,31 @@ def load_image(path: str, key: str) -> Optional[BuiltTree]:
         return None
     if bytes(z["key"]).decode() != key:
         return None
+    # materialize every member ONCE (lazy npz access decompresses the
+    # whole array per subscript — per-node access is quadratic) and
+    # build from plain python lists
+    emi_off = z["emi_off"].tolist()
+    ch_off = z["ch_off"].tolist()
+    we_off = z["we_off"].tolist()
+    emi = z["emi"].tolist()
+    ch = z["ch"].tolist()
+    we = z["we"].tolist()
+    wp = z["wp"].tolist()
+    phon = z["phon"].tolist()
+    sil = z["sil"].tolist()
     nodes: List[HmmTreeNode] = []
-    emi_off, ch_off, we_off = z["emi_off"], z["ch_off"], z["we_off"]
     for i in range(len(emi_off) - 1):
-        children = {("c", int(c)): int(c)
-                    for c in z["ch"][ch_off[i]:ch_off[i + 1]]}
-        wes = []
-        for j in range(int(we_off[i]), int(we_off[i + 1])):
-            lemma, grp, close = (int(x) for x in z["we"][j])
-            wes.append((lemma, float(z["wp"][j]), grp, bool(close)))
+        children = {("c", c): c for c in ch[ch_off[i]:ch_off[i + 1]]}
+        wes = [(we[j][0], wp[j], we[j][1], bool(we[j][2]))
+               for j in range(we_off[i], we_off[i + 1])]
         nodes.append(HmmTreeNode(
-            phoneme=int(z["phon"][i]),
-            emissions=tuple(int(e) for e in
-                            z["emi"][emi_off[i]:emi_off[i + 1]]),
-            is_silence=bool(z["sil"][i]), children=children,
+            phoneme=phon[i],
+            emissions=tuple(emi[emi_off[i]:emi_off[i + 1]]),
+            is_silence=sil[i], children=children,
             word_ends=wes))
-    g_off = z["g_off"]
-    groups = [[int(x) for x in z["g_flat"][g_off[i]:g_off[i + 1]]]
+    g_off = z["g_off"].tolist()
+    g_flat = z["g_flat"].tolist()
+    groups = [g_flat[g_off[i]:g_off[i + 1]]
               for i in range(len(g_off) - 1)]
     return BuiltTree(nodes=nodes, entry_groups=groups)
 

@@ -106,6 +106,149 @@ def build_pool(task, pipe, feats_jit, pool: int, T_feat: int, N: int,
     return feats, flens, labels, lfr
 
 
+def _dct_matrix(n_in: int, n_out: int) -> np.ndarray:
+    """Orthonormal DCT-II (n_in -> n_out) for compact CART statistics."""
+    n = np.arange(n_in)
+    k = np.arange(n_out)[:, None]
+    m = np.cos(np.pi / n_in * (n[None, :] + 0.5) * k) \
+        * np.sqrt(2.0 / n_in)
+    m[0] *= np.sqrt(0.5)
+    return m.astype(np.float32)
+
+
+def build_cart(task, args, pipe, feats_of):
+    """Accumulate per-allophone-state Gaussian statistics from oracle-
+    aligned synthetic frames and train the phonetic decision tree
+    (reference CART state tying, src/Am/ClassicStateTying.hh:223,
+    src/Cart/DecisionTreeTrainer.hh:119).  Returns (tying, tree) and
+    switches the task's frame labeling to the tied classes."""
+    import jax
+    import jax.numpy as jnp
+
+    from rasr_tpu.am.acoustic_model import CartStateTying
+    from rasr_tpu.cart.decision_tree import (DecisionTree,
+                                             DecisionTreeTrainer, Example,
+                                             phonetic_questions)
+
+    key = (f"cart_p{task.n_phonemes}_c{task.coarticulation}"
+           f"_n{args.cart_pool}_l{args.cart_leaves}_o{args.cart_min_obs}"
+           f"_v1")
+    tree_path = os.path.join(CACHE, key + ".tree.xml.gz")
+    inv = task.am.lexicon.phoneme_inventory
+    if os.path.exists(tree_path):
+        tree = DecisionTree.read_xml(tree_path)
+        print(f"CART loaded from cache: {tree_path} "
+              f"({tree.n_classes} classes)", flush=True)
+    else:
+        t0 = time.time()
+        # -- accumulate: intern every (c, l, r, state) allophone state
+        # seen in an oracle-aligned pool; Gaussian stats over DCT-24 of
+        # the log-mel frames
+        index: dict = {}
+        keys_list: list = []
+
+        def intern(c, l, r, s, _b):
+            k = (c, l, r, s)
+            i = index.get(k)
+            if i is None:
+                i = len(keys_list)
+                index[k] = i
+                keys_list.append(k)
+            return i
+
+        task.label_fn = intern
+        N = int(TRAIN_SECONDS * SAMPLE_RATE)
+        T_feat = pipe.n_frames(N)
+        dct = _dct_matrix(FEAT_DIM, 24)
+        feats_jit = jax.jit(
+            lambda s, l: feats_of(s, T_feat, l) @ dct.T)
+        counts = np.zeros(0, np.float64)
+        sx = np.zeros((0, 24), np.float64)
+        sx2 = np.zeros((0, 24), np.float64)
+        chunk_audio, chunk_labs = [], []
+
+        def flush():
+            nonlocal counts, sx, sx2
+            if not chunk_audio:
+                return
+            lens = np.asarray([len(l) for l in chunk_labs], np.int32)
+            f = np.asarray(feats_jit(
+                jnp.asarray(np.stack(chunk_audio)), jnp.asarray(lens)))
+            n_ids = len(keys_list)
+            if n_ids > len(counts):
+                counts = np.concatenate(
+                    [counts, np.zeros(n_ids - len(counts))])
+                sx = np.concatenate(
+                    [sx, np.zeros((n_ids - len(sx), 24))])
+                sx2 = np.concatenate(
+                    [sx2, np.zeros((n_ids - len(sx2), 24))])
+            for i, labs in enumerate(chunk_labs):
+                t = min(len(labs), T_feat)
+                ids = np.asarray(labs[:t], np.int64)
+                x = f[i, :t].astype(np.float64)
+                counts += np.bincount(ids, minlength=n_ids)
+                for d in range(24):
+                    sx[:, d] += np.bincount(ids, weights=x[:, d],
+                                            minlength=n_ids)
+                    sx2[:, d] += np.bincount(ids, weights=x[:, d] ** 2,
+                                             minlength=n_ids)
+            chunk_audio.clear()
+            chunk_labs.clear()
+
+        for idx in range(args.cart_pool):
+            rng = np.random.default_rng(4_200_000 + idx)
+            audio, _orth, lab = task.utterance(rng, 6, 10)
+            audio = audio[:N]
+            pad = np.zeros((N,), np.float32)
+            pad[:len(audio)] = audio
+            chunk_audio.append(pad)
+            chunk_labs.append(lab)
+            if len(chunk_audio) == 64 or idx == args.cart_pool - 1:
+                flush()
+        task.label_fn = None
+
+        def sym(pid):
+            return inv.by_id(pid).symbol if pid else "#"
+
+        examples = [Example(
+            properties={"central": sym(c), "history[0]": sym(l),
+                        "future[0]": sym(r), "state": s},
+            count=float(counts[i]), sum_x=sx[i], sum_x2=sx2[i])
+            for i, (c, l, r, s) in enumerate(keys_list)]
+        # question set: singletons + confusable-pair classes + formant-
+        # band classes (quartiles per formant) for generalization to
+        # unseen triphones
+        symbols = [inv.by_id(i).symbol for i in range(1, len(inv) + 1)]
+        classes = {}
+        for pair in range(task.n_phonemes // 2):
+            classes[f"pair{pair}"] = {f"p{2 * pair}", f"p{2 * pair + 1}"}
+        for f_idx in range(3):
+            order = np.argsort(task.formants[:, f_idx])
+            qn = len(order) // 4
+            for q in range(4):
+                members = order[q * qn:(q + 1) * qn if q < 3 else None]
+                classes[f"f{f_idx}q{q}"] = {f"p{int(p)}" for p in members}
+        questions = phonetic_questions(symbols, classes=classes)
+        trainer = DecisionTreeTrainer(
+            questions, min_examples=args.cart_min_obs,
+            max_leaves=args.cart_leaves)
+        tree = trainer.train(examples)
+        os.makedirs(CACHE, exist_ok=True)
+        tree.write_xml(tree_path)
+        print(f"CART: {len(examples)} contexts -> {tree.n_classes} tied "
+              f"classes ({time.time() - t0:.0f}s)", flush=True)
+
+    tying = CartStateTying(tree, task.am.alphabet)
+    table = tying._table
+    task.label_fn = lambda c, l, r, s, b: int(table[c, l, r, s, b & 3])
+    task.n_classes = tree.n_classes
+    # report silence purity: the class of the silence allophone
+    sil_cls = task.label_fn(task.sil_lex_id, 0, 0, 0, 3)
+    print(f"CART tying: {tree.n_classes} classes, silence class "
+          f"{sil_cls}", flush=True)
+    return tying, tree
+
+
 def train_am(task, args, pipe, feats_of):
     """Train (or load cached) hybrid conformer AM; returns (model,
     params, log_priors, train_seconds, frame/phoneme accuracy)."""
@@ -123,7 +266,8 @@ def train_am(task, args, pipe, feats_of):
                n_layers=args.layers, n_heads=args.heads)
     model = HybridConformerAm(**cfg)
     key = (f"am_p{task.n_phonemes}_d{args.d_model}x{args.layers}"
-           f"_s{args.steps}_b{args.batch}_v2")   # v2: 1-state silence labels
+           f"_s{args.steps}_b{args.batch}_k{task.n_classes}"
+           f"_c{task.coarticulation}_v3")   # v3: plan-first rendering
     ckpt = os.path.join(CACHE, key + ".msgpack")
     priors_path = os.path.join(CACHE, key + ".priors.npy")
     meta_path = os.path.join(CACHE, key + ".meta.json")
@@ -193,12 +337,17 @@ def make_scorer(task, args, model, params, priors, pipe, feats_of):
         frame_samples=task.frame_samples)
 
 
-def make_search(task, lm, args, lm_scale):
+def make_search(task, lm, args, lm_scale, am=None):
     from rasr_tpu.search.hmm_timesync import WordConditionedTreeSearch
+    tree_image = None
+    if args.across_word:
+        tree_image = os.path.join(
+            CACHE, f"tree_xw_{args.words}_{task.n_classes}.npz")
     return WordConditionedTreeSearch(
-        task.am, lm=lm, lm_scale=lm_scale,
+        am or task.am, lm=lm, lm_scale=lm_scale,
         beam_size=args.beam, word_end_beam_size=args.word_end_beam,
         score_threshold=args.threshold,
+        across_word=args.across_word, tree_image=tree_image,
         lm_lookahead=True, lm_lookahead_slots=args.lookahead_slots,
         lm_lookahead_min_hyps=8, lm_lookahead_max_fills=16,
         acoustic_lookahead=args.acoustic_lookahead,
@@ -252,7 +401,7 @@ def decode_set(task, search, scorer, seeds, min_w, max_w, snr_db=None):
         err += counts.errors
         ref_len += counts.ref_len
     stats = {k: round(v[0] / max(v[1], 1), 1) for k, v in stats_sum.items()}
-    return err / max(ref_len, 1), audio_seconds, wall, stats
+    return err / max(ref_len, 1), audio_seconds, wall, stats, err, ref_len
 
 
 def main():
@@ -261,8 +410,17 @@ def main():
     ap.add_argument("--phonemes", type=int, default=42)
     ap.add_argument("--branching", type=int, default=20)
     ap.add_argument("--tokens", type=int, default=4_000_000)
-    ap.add_argument("--utterances", type=int, default=20)
-    ap.add_argument("--dev-utterances", type=int, default=4)
+    ap.add_argument("--utterances", type=int, default=240)
+    ap.add_argument("--dev-utterances", type=int, default=6)
+    ap.add_argument("--cart-leaves", type=int, default=1500,
+                    help="CART-tied triphone inventory size (0 = "
+                         "monophone tying, the pre-round-5 behavior)")
+    ap.add_argument("--cart-pool", type=int, default=512)
+    ap.add_argument("--cart-min-obs", type=float, default=150.0)
+    ap.add_argument("--coart", type=float, default=0.35,
+                    help="coarticulated rendering strength")
+    ap.add_argument("--across-word", action=argparse.BooleanOptionalAction,
+                    default=True)
     ap.add_argument("--beam", type=int, default=4096)
     ap.add_argument("--word-end-beam", type=int, default=192)
     ap.add_argument("--threshold", type=float, default=32.0)
@@ -296,10 +454,10 @@ def main():
     os.makedirs(CACHE, exist_ok=True)
     t0 = time.perf_counter()
     task = HybridSynthTask(n_words=args.words, n_phonemes=args.phonemes,
-                           branching=args.branching)
+                           branching=args.branching,
+                           coarticulation=args.coart)
     t_task = time.perf_counter() - t0
-    print(f"task: {args.words} words / {task.n_classes} tied states "
-          f"({t_task:.1f}s)", flush=True)
+    print(f"task: {args.words} words ({t_task:.1f}s)", flush=True)
 
     arpa_path = os.path.join(
         CACHE, f"hyb_{args.words}_{args.tokens}_{args.branching}.arpa")
@@ -315,6 +473,14 @@ def main():
     print(f"LM: {ngram_counts} ({t_lm:.1f}s)", flush=True)
 
     pipe, feats_of = feature_pipeline()
+    cart_tree = None
+    decode_am = task.am
+    t0 = time.perf_counter()
+    if args.cart_leaves:
+        import dataclasses
+        tying, cart_tree = build_cart(task, args, pipe, feats_of)
+        decode_am = dataclasses.replace(task.am, state_tying=tying)
+    t_cart = time.perf_counter() - t0
     model, params, priors, train_seconds, acc = train_am(
         task, args, pipe, feats_of)
     scorer = make_scorer(task, args, model, params, priors, pipe, feats_of)
@@ -325,9 +491,9 @@ def main():
     t0 = time.perf_counter()
     search = None
     for s in args.lm_scales:
-        search = make_search(task, lm, args, s)
-        wer, _a, _w, _st = decode_set(task, search, scorer, dev_seeds,
-                                      8, 14, snr_db=args.snr_db)
+        search = make_search(task, lm, args, s, am=decode_am)
+        wer, _a, _w, _st, _e, _r = decode_set(
+            task, search, scorer, dev_seeds, 8, 14, snr_db=args.snr_db)
         print(f"dev lm-scale {s}: WER {wer:.4f}", flush=True)
         if best is None or wer < best[1]:
             best = (s, wer)
@@ -337,13 +503,21 @@ def main():
           f"{t_tune:.0f}s)", flush=True)
 
     t0 = time.perf_counter()
-    search = make_search(task, lm, args, lm_scale)
+    search = make_search(task, lm, args, lm_scale, am=decode_am)
     t_tree = time.perf_counter() - t0
 
     eval_seeds = [9_500_000 + i for i in range(args.utterances)]
-    wer, audio_seconds, wall, stats = decode_set(
+    wer, audio_seconds, wall, stats, err, ref_len = decode_set(
         task, search, scorer, eval_seeds, 8, 18, snr_db=args.snr_db)
     la = search._lmla
+    # binomial 95% CI on the word error rate (Wilson interval over
+    # ref_len trials with err successes)
+    z = 1.959964
+    nn = max(ref_len, 1)
+    ph = err / nn
+    denom = 1.0 + z * z / nn
+    center = (ph + z * z / (2 * nn)) / denom
+    half = z * np.sqrt(ph * (1 - ph) / nn + z * z / (4 * nn * nn)) / denom
     result = {
         "task": "hybrid NN-HMM recognition end to end (BASELINE config 3)",
         "am": {"arch": f"conformer d{args.d_model} x{args.layers}",
@@ -351,6 +525,9 @@ def main():
                    int(np.prod(np.asarray(x).shape))
                    for x in jax.tree_util.tree_leaves(params)) / 1e6, 1),
                "tied_states": task.n_classes,
+               "state_tying": ("cart-triphone" if cart_tree is not None
+                               else "monophone"),
+               "coarticulation": args.coart,
                "train_seconds": round(train_seconds, 0),
                "heldout_accuracy": acc},
         "vocab_words": args.words,
@@ -366,6 +543,11 @@ def main():
         "score_threshold": args.threshold,
         "eval_utterances": args.utterances,
         "eval_snr_db": args.snr_db,
+        "across_word": args.across_word,
+        "eval_ref_words": int(ref_len),
+        "eval_word_errors": int(err),
+        "wer_ci95": [round(max(center - half, 0.0), 4),
+                     round(center + half, 4)],
         "audio_seconds": round(audio_seconds, 2),
         "wall_seconds_end_to_end": round(wall, 2),
         "rtf": round(wall / audio_seconds, 4),
@@ -380,6 +562,7 @@ def main():
         },
         "build_seconds": {"lexicon": round(t_task, 1),
                           "lm_trie": round(t_lm, 1),
+                          "cart": round(t_cart, 1),
                           "tree": round(t_tree, 1)},
     }
     with open(args.out, "w") as fh:
