@@ -527,8 +527,17 @@ class PushForwardRescoringNode(FlfNode):
         lm = self.network.context.get("lm")
         n = int(self.config.get("n") or 64)
         scale = float(self.config.get("scale") or 1.0)
-        from ..lattice.rescore import nbest_rescore
-        rescored = nbest_rescore(lattice, lm, n=n, scale=scale)
+        mode = self.config.get("mode") or "push-forward"
+        if mode == "n-best":
+            from ..lattice.rescore import nbest_rescore
+            rescored = nbest_rescore(lattice, lm, n=n, scale=scale)
+        else:
+            # per-state history beam (the reference algorithm) — works
+            # with unbounded-history LMs, e.g. the neural LM
+            from ..lattice.rescore import push_forward_rescore
+            rescored = push_forward_rescore(
+                lattice, lm, scale=scale,
+                k=int(self.config.get("history-beam") or 16), n_out=n)
         return lattice_from_nbest(
             [(labels, score, 0.0) for labels, score in rescored],
             words=lattice.words)

@@ -160,14 +160,17 @@ class NeuralLanguageModel(LanguageModel):
         todo = list(dict.fromkeys(todo))
         for chunk_start in range(0, len(todo), self.max_batch):
             chunk = todo[chunk_start:chunk_start + self.max_batch]
-            max_len = -(-max(len(h) for h in chunk) // 16) * 16
+            # the empty history (context-free/unigram table requests)
+            # scores as a single BOS prime
+            seqs = [h if len(h) else (self.bos_id,) for h in chunk]
+            max_len = -(-max(len(s) for s in seqs) // 16) * 16
             b = -(-len(chunk) // 8) * 8
             batch = np.full((b, max_len), self.bos_id, dtype=np.int32)
-            for i, h in enumerate(chunk):
-                batch[i, :len(h)] = h
+            for i, s in enumerate(seqs):
+                batch[i, :len(s)] = s
             lp = np.asarray(self._fwd(jnp.asarray(batch)))
-            for i, h in enumerate(chunk):
-                self._cache[h] = self._encode_row(lp[i, len(h) - 1])
+            for i, (h, s) in enumerate(zip(chunk, seqs)):
+                self._cache[h] = self._encode_row(lp[i, len(s) - 1])
 
     def score(self, history, token) -> float:
         tid = token if isinstance(token, int) else self.token_id(token)
