@@ -41,6 +41,40 @@ class LstmLmModel(nn.Module):
         return nn.Dense(self.vocab_size, name="output")(x)
 
 
+def lstm_step_fns(model: LstmLmModel):
+    """Single-step functional form of LstmLmModel for in-loop device
+    fusion (per-hypothesis recurrent state threaded through a search
+    loop — the reference's state-managed recurrent scorers,
+    src/Nn/LstmStateManager.hh).
+
+    Returns (init_carry(n), step(params, carry, tokens)):
+      carry: per-layer (c, h) pairs, each (n, hidden_dim) float32;
+      step consumes tokens (n,) int32 and returns (log_probs (n, V),
+      new_carry), matching a full-sequence forward position-for-position.
+    """
+    def init_carry(n: int):
+        return [(jnp.zeros((n, model.hidden_dim), jnp.float32),
+                 jnp.zeros((n, model.hidden_dim), jnp.float32))
+                for _ in range(model.n_layers)]
+
+    def step(params, carry, tokens):
+        x = params["embed"]["embedding"][tokens]
+        new_carry = []
+        for i in range(model.n_layers):
+            cell = nn.OptimizedLSTMCell(model.hidden_dim)
+            # the cell is constructed in LstmLmModel's scope, so its
+            # params register as OptimizedLSTMCell_<i> (the RNN wrapper
+            # itself owns none)
+            (c, h), x = cell.apply(
+                {"params": params[f"OptimizedLSTMCell_{i}"]},
+                (carry[i][0], carry[i][1]), x)
+            new_carry.append((c, h))
+        logits = x @ params["output"]["kernel"] + params["output"]["bias"]
+        return jax.nn.log_softmax(logits, -1), new_carry
+
+    return init_carry, step
+
+
 class NeuralLanguageModel(LanguageModel):
     """History-cached, batch-forwarded neural LM.
 
@@ -54,7 +88,8 @@ class NeuralLanguageModel(LanguageModel):
     def __init__(self, model: LstmLmModel, params,
                  vocab: Sequence[str], bos: str = "<s>", eos: str = "</s>",
                  unk: str = "<unk>", max_batch: int = 64,
-                 state_compression: Optional[str] = None):
+                 state_compression: Optional[str] = None,
+                 backend: Optional[str] = None):
         """state_compression: None stores raw float32 score rows per
         history; "int8" quantizes each cached row to int8 with a per-row
         affine scale (4x memory reduction for wide-beam/long-segment
@@ -74,7 +109,12 @@ class NeuralLanguageModel(LanguageModel):
                 f"unknown state-compression {state_compression!r}")
         self.state_compression = state_compression
         self._cache: Dict[Tuple[int, ...], object] = {}
-        self._fwd = jax.jit(self._forward)
+        # backend="cpu" keeps the (small) LM forward off the accelerator:
+        # in-search scoring issues many tiny per-wave forwards whose
+        # device-call latency would dominate (the reference solves the
+        # same problem with its async batching thread,
+        # src/Lm/RecurrentLanguageModel.hh:183-196)
+        self._fwd = jax.jit(self._forward, backend=backend)
 
     @classmethod
     def load(cls, file: str, info: str, **kwargs) -> "NeuralLanguageModel":

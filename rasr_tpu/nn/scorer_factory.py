@@ -238,6 +238,25 @@ def aed_decoder_from_config(config: Configuration,
             f"search-algorithm.max-labels={max_labels} exceeds the AED "
             f"decoder's positional table ({model.max_positions}); set "
             f"model.max-positions accordingly")
+    # optional unit-LM shallow fusion inside the device beam
+    # (search-algorithm.lm-checkpoint/lm-info/lm-scale)
+    lm_model = lm_params = None
+    lm_scale = float(sa.get("lm-scale") or 0.0)
+    if lm_scale and sa.get("lm-checkpoint"):
+        import json as _json
+
+        import jax
+        import jax.numpy as jnp
+
+        from ..lm.neural import LstmLmModel
+        from .checkpoint import load_params as _load
+        with open(sa.get("lm-info")) as fh:
+            lm_meta = _json.load(fh)
+        lm_model = LstmLmModel(**lm_meta["model"])
+        template = lm_model.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, 2), jnp.int32))["params"]
+        lm_params, _ = _load(sa.get("lm-checkpoint"), template)
     return CachedAedDecoder(
         model, params,
         beam_size=beam_size,
@@ -245,7 +264,8 @@ def aed_decoder_from_config(config: Configuration,
         eos=int(sa.get("sentence-end-index") or 0),
         length_norm_scale=float(sa.get("length-norm-scale") or 1.0),
         device_beam=(sa.get("device-beam") or "true").lower()
-        not in ("false", "no", "0"))
+        not in ("false", "no", "0"),
+        lm_model=lm_model, lm_params=lm_params, lm_scale=lm_scale)
 
 
 def transducer_decoder_from_config(config: Configuration):

@@ -32,7 +32,8 @@ class CachedAedDecoder:
 
     def __init__(self, model, params, beam_size: int = 4,
                  max_labels: int = 200, eos: int = 0,
-                 length_norm_scale: float = 1.0, device_beam: bool = True):
+                 length_norm_scale: float = 1.0, device_beam: bool = True,
+                 lm_model=None, lm_params=None, lm_scale: float = 0.0):
         self.model = model
         # device-resident jit ARGUMENT, never a closure constant (the
         # remote-compile tunnel rejects flagship-size embedded literals)
@@ -41,12 +42,20 @@ class CachedAedDecoder:
         self.max_labels = max_labels
         self.eos = eos
         self.length_norm = length_norm_scale
+        self.lm_scale = lm_scale
         self._device_search = None
         if device_beam:
             from .aed_device import make_aed_beam
-            self._device_search = make_aed_beam(
+            fn = make_aed_beam(
                 model, beam=beam_size, eos=eos, max_labels=max_labels,
-                length_norm=length_norm_scale)
+                length_norm=length_norm_scale,
+                lm_model=lm_model, lm_scale=lm_scale)
+            if lm_model is not None and lm_scale:
+                lm_p = jax.device_put(lm_params)
+                self._device_search = \
+                    lambda p, e, m: fn(p, e, m, lm_p)
+            else:
+                self._device_search = fn
 
         _encode = jax.jit(
             lambda p, f, l: model.apply({"params": p}, f, l,

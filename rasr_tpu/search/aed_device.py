@@ -34,15 +34,27 @@ _HP = jax.lax.Precision.HIGHEST
 
 
 def make_aed_beam(model, *, beam: int = 4, eos: int = 0,
-                  max_labels: int = 200, length_norm: float = 1.0):
-    """Build a jitted device label-sync beam `fn(params, enc, enc_mask)`.
+                  max_labels: int = 200, length_norm: float = 1.0,
+                  lm_model=None, lm_scale: float = 0.0):
+    """Build a jitted device label-sync beam `fn(params, enc, enc_mask)`
+    — or `fn(params, enc, enc_mask, lm_params)` when an LstmLmModel is
+    fused.
 
     enc (B, T, E) encoder states, enc_mask (B, T) bool valid frames.
     Returns (labels (B, beam, max_labels) int32 0-padded, n_lab (B, beam),
-    scores (B, beam) = summed -log p incl. EOS), best first by
+    scores (B, beam) = summed fused -log p incl. EOS), best first by
     length-normalized score.
-    """
+
+    Shallow fusion: per step the unit LM's per-hypothesis LSTM state is
+    threaded through the while_loop (reorders with the same one-hot
+    gathers as the KV caches) and non-EOS log-probs get
+    + lm_scale * log p_lm (the EOS column stays pure acoustic — the
+    unit LM never models sequence end)."""
     K = beam
+    fuse = lm_model is not None and lm_scale != 0.0
+    if fuse:
+        from ..lm.neural import lstm_step_fns
+        lm_init, lm_step = lstm_step_fns(lm_model)
 
     def pick_i(oh, x):
         return jnp.einsum("bkc,bc->bk", oh, x.astype(jnp.float32),
@@ -61,9 +73,9 @@ def make_aed_beam(model, *, beam: int = 4, eos: int = 0,
             return y.reshape(x.shape).astype(x.dtype)
         return jax.tree_util.tree_map(g, tree)
 
-    @jax.jit
-    def search(params, enc: jnp.ndarray, enc_mask: jnp.ndarray
-               ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    def search_impl(params, enc: jnp.ndarray, enc_mask: jnp.ndarray,
+                    lm_params=None
+                    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         B, T, _E = enc.shape
         enc_b = jnp.repeat(enc, K, axis=0)               # (B*K, T, E)
         mask_b = jnp.repeat(enc_mask, K, axis=0)
@@ -94,13 +106,14 @@ def make_aed_beam(model, *, beam: int = 4, eos: int = 0,
         fin0 = jnp.zeros((B, K), bool)
         tok0 = jnp.zeros((B, K), jnp.int32)              # BOS
         step0 = jnp.zeros((), jnp.int32)
+        lm0 = lm_init(B * K) if fuse else ()
 
         def cond(state):
-            _labels, _n, _score, fin, _tok, _cache, step = state
+            _labels, _n, _score, fin, _tok, _cache, _lm, step = state
             return (step < max_labels) & jnp.any(~fin)
 
         def body(state):
-            labels, n, score, fin, tok, cache, step = state
+            labels, n, score, fin, tok, cache, lm_carry, step = state
             lp, vars_out = model.apply(
                 {"params": params, "cache": cache}, enc_b, mask_b,
                 tok.reshape(B * K, 1),
@@ -109,6 +122,11 @@ def make_aed_beam(model, *, beam: int = 4, eos: int = 0,
             cache = vars_out["cache"]
             lp = jax.nn.log_softmax(lp.astype(jnp.float32), -1)
             lp = lp.reshape(B, K, -1)                    # (B, K, V)
+            if fuse:
+                lm_lp, lm_carry = lm_step(lm_params, lm_carry,
+                                          tok.reshape(B * K))
+                lm_lp = lm_lp.at[:, eos].set(0.0)
+                lp = lp + lm_scale * lm_lp.reshape(B, K, -1)
 
             # ---- candidates: K stays (finished) + K*K extends ----------
             stay_sc = jnp.where(fin, score, -NEG_INF)
@@ -149,12 +167,15 @@ def make_aed_beam(model, *, beam: int = 4, eos: int = 0,
             new_labels = jnp.where(pos & append[..., None],
                                    new_tok[..., None], new_labels)
             cache = gather_beam(oh_src, cache, B)
+            if fuse:
+                lm_carry = gather_beam(oh_src, lm_carry, B)
             feed = jnp.where(append, new_tok, 0)
             return (new_labels, new_n, new_score, new_fin, feed, cache,
-                    step + 1)
+                    lm_carry, step + 1)
 
         state = jax.lax.while_loop(
-            cond, body, (labels0, n0, score0, fin0, tok0, cache0, step0))
+            cond, body,
+            (labels0, n0, score0, fin0, tok0, cache0, lm0, step0))
         labels, n, score = state[0], state[1], state[2]
 
         norm = score / jnp.maximum(n, 1).astype(jnp.float32) ** length_norm
@@ -167,4 +188,7 @@ def make_aed_beam(model, *, beam: int = 4, eos: int = 0,
         out_score = pick_f(oh, score)
         return out_labels, out_n, out_score
 
-    return search
+    if fuse:
+        return jax.jit(search_impl)
+    return jax.jit(lambda params, enc, enc_mask:
+                   search_impl(params, enc, enc_mask))

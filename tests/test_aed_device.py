@@ -91,3 +91,73 @@ class TestBatchedDeviceBeam:
             np.testing.assert_array_equal(
                 lab1[0, 0, :n1[0, 0]], lab_b[i, 0, :n_b[i, 0]])
             assert sc1[0, 0] == pytest.approx(sc_b[i, 0], abs=1e-2)
+
+
+class TestLmFusion:
+    def test_fused_beam_prefers_lm_sequence(self, toy):
+        """Shallow fusion: with a unit LM trained hard on one token
+        sequence, a large lm-scale must pull the beam onto it, and the
+        fused run must differ from the unfused one in score by the LM
+        component."""
+        import optax
+        from rasr_tpu.lm.neural import LstmLmModel
+        model, params = toy
+        lm = LstmLmModel(vocab_size=VOCAB, embed_dim=8, hidden_dim=16)
+        seq = [0, 3, 5, 3, 5, 3]        # BOS then the preferred units
+        toks = jnp.asarray([seq], jnp.int32)
+        lm_params = lm.init(jax.random.PRNGKey(1), toks)["params"]
+        opt = optax.adam(1e-2)
+        ostate = opt.init(lm_params)
+
+        @jax.jit
+        def step(p, o):
+            def loss(p):
+                lp = jax.nn.log_softmax(
+                    lm.apply({"params": p}, toks[:, :-1]), -1)
+                return -jnp.mean(jnp.take_along_axis(
+                    lp, toks[:, 1:, None], -1))
+            l, g = jax.value_and_grad(loss)(p)
+            up, o = opt.update(g, o)
+            return optax.apply_updates(p, up), o
+
+        for _ in range(300):
+            lm_params, ostate = step(lm_params, ostate)
+
+        feats = np.asarray(jax.random.normal(jax.random.PRNGKey(3),
+                                             (1, 24, D)))
+        lens = np.asarray([24], np.int32)
+        plain = CachedAedDecoder(model, params, beam_size=4,
+                                 max_labels=8)
+        fused = CachedAedDecoder(model, params, beam_size=4,
+                                 max_labels=8, lm_model=lm,
+                                 lm_params=lm_params, lm_scale=20.0)
+        # EOS stays unfused by design, so compare the best NON-EMPTY
+        # hypotheses: the heavily scaled LM must force its alternating
+        # units onto every surviving continuation
+        fused_nb = fused.recognize_batch(feats, lens, n_best=4)[0]
+        cont = [r.labels for r in fused_nb if r.labels]
+        assert cont, fused_nb
+        assert cont[0][:3] == [3, 5, 3], cont
+        plain_nb = plain.recognize_batch(feats, lens, n_best=4)[0]
+        plain_cont = [r.labels for r in plain_nb if r.labels]
+        assert plain_cont != cont  # random AED alone does not produce them
+
+    def test_zero_scale_matches_unfused(self, toy):
+        import optax  # noqa: F401
+        from rasr_tpu.lm.neural import LstmLmModel
+        model, params = toy
+        lm = LstmLmModel(vocab_size=VOCAB, embed_dim=8, hidden_dim=16)
+        lm_params = lm.init(jax.random.PRNGKey(1),
+                            jnp.zeros((1, 3), jnp.int32))["params"]
+        feats = np.asarray(jax.random.normal(jax.random.PRNGKey(4),
+                                             (2, 24, D)))
+        lens = np.asarray([24, 20], np.int32)
+        plain = CachedAedDecoder(model, params, beam_size=4,
+                                 max_labels=8)
+        zero = CachedAedDecoder(model, params, beam_size=4,
+                                max_labels=8, lm_model=lm,
+                                lm_params=lm_params, lm_scale=0.0)
+        a = plain.recognize_batch(feats, lens)
+        b = zero.recognize_batch(feats, lens)
+        for ra, rb in zip(a, b):
+            assert ra[0].labels == rb[0].labels
