@@ -133,12 +133,13 @@ class TopicMarkovLanguage(MarkovLanguage):
     structure that makes the reference's RecurrentLanguageModel
     (src/Lm/RecurrentLanguageModel.hh:89) worth its cost over ARPA."""
     n_topics: int = 4
+    topic_alpha: float = 0.25    # smaller = sharper per-topic reweighting
 
     def __post_init__(self):
         super().__post_init__()
         rng = np.random.default_rng(self.seed + 77)
         self.topic_probs = rng.dirichlet(
-            np.full(self.branching, 0.25),
+            np.full(self.branching, self.topic_alpha),
             size=(self.n_topics, self.n_words))
 
     def sample_sentence(self, rng: np.random.Generator,

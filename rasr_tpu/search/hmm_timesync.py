@@ -189,6 +189,9 @@ class StateNetwork:
         wl_rows = [[w[0] for w in nodes[i].word_ends]
                    for i in range(n_nodes)]
         self.wend_off, self.wend_lemma = _csr(wl_rows)
+        # static position index over the word-end CSR (allocating this
+        # per frame dominated the whole decode at 100k-word scale)
+        self.wend_pos = np.arange(len(self.wend_lemma), dtype=np.int64)
         flat_wends = [w for i in range(n_nodes)
                       for w in nodes[i].word_ends]
         self.wend_pron = np.asarray([w[1] for w in flat_wends],
@@ -399,6 +402,22 @@ class WordConditionedTreeSearch:
                 self._native = NativeBeam(self.net)
             except Exception:
                 self._native = None
+        self.reset()
+
+    def set_lm_scale(self, lm_scale: float) -> None:
+        """Retune the LM scale on the SAME search instance: clears the
+        scale-dependent caches (word-end LM rows, transition cache) and
+        rescales the lookahead tables — tree, state network and
+        lookahead structure are scale-independent, so tuning loops skip
+        the expensive rebuild."""
+        self.lm_scale = float(lm_scale)
+        self._lm_cache.clear()
+        if hasattr(self, "_ext_cache"):
+            self._ext_cache.clear()
+        if self._lm_dense_ok:
+            self._dense_cache.clear()
+        if self._lmla is not None:
+            self._lmla.set_scale(lm_scale)
         self.reset()
 
     def set_language_model(self, lm, lm_scale: Optional[float] = None
@@ -722,9 +741,7 @@ class WordConditionedTreeSearch:
         runs only over the surviving <= word_end_beam candidates, grouped
         by unique (history, lemma) pair."""
         net = self.net
-        own, wpos = _csr_expand(
-            net.wend_off,
-            np.arange(len(net.wend_lemma), dtype=np.int64), e_nd)
+        own, wpos = _csr_expand(net.wend_off, net.wend_pos, e_nd)
         if len(own) == 0:
             return
         lemmas = net.wend_lemma[wpos]

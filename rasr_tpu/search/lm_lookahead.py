@@ -142,6 +142,26 @@ class LmLookahead:
         self.wend_token = np.asarray(wt, np.int64)
         self.free_la = np.asarray(free, np.int64)
 
+        # fill-path layout: segment-min via argsort + reduceat
+        # (np.minimum.at is ~10x slower at millions of entries, and fills
+        # sit on the decode path)
+        if len(self.wend_la):
+            ws = np.argsort(self.wend_la, kind="stable")
+            wla = self.wend_la[ws]
+            starts = np.flatnonzero(
+                np.concatenate([[True], wla[1:] != wla[:-1]]))
+            self._w_tok = self.wend_token[ws]
+            self._w_starts = starts
+            self._w_la_unique = wla[starts]
+        self._levels_fast = []
+        for parents, children in self.levels:
+            ps = np.argsort(parents, kind="stable")
+            p = parents[ps]
+            c = children[ps]
+            starts = np.flatnonzero(
+                np.concatenate([[True], p[1:] != p[:-1]]))
+            self._levels_fast.append((p[starts], c, starts))
+
         # per-state la node for the search kernel: state -> la node
         self.la_of_state = la_of[net.node_of]
 
@@ -172,19 +192,33 @@ class LmLookahead:
         tab = np.full(self.n_la, np.inf, np.float32)
         if len(self.wend_la):
             dense = self.lm.score_dense(hist)
-            np.minimum.at(tab, self.wend_la,
-                          (self.lm_scale
-                           * dense[self.wend_token]).astype(np.float32))
+            vals = (self.lm_scale
+                    * dense[self._w_tok]).astype(np.float32)
+            tab[self._w_la_unique] = np.minimum.reduceat(
+                vals, self._w_starts)
         if len(self.free_la):
             tab[self.free_la] = np.minimum(tab[self.free_la], 0.0)
-        for parents, children in self.levels:
-            np.minimum.at(tab, parents, tab[children])
+        for pu, c, starts in self._levels_fast:
+            tab[pu] = np.minimum(
+                tab[pu], np.minimum.reduceat(tab[c], starts))
         # unreachable la nodes (none in practice) must not poison pruning
         np.nan_to_num(tab, copy=False, posinf=3.0e8)
         self.pool[slot] = tab
         self.n_fills += 1
         self.version += 1
         self.fill_seconds += time.perf_counter() - t0
+
+    def set_scale(self, lm_scale: float) -> None:
+        """Change the LM scale: every resident table is stale, so the
+        slot pool resets and the unigram table refills at the new scale
+        (cheap next to a full lookahead rebuild — tuning loops switch
+        scales on one search instance)."""
+        self.lm_scale = float(lm_scale)
+        self.slot_of_id[:] = 0
+        self._lru.clear()
+        self._free_slots = list(range(self.max_slots - 1, 0, -1))
+        self.version += 1
+        self._fill(0, ())
 
     def lookahead_history(self, hist: tuple) -> tuple:
         if self.history_limit <= 0:

@@ -19,10 +19,13 @@ import numpy as np
 
 from ..speech.native_io import _ensure_built
 
-_I64P = ctypes.POINTER(ctypes.c_int64)
-_F64P = ctypes.POINTER(ctypes.c_double)
-_F32P = ctypes.POINTER(ctypes.c_float)
-_U8P = ctypes.POINTER(ctypes.c_uint8)
+# pointer args are declared c_void_p and passed as raw addresses
+# (ndarray.ctypes.data): per-frame data_as()/cast() marshaling was ~25%
+# of the steady-state host loop at 100k-word scale
+_I64P = ctypes.c_void_p
+_F64P = ctypes.c_void_p
+_F32P = ctypes.c_void_p
+_U8P = ctypes.c_void_p
 
 
 def _lib() -> Optional[ctypes.CDLL]:
@@ -58,11 +61,11 @@ def _f64(a) -> np.ndarray:
 
 
 def _pi(a: np.ndarray):
-    return a.ctypes.data_as(_I64P)
+    return a.ctypes.data
 
 
 def _pf(a: np.ndarray):
-    return a.ctypes.data_as(_F64P)
+    return a.ctypes.data
 
 
 _EMPTY_I = np.zeros(0, np.int64)
@@ -89,12 +92,12 @@ class NativeBeam:
         k = self._keep
         self._handle = lib.rasr_beam_net_create(
             len(net.emis),
-            k[0].ctypes.data_as(_U8P), k[1].ctypes.data_as(_U8P),
-            k[2].ctypes.data_as(_U8P),
+            k[0].ctypes.data, k[1].ctypes.data, k[2].ctypes.data,
             _pf(k[3]), _pf(k[4]), _pf(k[5]), _pi(k[6]), _pi(k[7]),
             len(net.child_off) - 1, _pi(k[8]), _pi(k[9]))
         if not self._handle:
             raise RuntimeError("rasr_beam_net_create failed")
+        self._obuf = None   # (beam_size-keyed) output buffers
 
     def __del__(self):
         if getattr(self, "_handle", None):
@@ -125,14 +128,17 @@ class NativeBeam:
                for i, x in enumerate(inj)]
         frame = _f64(frame)
         la_arr = _f64(la_row) if la_row is not None else None
-        o_state = np.empty(beam_size, np.int64)
-        o_hist = np.empty(beam_size, np.int64)
-        o_score = np.empty(beam_size, np.float64)
-        o_trace = np.empty(beam_size, np.int64)
-        o_bframe = np.empty(beam_size, np.int64)
-        o_bscore = np.empty(beam_size, np.float64)
-        stats = np.zeros(3, np.int64)
-        la_p = _pf(la_arr) if la_arr is not None else _F64P()
+        if self._obuf is None or len(self._obuf[0]) < beam_size:
+            self._obuf = (np.empty(beam_size, np.int64),
+                          np.empty(beam_size, np.int64),
+                          np.empty(beam_size, np.float64),
+                          np.empty(beam_size, np.int64),
+                          np.empty(beam_size, np.int64),
+                          np.empty(beam_size, np.float64),
+                          np.zeros(3, np.int64))
+        (o_state, o_hist, o_score, o_trace, o_bframe, o_bscore,
+         stats) = self._obuf
+        la_p = _pf(la_arr) if la_arr is not None else None
         if lm_la is not None:
             pool, slot_map, state_map = lm_la
             pool = np.ascontiguousarray(pool, np.float32)
@@ -142,7 +148,7 @@ class NativeBeam:
                        _pi(state_map), pool.shape[1])
             self._lm_keep = (pool, slot_map, state_map)
         else:
-            lm_args = (_F32P(), _I64P(), _I64P(), 0)
+            lm_args = (None, None, None, 0)
         n_out = self._l.rasr_beam_expand(
             self._handle,
             len(b[0]), _pi(b[0]), _pi(b[1]), _pf(b[2]), _pi(b[3]),
@@ -161,6 +167,8 @@ class NativeBeam:
         if stats[0] == 0:
             return None
         n = int(n_out)
-        return ((o_state[:n], o_hist[:n], o_score[:n], o_trace[:n],
-                 o_bframe[:n], o_bscore[:n]),
+        # copies: the buffers are reused next frame
+        return ((o_state[:n].copy(), o_hist[:n].copy(),
+                 o_score[:n].copy(), o_trace[:n].copy(),
+                 o_bframe[:n].copy(), o_bscore[:n].copy()),
                 (int(stats[0]), int(stats[1]), int(stats[2])))

@@ -485,13 +485,16 @@ def main():
         task, args, pipe, feats_of)
     scorer = make_scorer(task, args, model, params, priors, pipe, feats_of)
 
-    # dev-tune the LM scale on a tiny disjoint dev set
+    # dev-tune the LM scale on a tiny disjoint dev set (one search
+    # instance; set_lm_scale retunes without rebuilding tree/lookahead)
     dev_seeds = [9_100_000 + i for i in range(args.dev_utterances)]
+    t0 = time.perf_counter()
+    search = make_search(task, lm, args, args.lm_scales[0], am=decode_am)
+    t_tree = time.perf_counter() - t0
     best = None
     t0 = time.perf_counter()
-    search = None
     for s in args.lm_scales:
-        search = make_search(task, lm, args, s, am=decode_am)
+        search.set_lm_scale(s)
         wer, _a, _w, _st, _e, _r = decode_set(
             task, search, scorer, dev_seeds, 8, 14, snr_db=args.snr_db)
         print(f"dev lm-scale {s}: WER {wer:.4f}", flush=True)
@@ -501,10 +504,7 @@ def main():
     lm_scale = best[0]
     print(f"picked lm-scale {lm_scale} (dev WER {best[1]:.4f}, "
           f"{t_tune:.0f}s)", flush=True)
-
-    t0 = time.perf_counter()
-    search = make_search(task, lm, args, lm_scale, am=decode_am)
-    t_tree = time.perf_counter() - t0
+    search.set_lm_scale(lm_scale)
 
     eval_seeds = [9_500_000 + i for i in range(args.utterances)]
     wer, audio_seconds, wall, stats, err, ref_len = decode_set(

@@ -58,8 +58,9 @@ def train_word_lm(task, args, corpus_sents):
     vocab = [f"w{i}" for i in range(V)] + ["<s>", "</s>", "<unk>"]
     model = LstmLmModel(vocab_size=len(vocab), embed_dim=args.lm_embed,
                         hidden_dim=args.lm_hidden)
-    key = (f"wordlm_v{V}_t{args.topics}_e{args.lm_embed}"
-           f"_h{args.lm_hidden}_s{args.lm_steps}_v1")
+    key = (f"wordlm_v{V}_t{args.topics}a{args.topic_alpha}"
+           f"_k{args.tokens}_e{args.lm_embed}"
+           f"_h{args.lm_hidden}_s{args.lm_steps}_v2")
     ckpt = os.path.join(CACHE, key + ".msgpack")
     if os.path.exists(ckpt):
         template = model.init(jax.random.PRNGKey(0),
@@ -188,22 +189,22 @@ def decode_with_lattices(task, search, scorer, seeds, min_w, max_w,
             audio_seconds, wall)
 
 
-def rescore_lattices(task, lats, utts, arpa, lm4_scale, model, params,
-                     vocab, nn_scale, n_paths=32):
-    """k-best LM replacement: extract n best by the FIRST-PASS combined
-    score, strip the (exact) 4-gram component, add the LSTM's batched
-    sequence scores, re-rank (push-forward k-best semantics,
-    src/Flf/RescoreLm.cc)."""
+def collect_candidates(task, lats, arpa, lm4_scale, model, params,
+                       n_paths=32):
+    """Per lattice, the n best paths by FIRST-PASS combined score with a
+    decomposed (am, lm4, nn) score triple per path — lm4 exact from the
+    ARPA trie, nn = batched LSTM sequence NLL (both include </s>) — so
+    interpolation weights grid-search without re-extraction
+    (push-forward k-best semantics, src/Flf/RescoreLm.cc)."""
     import jax
     import jax.numpy as jnp
 
-    from rasr_tpu.bliss.evaluation import Evaluator
     from rasr_tpu.fsa.automaton import EPS
 
     V = task.n_words
     BOS, EOS = V, V + 1
 
-    cand = []        # (utt_idx, token_ids, am_score)
+    cand = []        # (utt_idx, token_ids, am, lm4_with_end)
     for i, lat in enumerate(lats):
         words = lat.words or {}
         for labels, combined in lat.n_best(n_paths, am_scale=1.0,
@@ -211,20 +212,18 @@ def rescore_lattices(task, lats, utts, arpa, lm4_scale, model, params,
             toks = [words[l] for l in labels
                     if l != EPS and words.get(l, "").startswith("w")]
             ids = [int(t[1:]) for t in toks]
-            lm4 = arpa.sequence_score(toks, with_sentence_end=False)
-            cand.append((i, ids, combined - lm4_scale * lm4))
+            lm4_noend = arpa.sequence_score(toks, with_sentence_end=False)
+            lm4 = arpa.sequence_score(toks)
+            cand.append((i, ids, combined - lm4_scale * lm4_noend, lm4))
 
-    # batched LSTM sequence scores for every candidate path
-    L = max(max((len(ids) for _i, ids, _a in cand), default=1), 1) + 1
+    L = max(max((len(ids) for _i, ids, _a, _l in cand), default=1), 1) + 1
     toks = np.full((len(cand), L + 1), EOS, np.int32)
     lens = np.zeros((len(cand),), np.int32)
     toks[:, 0] = BOS
-    for j, (_i, ids, _a) in enumerate(cand):
+    for j, (_i, ids, _a, _l) in enumerate(cand):
         toks[j, 1:1 + len(ids)] = ids
         toks[j, 1 + len(ids)] = EOS
         lens[j] = len(ids) + 1
-
-    from rasr_tpu.lm.neural import LstmLmModel  # noqa: F401  (model arg)
 
     def seq_nll(p, toks, lens):
         logits = model.apply({"params": p}, toks[:, :-1])
@@ -241,13 +240,18 @@ def rescore_lattices(task, lats, utts, arpa, lm4_scale, model, params,
         scores.append(np.asarray(fn(
             params, jnp.asarray(toks[lo:hi]), jnp.asarray(lens[lo:hi]))))
     nn_nll = np.concatenate(scores) if scores else np.zeros(0)
+    return [(i, ids, am, lm4, float(nn_nll[j]))
+            for j, (i, ids, am, lm4) in enumerate(cand)]
 
+
+def rescore_wer(cand, utts, lam4, lamnn):
+    """WER after re-ranking with total = am + lam4*lm4 + lamnn*nn."""
+    from rasr_tpu.bliss.evaluation import Evaluator
     best: dict = {}
-    for j, (i, ids, am) in enumerate(cand):
-        total = am + nn_scale * float(nn_nll[j])
+    for i, ids, am, lm4, nn in cand:
+        total = am + lam4 * lm4 + lamnn * nn
         if i not in best or total < best[i][0]:
             best[i] = (total, ids)
-
     ev = Evaluator("rescore-nn")
     err = ref = 0
     for i, (_a, orth) in enumerate(utts):
@@ -261,11 +265,12 @@ def rescore_lattices(task, lats, utts, arpa, lm4_scale, model, params,
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--words", type=int, default=5000)
+    ap.add_argument("--words", type=int, default=2000)
     ap.add_argument("--phonemes", type=int, default=42)
     ap.add_argument("--branching", type=int, default=20)
     ap.add_argument("--topics", type=int, default=6)
-    ap.add_argument("--tokens", type=int, default=2_000_000)
+    ap.add_argument("--topic-alpha", type=float, default=0.15)
+    ap.add_argument("--tokens", type=int, default=8_000_000)
     ap.add_argument("--utterances", type=int, default=120)
     ap.add_argument("--dev-utterances", type=int, default=6)
     ap.add_argument("--first-pass-utterances", type=int, default=40,
@@ -292,8 +297,8 @@ def main():
     ap.add_argument("--heads", type=int, default=4)
     ap.add_argument("--lm-embed", type=int, default=160)
     ap.add_argument("--lm-hidden", type=int, default=512)
-    ap.add_argument("--lm-steps", type=int, default=4000)
-    ap.add_argument("--lm-batch", type=int, default=192)
+    ap.add_argument("--lm-steps", type=int, default=5000)
+    ap.add_argument("--lm-batch", type=int, default=256)
     ap.add_argument("--lm-lr", type=float, default=2e-3)
     ap.add_argument("--lm-maxlen", type=int, default=24)
     ap.add_argument("--nll-sentences", type=int, default=512)
@@ -320,12 +325,12 @@ def main():
                            branching=args.branching)
     task.language = TopicMarkovLanguage(
         args.words, branching=args.branching, seed=2,
-        n_topics=args.topics)
+        n_topics=args.topics, topic_alpha=args.topic_alpha)
     print(f"task: {args.words} words, {args.topics} topics", flush=True)
 
     arpa_path = os.path.join(
         CACHE, f"topic_{args.words}_{args.tokens}_{args.branching}"
-               f"_{args.topics}.arpa")
+               f"_{args.topics}_{args.topic_alpha}.arpa")
     corpus_sents = task.language.sample_corpus(args.tokens, seed=3)
     if not os.path.exists(arpa_path):
         from rasr_tpu.data.synth_lm import count_ngrams, write_arpa
@@ -366,32 +371,42 @@ def main():
     print(f"first pass (4-gram @ {lm4_scale}): WER {fp_wer:.4f} "
           f"({audio_s / fp_wall:.1f}x RT)", flush=True)
 
-    # ---- rescoring: tune the LSTM scale on the dev lattices
+    # ---- rescoring: grid the interpolation weights on the dev lattices
+    # (total = am + lam4 * lm4 + lamnn * lstm; lamnn = 0 recovers the
+    # pure 4-gram re-rank baseline)
     dsearch = hb.make_search(task, arpa, args, lm4_scale)
     (_w, _e, _r, _h, dev_lats, dev_utts, _a,
      _wl) = decode_with_lattices(
         task, dsearch, scorer, dev_seeds, 8, 14, args.snr_db)
+    dev_cand = collect_candidates(task, dev_lats, arpa, lm4_scale,
+                                  model, params)
     best_nn = None
-    for s in args.nn_scales:
-        w, _e2, _r2 = rescore_lattices(task, dev_lats, dev_utts, arpa,
-                                       lm4_scale, model, params, vocab, s)
-        print(f"dev nn-scale {s}: WER {w:.4f}", flush=True)
-        if best_nn is None or w < best_nn[1]:
-            best_nn = (s, w)
-    nn_scale = best_nn[0]
+    for lam4 in [0.0, 0.5 * lm4_scale, lm4_scale]:
+        for lamnn in [0.0] + list(args.nn_scales):
+            w, _e2, _r2 = rescore_wer(dev_cand, dev_utts, lam4, lamnn)
+            print(f"dev lam4 {lam4} lamnn {lamnn}: WER {w:.4f}",
+                  flush=True)
+            if best_nn is None or w < best_nn[2]                     or (w == best_nn[2] and lamnn > 0 and
+                        best_nn[1] == 0):
+                best_nn = (lam4, lamnn, w)
+    lam4, nn_scale = best_nn[0], best_nn[1]
 
     t0 = time.perf_counter()
-    rs_wer, rs_err, rs_ref = rescore_lattices(
-        task, lats, utts, arpa, lm4_scale, model, params, vocab, nn_scale)
+    cand = collect_candidates(task, lats, arpa, lm4_scale, model, params)
+    rs_wer, rs_err, rs_ref = rescore_wer(cand, utts, lam4, nn_scale)
+    # the pure-4-gram re-rank over the same n-best (sanity row: rescoring
+    # machinery minus the neural LM)
+    rr4_wer, _e4, _r4 = rescore_wer(cand, utts, lm4_scale, 0.0)
     rs_wall = time.perf_counter() - t0
-    print(f"rescored (LSTM @ {nn_scale}): WER {rs_wer:.4f} "
-          f"({rs_wall:.1f}s)", flush=True)
+    print(f"rescored (lam4 {lam4}, lstm {nn_scale}): WER {rs_wer:.4f} "
+          f"(4-gram re-rank {rr4_wer:.4f}, {rs_wall:.1f}s)", flush=True)
 
     # ---- LSTM as the first-pass LM (CPU-backend forwards)
     nnlm = NeuralLanguageModel(model, jax.device_get(params), vocab,
                                backend="cpu")
     fp_subset = eval_seeds[:args.first_pass_utterances]
-    nn_search = hb.make_search(task, nnlm, args, nn_scale)
+    nn_fp_scale = nn_scale if nn_scale > 0 else lm4_scale
+    nn_search = hb.make_search(task, nnlm, args, nn_fp_scale)
     (nn_wer, nn_err, nn_ref, _h2, _l2, _u2, nn_audio,
      nn_wall) = decode_with_lattices(
         task, nn_search, scorer, fp_subset, 8, 16, args.snr_db)
@@ -400,7 +415,7 @@ def main():
     (sub_wer, _e3, _r3, _h3, _l3, _u3, _a3,
      _w3) = decode_with_lattices(
         task, sub_search, scorer, fp_subset, 8, 16, args.snr_db)
-    print(f"first pass (LSTM @ {nn_scale}): WER {nn_wer:.4f} vs 4-gram "
+    print(f"first pass (LSTM @ {nn_fp_scale}): WER {nn_wer:.4f} vs 4-gram "
           f"{sub_wer:.4f} on the same {len(fp_subset)} utts "
           f"({nn_audio / nn_wall:.1f}x RT)", flush=True)
 
@@ -416,7 +431,9 @@ def main():
         "eval_utterances": args.utterances,
         "eval_snr_db": args.snr_db,
         "lm4_scale": lm4_scale,
+        "rescore_lam4": lam4,
         "nn_scale": nn_scale,
+        "ngram_rerank_wer": round(rr4_wer, 4),
         "first_pass_wer": round(fp_wer, 4),
         "first_pass_errors": [fp_err, fp_ref],
         "nnlm_rescored_wer": round(rs_wer, 4),
