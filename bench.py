@@ -209,8 +209,39 @@ def setup(quant: str = ""):
                 lm_scale=lm_scale, beam=8, topk=16)
             return labels, n_lab, scores
 
+    # -- per-stage programs for the MFU/time breakout (same math as the
+    # fused program, split at the natural boundaries) ------------------------
+    @jax.jit
+    def stage_frontend(samples, n_frames):
+        x = dsp.preemphasis(samples.astype(jnp.float32), 1.0)
+        frames = dsp.frame_signal(x, pipe.length, pipe.shift, T_feat)
+        frames = dsp.apply_window(frames, "hamming")
+        amp = dsp.rfft_amplitude(frames, pipe.fft_len, pipe.fft_scale)
+        fb = dsp.apply_matrix(amp, pipe.mel_matrix)
+        logfb = dsp.log10(jnp.maximum(fb, 1e-6))
+        mask = (jnp.arange(T_feat)[None, :]
+                < n_frames[:, None]).astype(jnp.float32)
+        return dsp.normalize_segment(logfb, mask=mask)
+
+    @jax.jit
+    def stage_encoder(params, feats, n_frames):
+        if quant == "int8":
+            from rasr_tpu.models.quantized import quantized_ctc_forward
+            logits, out_lens = quantized_ctc_forward(model, params, feats,
+                                                     n_frames)
+        else:
+            logits, out_lens, _ = model.apply({"params": params}, feats,
+                                              n_frames, deterministic=True)
+        return jax.nn.log_softmax(logits.astype(jnp.float32), -1), out_lens
+
+    @jax.jit
+    def stage_beam(lp, out_lens):
+        return ctc_prefix_beam(lp, out_lens, beam=8, topk=1)
+
+    stages = {"frontend": stage_frontend, "encoder": stage_encoder,
+              "beam": stage_beam}
     return (task, model, params, trained, pipe, decode, T_feat, N,
-            decode_fused, lm_params, lm_meta)
+            decode_fused, lm_params, lm_meta, stages)
 
 
 def eval_wer(task, pipe, decode, params, T_feat, N, ev_batch=32,
@@ -288,7 +319,7 @@ def main():
 
     quant = os.environ.get("RASR_BENCH_QUANT", "")
     (task, model, params, trained, pipe, decode, T_feat, N,
-     decode_fused, lm_params, lm_meta) = setup(quant)
+     decode_fused, lm_params, lm_meta, stages) = setup(quant)
 
     # -- quality gate: WER on the held-out eval stream at the hard
     # condition (nonzero operating point) -----------------------------------
@@ -371,6 +402,25 @@ def main():
     gflops_per_utt = encoder_gflops(model, T_feat)
     tflops = gflops_per_utt * iters * batch / dt / 1e3
     peak = PEAK_TFLOPS["int8" if quant == "int8" else "bf16"]
+
+    # -- per-stage breakout on the same big batch: where the non-MXU
+    # time goes (front-end/beam/host) vs the encoder itself ------------------
+    stage_s = {}
+    feats_big = stages["frontend"](big, big_lens)
+    lp_big, ol_big = stages["encoder"](params, feats_big, big_lens)
+    _ = jax.block_until_ready(stages["beam"](lp_big, ol_big))
+    for name, call in (
+            ("frontend", lambda: stages["frontend"](big, big_lens)),
+            ("encoder", lambda: stages["encoder"](params, feats_big,
+                                                  big_lens)),
+            ("beam", lambda: stages["beam"](lp_big, ol_big))):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out_s = call()
+        jax.block_until_ready(out_s)
+        stage_s[name] = time.perf_counter() - t0
+    enc_tflops = gflops_per_utt * iters * batch / stage_s["encoder"] / 1e3
+    mfu_encoder_only = enc_tflops / peak
     result = {
         "metric": ("e2e CTC decode, flagship 12x512 conformer "
                    + ("int8" if quant == "int8" else "bf16")
@@ -383,6 +433,9 @@ def main():
         "greedy_wer": round(greedy_wer, 4),
         "tflops": round(tflops, 1),
         "mfu": round(tflops / peak, 4),
+        "mfu_encoder_only": round(mfu_encoder_only, 4),
+        "stage_seconds": {k: round(v, 2) for k, v in stage_s.items()},
+        "e2e_seconds": round(dt, 2),
         **fused,
     }
     if fused and decode_fused is not None:

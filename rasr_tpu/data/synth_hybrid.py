@@ -50,7 +50,8 @@ class HybridSynthTask:
                  frames_per_state: Tuple[int, int] = (2, 5),
                  pair_ratio: float = 1.035,
                  min_pron: int = 4, max_pron: int = 10,
-                 coarticulation: float = 0.0):
+                 coarticulation: float = 0.0,
+                 twin_words: bool = False):
         self.n_words = n_words
         self.n_phonemes = n_phonemes
         self.sample_rate = sample_rate
@@ -69,8 +70,10 @@ class HybridSynthTask:
         self.label_fn = None
         self.lexicon, self.am, self.prons = make_lexicon(
             n_words, n_phonemes=n_phonemes, seed=1,
-            min_len=min_pron, max_len=max_pron)
+            min_len=min_pron, max_len=max_pron, twin_words=twin_words)
         self.language = MarkovLanguage(n_words, branching=branching, seed=2)
+        #: cache-key suffix distinguishing lexicon/audio flavors
+        self.cache_tag = "_tw" if twin_words else ""
         self.n_classes = 3 * (n_phonemes + 1)
         self.sil_base = 3 * n_phonemes          # the single silence class
         self.sil_lex_id = n_phonemes + 1        # 'si' lexicon phoneme id

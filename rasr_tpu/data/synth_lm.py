@@ -33,11 +33,20 @@ SENT_END = "</s>"
 
 
 def make_lexicon(n_words: int, n_phonemes: int = 40, seed: int = 1,
-                 min_len: int = 4, max_len: int = 10):
+                 min_len: int = 4, max_len: int = 10,
+                 twin_words: bool = False):
     """(Lexicon, AcousticModel, prons int32 (n_words, max_len) padded -1).
 
     Monophone 3-state topology; phoneme `si` is context-independent
-    silence.  Word w is named "w<idx>"."""
+    silence.  Word w is named "w<idx>".
+
+    twin_words: every odd word's pronunciation is the even partner's
+    with every phoneme swapped for its CONFUSABLE PAIR twin (2i <->
+    2i+1, the near-identical formants in the synthetic audio) — the
+    lexicon then has a dense acoustic neighborhood, so recognition
+    lattices genuinely hold competing word hypotheses the language
+    model must resolve (the regime the reference's lattice rescoring
+    exists for)."""
     from ..am.acoustic_model import (AcousticModel, HmmTopology,
                                      MonophoneStateTying, Tdp,
                                      TransitionModel)
@@ -58,6 +67,23 @@ def make_lexicon(n_words: int, n_phonemes: int = 40, seed: int = 1,
     prons = np.full((n_words, max_len), -1, np.int32)
     seen = set()
     for w in range(n_words):
+        if twin_words and w % 2 == 1:
+            # pair-swap of the even partner's pronunciation; on the
+            # rare collision fall through to a fresh draw
+            prev = prons[w - 1]
+            L = int(lens[w - 1])
+            p = np.where(prev[:L] >= 0, prev[:L] ^ 1, prev[:L])
+            p = np.minimum(p, n_phonemes - 1)
+            key = tuple(int(x) for x in p)
+            if key not in seen:
+                seen.add(key)
+                lens[w] = L
+                prons[w, :L] = p
+                lemma = lex.new_lemma()
+                lemma.orths.append(f"w{w}")
+                lex.add_pronunciation(lemma, [f"p{int(x)}" for x in p])
+                lex._index(lemma)
+                continue
         while True:
             L = int(lens[w])
             p = rng.integers(0, n_phonemes, size=L)
@@ -134,6 +160,12 @@ class TopicMarkovLanguage(MarkovLanguage):
     (src/Lm/RecurrentLanguageModel.hh:89) worth its cost over ARPA."""
     n_topics: int = 4
     topic_alpha: float = 0.25    # smaller = sharper per-topic reweighting
+    #: fraction of words whose successor distribution is topic-sensitive;
+    #: the rest share the base chain.  With a sparse fraction an n-gram's
+    #: bounded context rarely holds enough evidence to identify the
+    #: topic, while a recurrent LM integrates it over the whole prefix —
+    #: the honest synthetic analogue of long-range discourse structure.
+    topic_fraction: float = 1.0
 
     def __post_init__(self):
         super().__post_init__()
@@ -141,6 +173,10 @@ class TopicMarkovLanguage(MarkovLanguage):
         self.topic_probs = rng.dirichlet(
             np.full(self.branching, self.topic_alpha),
             size=(self.n_topics, self.n_words))
+        self.sensitive = (rng.random(self.n_words)
+                          < self.topic_fraction)
+        self.topic_probs[:, ~self.sensitive] = \
+            self.probs[None, ~self.sensitive]
 
     def sample_sentence(self, rng: np.random.Generator,
                         min_words: int = 3, max_words: int = 30

@@ -220,9 +220,12 @@ class _TraceArena:
         self.score: List[float] = []  # total path score at the word end
         self.am: List[float] = []     # acoustic+tdp+pron delta of the word
         self.lm: List[float] = []     # scaled LM score of the word
+        self.hist: List[int] = []     # successor LM history id
+        self.group: List[int] = []    # re-entry group (across-word ctx)
 
     def add(self, parent: int, lemma: int, t0: int, t1: int,
-            score: float, am: float, lm: float) -> int:
+            score: float, am: float, lm: float, hist: int = 0,
+            group: int = 0) -> int:
         self.parent.append(parent)
         self.lemma.append(lemma)
         self.t0.append(t0)
@@ -230,10 +233,12 @@ class _TraceArena:
         self.score.append(score)
         self.am.append(am)
         self.lm.append(lm)
+        self.hist.append(hist)
+        self.group.append(group)
         return len(self.parent) - 1
 
-    def extend(self, parents, lemmas, t0s, t1: int, scores, ams, lms
-               ) -> np.ndarray:
+    def extend(self, parents, lemmas, t0s, t1: int, scores, ams, lms,
+               hists=None, groups=None) -> np.ndarray:
         """Bulk add (one per element); returns the new entry indices."""
         start = len(self.parent)
         self.parent.extend(np.asarray(parents, np.int64).tolist())
@@ -244,6 +249,10 @@ class _TraceArena:
         self.score.extend(np.asarray(scores, np.float64).tolist())
         self.am.extend(np.asarray(ams, np.float64).tolist())
         self.lm.extend(np.asarray(lms, np.float64).tolist())
+        self.hist.extend([0] * n if hists is None
+                         else np.asarray(hists, np.int64).tolist())
+        self.group.extend([0] * n if groups is None
+                          else np.asarray(groups, np.int64).tolist())
         return np.arange(start, start + n, dtype=np.int64)
 
     def words(self, idx: int) -> List[int]:
@@ -855,7 +864,8 @@ class WordConditionedTreeSearch:
             return
         tidxs = self.arena.extend(
             kp_sel, kl_sel, e_bf[own[idx]], self._t, total_sel,
-            base[idx] - e_bs[own[idx]], lm_sel)
+            base[idx] - e_bs[own[idx]], lm_sel,
+            hists=kh_sel, groups=kg_sel)
         # fan each surviving word end into ITS entry group (reference
         # across-word transits: the next word must start with the
         # coarticulated right-context phoneme) — one CSR-vectorized emit
@@ -982,50 +992,104 @@ class WordConditionedTreeSearch:
             out.append((bestc[2], bestc[3], self._t, bestc[0]))
         return out
 
-    def create_lattice(self):
-        """Time-stamped word lattice from the traceback arena (the
-        reference's word-conditioned lattice construction: arena entries
-        are arcs carrying the word's acoustic delta and LM score over its
-        [t0, t1) span — the format lattice-based sequence training
-        consumes)."""
+    def create_lattice(self, time_quantum: int = 1):
+        """Time-stamped word lattice from the traceback arena.
+
+        time_quantum > 1 coarsens the recombination classes' time key to
+        that many frames: word alternatives whose boundary times differ
+        by a frame or two re-merge instead of staying parallel forever
+        (a few frames of acoustic-score approximation on CROSSING paths
+        only — the surviving best path is exact).  Rescoring passes use
+        a small quantum for n-best diversity; 1 keeps exact boundaries.
+
+        Lattice states are RECOMBINATION CLASSES (end frame, successor
+        LM history, re-entry group): every pruned-in word end whose
+        successor class coincides with a surviving path's becomes a
+        genuine alternative arc, not just the single best-path ancestry
+        — the reference's word-conditioned lattice construction, where
+        word-boundary recombination keeps all incoming word ends as
+        lattice arcs (doc/architecture.rst:563-575, Trace refs).  Arcs
+        carry the word's acoustic delta and unscaled LM score over its
+        [t0, t1) span — the format lattice rescoring and sequence
+        training consume."""
         from ..lattice.word_lattice import WordLattice
+        ar = self.arena
         # segment-final closures become arena entries too
         final_traces: List[int] = []
         for (score, trace, lemma, t0, am_d, lm_s, nh) in \
                 self._final_candidates():
             if lemma >= 0:
-                tidx = self.arena.add(trace, lemma, t0, self._t,
-                                      score, am_d, lm_s)
+                tidx = ar.add(trace, lemma, t0, self._t, score, am_d,
+                              lm_s, hist=nh, group=0)
                 final_traces.append(tidx)
         if not final_traces:
             # no closed word at the end: accept the last boundaries
             final_traces = [int(t) for t in self._b_trace if t >= 0]
-        lat = WordLattice(words=self._orth)
-        state_of: Dict[int, int] = {}
+        n = len(ar.parent)
+        INIT = (-1, -1, -1)
 
-        def state(tidx: int) -> int:
-            if tidx not in state_of:
-                frame = 0 if tidx < 0 else self.arena.t1[tidx]
-                state_of[tidx] = lat.add_state(frame)
-            return state_of[tidx]
+        # word-pair approximation (the classic word-conditioned lattice
+        # construction): the recombination class keeps only the LAST LM
+        # word of the successor history, so paths re-merge one word
+        # after diverging instead of only after a full n-gram context
+        # ages out (which a pruned beam rarely survives).  The best path
+        # stays exact; crossing paths carry each arc's true
+        # search-time LM score.
+        red: Dict[int, object] = {}
+        for h in set(ar.hist):
+            tup = self._hist_list[h] if h < len(self._hist_list) else ()
+            red[h] = tup[-1] if tup else None
 
-        lat.initial = state(-1)
-        # arcs: only arena entries reachable backwards from finals
-        seen = set()
-        stack = list(final_traces)
+        q = max(int(time_quantum), 1)
+
+        def cls_of(e: int):
+            return (ar.t1[e] // q, red[ar.hist[e]], ar.group[e])
+
+        entries_of: Dict[tuple, List[int]] = {}
+        for e in range(n):
+            entries_of.setdefault(cls_of(e), []).append(e)
+
+        # backward closure from the final classes: a class pulls in ALL
+        # word ends that recombined into it, each contributing an arc
+        # from its parent's class
+        keep: set = set()
+        arcs: List[Tuple[tuple, tuple, int]] = []
+        stack = [cls_of(t) for t in final_traces]
         while stack:
-            t = stack.pop()
-            if t < 0 or t in seen:
+            c = stack.pop()
+            if c in keep:
                 continue
-            seen.add(t)
-            stack.append(self.arena.parent[t])
-        for t in sorted(seen):
-            src = state(self.arena.parent[t])
-            dst = state(t)
-            lat.add_arc(src, dst, self.arena.lemma[t],
-                        am_score=self.arena.am[t],
-                        lm_score=self.arena.lm[t] /
-                        (self.lm_scale if self.lm_scale else 1.0))
+            keep.add(c)
+            for e in entries_of.get(c, []):
+                p = ar.parent[e]
+                pc = INIT if p < 0 else cls_of(p)
+                arcs.append((pc, c, e))
+                if pc != INIT and pc not in keep:
+                    stack.append(pc)
+
+        lat = WordLattice(words=self._orth)
+        sid: Dict[tuple, int] = {}
+
+        def state(c: tuple) -> int:
+            if c not in sid:
+                sid[c] = lat.add_state(0 if c == INIT else c[0] * q)
+            return sid[c]
+
+        lat.initial = state(INIT)
+        # parallel (src, dst, lemma) arcs keep the best-scoring variant
+        best_arc: Dict[tuple, Tuple[float, int]] = {}
+        for pc, c, e in arcs:
+            k = (pc, c, ar.lemma[e])
+            tot = ar.am[e] + ar.lm[e]
+            old = best_arc.get(k)
+            if old is None or tot < old[0]:
+                best_arc[k] = (tot, e)
+        inv_scale = 1.0 / (self.lm_scale if self.lm_scale else 1.0)
+        for (pc, c, lemma), (_tot, e) in sorted(
+                best_arc.items(), key=lambda kv: repr(kv[0])):
+            lat.add_arc(state(pc), state(c), lemma,
+                        am_score=ar.am[e],
+                        lm_score=ar.lm[e] * inv_scale)
         for t in final_traces:
-            lat.set_final(state(t), 0.0)
+            lat.set_final(state(cls_of(t)), 0.0)
         return lat

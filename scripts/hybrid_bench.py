@@ -131,6 +131,7 @@ def build_cart(task, args, pipe, feats_of):
                                              phonetic_questions)
 
     key = (f"cart_p{task.n_phonemes}_c{task.coarticulation}"
+           f"{getattr(task, 'cache_tag', '')}"
            f"_n{args.cart_pool}_l{args.cart_leaves}_o{args.cart_min_obs}"
            f"_v1")
     tree_path = os.path.join(CACHE, key + ".tree.xml.gz")
@@ -267,7 +268,8 @@ def train_am(task, args, pipe, feats_of):
     model = HybridConformerAm(**cfg)
     key = (f"am_p{task.n_phonemes}_d{args.d_model}x{args.layers}"
            f"_s{args.steps}_b{args.batch}_k{task.n_classes}"
-           f"_c{task.coarticulation}_v3")   # v3: plan-first rendering
+           f"_c{task.coarticulation}{getattr(task, 'cache_tag', '')}"
+           f"_v3")   # v3: plan-first rendering
     ckpt = os.path.join(CACHE, key + ".msgpack")
     priors_path = os.path.join(CACHE, key + ".priors.npy")
     meta_path = os.path.join(CACHE, key + ".meta.json")

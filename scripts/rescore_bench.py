@@ -57,10 +57,11 @@ def train_word_lm(task, args, corpus_sents):
     V = task.n_words
     vocab = [f"w{i}" for i in range(V)] + ["<s>", "</s>", "<unk>"]
     model = LstmLmModel(vocab_size=len(vocab), embed_dim=args.lm_embed,
-                        hidden_dim=args.lm_hidden)
+                        hidden_dim=args.lm_hidden,
+                        n_layers=args.lm_layers)
     key = (f"wordlm_v{V}_t{args.topics}a{args.topic_alpha}"
-           f"_k{args.tokens}_e{args.lm_embed}"
-           f"_h{args.lm_hidden}_s{args.lm_steps}_v2")
+           f"f{args.topic_fraction}_k{args.tokens}_e{args.lm_embed}"
+           f"_h{args.lm_hidden}x{args.lm_layers}_s{args.lm_steps}_v3")
     ckpt = os.path.join(CACHE, key + ".msgpack")
     if os.path.exists(ckpt):
         template = model.init(jax.random.PRNGKey(0),
@@ -73,7 +74,10 @@ def train_word_lm(task, args, corpus_sents):
     L = args.lm_maxlen
     params = model.init(jax.random.PRNGKey(0),
                         jnp.zeros((1, L), jnp.int32))["params"]
-    opt = optax.adam(args.lm_lr)
+    opt = optax.adamw(
+        optax.warmup_cosine_decay_schedule(0.0, args.lm_lr, 300,
+                                           args.lm_steps),
+        weight_decay=1e-5)
     opt_state = opt.init(params)
 
     def make_batch(rng, size):
@@ -98,7 +102,7 @@ def train_word_lm(task, args, corpus_sents):
             nll = -jnp.take_along_axis(lp, tgt[..., None], -1)[..., 0]
             return jnp.sum(nll * valid) / jnp.maximum(valid.sum(), 1)
         loss, g = jax.value_and_grad(loss_fn)(p)
-        up, o = opt.update(g, o)
+        up, o = opt.update(g, o, p)
         return optax.apply_updates(p, up), o, loss
 
     rng = np.random.default_rng(11)
@@ -204,11 +208,19 @@ def collect_candidates(task, lats, arpa, lm4_scale, model, params,
     V = task.n_words
     BOS, EOS = V, V + 1
 
+    from rasr_tpu.fsa.automaton import (determinize, n_best,
+                                        remove_epsilons)
+
     cand = []        # (utt_idx, token_ids, am, lm4_with_end)
     for i, lat in enumerate(lats):
         words = lat.words or {}
-        for labels, combined in lat.n_best(n_paths, am_scale=1.0,
-                                           lm_scale=lm4_scale):
+        # n-best over the DETERMINIZED word automaton: boundary-time
+        # variants of one word sequence collapse to a single path
+        # (min score), so the list holds n genuinely distinct
+        # sequences instead of time jitter
+        aut = remove_epsilons(lat.automaton(1.0, lm4_scale))
+        det = determinize(aut)
+        for labels, combined in n_best(det, n_paths):
             toks = [words[l] for l in labels
                     if l != EPS and words.get(l, "").startswith("w")]
             ids = [int(t[1:]) for t in toks]
@@ -267,9 +279,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--words", type=int, default=2000)
     ap.add_argument("--phonemes", type=int, default=42)
-    ap.add_argument("--branching", type=int, default=20)
-    ap.add_argument("--topics", type=int, default=6)
-    ap.add_argument("--topic-alpha", type=float, default=0.15)
+    ap.add_argument("--branching", type=int, default=30)
+    ap.add_argument("--topics", type=int, default=8)
+    ap.add_argument("--topic-alpha", type=float, default=0.08)
+    ap.add_argument("--topic-fraction", type=float, default=0.35)
     ap.add_argument("--tokens", type=int, default=8_000_000)
     ap.add_argument("--utterances", type=int, default=120)
     ap.add_argument("--dev-utterances", type=int, default=6)
@@ -277,9 +290,9 @@ def main():
                     help="eval subset decoded with the LSTM as the "
                          "first-pass LM (host-latency-bound)")
     ap.add_argument("--snr-db", type=float, default=14.0)
-    ap.add_argument("--beam", type=int, default=1024)
-    ap.add_argument("--word-end-beam", type=int, default=96)
-    ap.add_argument("--threshold", type=float, default=28.0)
+    ap.add_argument("--beam", type=int, default=4096)
+    ap.add_argument("--word-end-beam", type=int, default=192)
+    ap.add_argument("--threshold", type=float, default=40.0)
     ap.add_argument("--lookahead-slots", type=int, default=96)
     ap.add_argument("--acoustic-lookahead", type=int, default=6)
     ap.add_argument("--lm-scales", type=float, nargs="+",
@@ -295,11 +308,12 @@ def main():
     ap.add_argument("--d-model", type=int, default=256)
     ap.add_argument("--layers", type=int, default=6)
     ap.add_argument("--heads", type=int, default=4)
-    ap.add_argument("--lm-embed", type=int, default=160)
+    ap.add_argument("--lm-embed", type=int, default=256)
     ap.add_argument("--lm-hidden", type=int, default=512)
-    ap.add_argument("--lm-steps", type=int, default=5000)
+    ap.add_argument("--lm-layers", type=int, default=2)
+    ap.add_argument("--lm-steps", type=int, default=6000)
     ap.add_argument("--lm-batch", type=int, default=256)
-    ap.add_argument("--lm-lr", type=float, default=2e-3)
+    ap.add_argument("--lm-lr", type=float, default=3e-3)
     ap.add_argument("--lm-maxlen", type=int, default=24)
     ap.add_argument("--nll-sentences", type=int, default=512)
     ap.add_argument("--cart-leaves", type=int, default=0)  # monophone AM
@@ -322,15 +336,17 @@ def main():
 
     os.makedirs(CACHE, exist_ok=True)
     task = HybridSynthTask(n_words=args.words, n_phonemes=args.phonemes,
-                           branching=args.branching)
+                           branching=args.branching, twin_words=True)
     task.language = TopicMarkovLanguage(
         args.words, branching=args.branching, seed=2,
-        n_topics=args.topics, topic_alpha=args.topic_alpha)
+        n_topics=args.topics, topic_alpha=args.topic_alpha,
+        topic_fraction=args.topic_fraction)
     print(f"task: {args.words} words, {args.topics} topics", flush=True)
 
     arpa_path = os.path.join(
         CACHE, f"topic_{args.words}_{args.tokens}_{args.branching}"
-               f"_{args.topics}_{args.topic_alpha}.arpa")
+               f"_{args.topics}_{args.topic_alpha}"
+               f"_{args.topic_fraction}.arpa")
     corpus_sents = task.language.sample_corpus(args.tokens, seed=3)
     if not os.path.exists(arpa_path):
         from rasr_tpu.data.synth_lm import count_ngrams, write_arpa
