@@ -137,10 +137,16 @@ def estimate_cmllr_transform(acc: AdaptationAccumulator,
         outer[0, 0] = acc.gamma[g]
         outer[0, 1:] = acc.sum_x[g]
         outer[1:, 0] = acc.sum_x[g]
-        # cross terms approximated by mean outer product; diagonal exact
-        mu_emp = acc.sum_x[g] / acc.gamma[g]
-        outer[1:, 1:] = np.outer(acc.sum_x[g], mu_emp)
-        np.fill_diagonal(outer[1:, 1:], acc.sum_x2[g])
+        if acc.sum_xx is not None:
+            # exact per-Gaussian second moments (accumulate_scatter) —
+            # required to recover rotational transforms
+            outer[1:, 1:] = acc.sum_xx[g]
+        else:
+            # cross terms approximated by mean outer product; diagonal
+            # exact (adequate only for near-diagonal channels)
+            mu_emp = acc.sum_x[g] / acc.gamma[g]
+            outer[1:, 1:] = np.outer(acc.sum_x[g], mu_emp)
+            np.fill_diagonal(outer[1:, 1:], acc.sum_x2[g])
         for d in range(D):
             w = 1.0 / var[g, d]
             K[d] += mean[g, d] * w * e1

@@ -315,11 +315,31 @@ class AcousticModelTrainerApp(Application):
                 ms = MixtureSet.read_pms(tc.get("old-mixture-set-file"))
                 scorer = GmmScorer(ms)
             builder = StateGraphBuilder(am)
+        # iterative SAT: an existing per-corpus-key transform set applied
+        # to the features BEFORE alignment/accumulation (reference
+        # AdaptedAcousticModel in training, src/Am/AdaptedAcousticModel
+        # .hh:31) — a second CMLLR round then aligns with adapted
+        # features instead of the raw distorted ones
+        in_transforms = None
+        in_path = self.config.sub("adaptation").get(
+            "affine-transform-file")
+        if in_path:
+            from ..mm.adaptation import apply_feature_transform
+            z = np.load(in_path)
+            in_transforms = {k: z[k] for k in z.files}
+            self.log("adaptation input: %d corpus-key transforms from %s",
+                     len(in_transforms), in_path)
         for seg in corpus.segments():
             try:
                 feats, _, _ = cache.read(seg.full_name)
             except KeyError:
                 continue
+            if in_transforms is not None:
+                from ..mm.adaptation import apply_feature_transform
+                w = in_transforms.get(self._corpus_key(seg))
+                if w is not None:
+                    feats = apply_feature_transform(
+                        np.asarray(feats), w).astype(np.float32)
             if reader is not None:
                 try:
                     ali = reader.read(seg.full_name)
@@ -508,7 +528,9 @@ class AcousticModelTrainerApp(Application):
 
     def action_estimate_affine_transform(self) -> int:
         tc = self._trainer_config()
-        _ms, per_key = self._accumulate_adaptation()
+        # full scatter: exact G_d second moments let CMLLR recover
+        # rotational channels, not just near-diagonal ones
+        _ms, per_key = self._accumulate_adaptation(scatter=True)
         out = tc.get("affine-transform-accumulator-file") or "cmllr.acc.npz"
         self._write_adaptation_accumulators(out, per_key)
         self.log("CMLLR statistics for %d keys -> %s", len(per_key), out)
@@ -540,8 +562,27 @@ class AcousticModelTrainerApp(Application):
         ms = MixtureSet.read_pms(tc.get("old-mixture-set-file"))
         per_key = self._read_adaptation_accumulators(
             tc.get("affine-transform-accumulator-file") or "cmllr.acc.npz")
-        transforms = {k: estimate_cmllr_transform(acc, ms)
-                      for k, acc in per_key.items()}
+        # iterative SAT: when the statistics were accumulated over
+        # ALREADY-ADAPTED features ([*.adaptation] affine-transform-file),
+        # compose the new round onto the prior transform so the written
+        # set always maps RAW features
+        in_path = self.config.sub("adaptation").get(
+            "affine-transform-file")
+        prior = {}
+        if in_path:
+            z = np.load(in_path)
+            prior = {k: z[k] for k in z.files}
+        transforms = {}
+        for k, acc in per_key.items():
+            w2 = estimate_cmllr_transform(acc, ms)
+            if w2 is None:
+                continue
+            w1 = prior.get(k)
+            if w1 is not None:
+                a = w2[:, 1:] @ w1[:, 1:]
+                b = w2[:, 1:] @ w1[:, 0] + w2[:, 0]
+                w2 = np.concatenate([b[:, None], a], axis=1)
+            transforms[k] = w2
         out = tc.get("affine-transform-file") or "cmllr.npz"
         np.savez_compressed(out, **transforms)
         self.log("CMLLR transforms for %d keys -> %s", len(transforms), out)

@@ -46,6 +46,27 @@ class SpeechRecognizerApp(Application):
         if not cache_path:
             raise ValueError("feature-cache.path required")
         cache = FeatureCacheReader(cache_path)
+        # per-speaker ADAPTED recognition (reference AdaptedAcousticModel,
+        # src/Am/AdaptedAcousticModel.hh:31): CMLLR feature transforms
+        # keyed by corpus key (speaker when present, else recording) are
+        # selected per segment and applied to the features before
+        # scoring.  [*.adaptation] affine-transform-file = cmllr.npz
+        # (the acoustic-model-trainer's calculate-affine-feature-
+        # transform output).
+        transforms = None
+        adapt_path = self.config.sub("adaptation").get(
+            "affine-transform-file")
+        if adapt_path:
+            z = np.load(adapt_path)
+            transforms = {k: z[k] for k in z.files}
+            self.log("adaptation: %d corpus-key transforms from %s",
+                     len(transforms), adapt_path)
+
+        def corpus_key(seg) -> str:
+            if getattr(seg, "speaker", None) is not None:
+                return seg.speaker.name
+            return seg.recording.full_name
+
         evaluator = Evaluator("recognition")
         ctm_channel = Channel(self.config.sub("recognizer"), "ctm",
                               default="nil")
@@ -66,6 +87,12 @@ class SpeechRecognizerApp(Application):
                 self.warning("no features for %s", seg.full_name)
                 continue
             t0 = time.perf_counter()
+            if transforms is not None:
+                w = transforms.get(corpus_key(seg))
+                if w is not None:
+                    from ..mm.adaptation import apply_feature_transform
+                    feats = apply_feature_transform(
+                        np.asarray(feats), w).astype(np.float32)
             hyp = algo.recognize_segment(feats)
             elapsed = time.perf_counter() - t0
             duration = max(seg.duration, 1e-9) if seg.duration else \
