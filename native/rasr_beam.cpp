@@ -39,7 +39,7 @@ struct BeamNet {
 
 struct Cand {
     int64_t state, hist, trace, bframe;
-    double score, bscore;
+    double score, bscore, pscore;   // pscore = score + pruning biases
 };
 
 // open-addressing hash: key -> candidate slot (keep lowest score)
@@ -158,13 +158,36 @@ int64_t rasr_beam_expand(
     table.init(expected);
     int64_t n_raw = 0;
 
+    // early threshold skip: the pruning bias of a candidate depends only
+    // on (state, hist), so recombination winners and losers share it —
+    // a candidate whose biased score exceeds the running best + threshold
+    // can never survive the final cut and need not be hashed at all
+    // (the reference's pruneAndAddScores early cutoff).  running_best
+    // only decreases, so the skip is sound.
+    double running_best = std::numeric_limits<double>::infinity();
+
     auto offer = [&](int64_t state, int64_t hist, double score,
                      int64_t trace, int64_t bframe, double bscore) {
         ++n_raw;
-        score += frame[net->emis[state]];
+        int64_t em = net->emis[state];
+        score += frame[em];
+        // two-stage skip: the LM-lookahead bias is a random gather into
+        // a ~100 MB slot pool (DRAM miss per offer at scale), and it is
+        // NON-NEGATIVE -- so the cheap acoustic-only bound already
+        // proves most losers can never survive, and the pool is touched
+        // only for the few that pass it
+        double p = score;
+        if (la_row) p += la_scale * la_row[em];
+        if (p > running_best + threshold) return;
+        if (lm_la) {
+            p += lm_la[lm_la_slot[hist] * n_la_nodes
+                       + lm_la_state[state]];
+            if (p > running_best + threshold) return;
+        }
+        if (p < running_best) running_best = p;
         int32_t s = table.offer(state * hist_count + hist, score, cands);
         if (s >= 0)
-            cands[s] = Cand{state, hist, trace, bframe, score, bscore};
+            cands[s] = Cand{state, hist, trace, bframe, score, bscore, p};
     };
 
     for (int64_t i = 0; i < n; ++i) {
@@ -197,17 +220,12 @@ int64_t rasr_beam_expand(
         return 0;
     }
 
-    // pruning scores (optional acoustic-lookahead bias)
+    // pruning scores were computed (with biases) at offer time
     std::vector<double> prune(cands.size());
     double best = std::numeric_limits<double>::infinity();
     for (size_t i = 0; i < cands.size(); ++i) {
-        double p = cands[i].score;
-        if (la_row) p += la_scale * la_row[net->emis[cands[i].state]];
-        if (lm_la)
-            p += lm_la[lm_la_slot[cands[i].hist] * n_la_nodes
-                       + lm_la_state[cands[i].state]];
-        prune[i] = p;
-        if (p < best) best = p;
+        prune[i] = cands[i].pscore;
+        if (prune[i] < best) best = prune[i];
     }
     double cut = best + threshold;
     std::vector<int32_t> sel;

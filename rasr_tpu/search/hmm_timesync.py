@@ -320,6 +320,7 @@ class WordConditionedTreeSearch:
                  lm_lookahead_slots: int = 32,
                  lm_lookahead_min_hyps: int = 1,
                  lm_lookahead_max_fills: int = 8,
+                 lm_lookahead_depth: int = 0,
                  word_end_threshold: float = math.inf):
         """acoustic_lookahead: number of future frames whose (averaged)
         emission scores bias PRUNING decisions — hypotheses about to hit
@@ -358,7 +359,8 @@ class WordConditionedTreeSearch:
                 history_limit=lm_lookahead_history,
                 max_slots=lm_lookahead_slots,
                 min_hyps=lm_lookahead_min_hyps,
-                max_fills_per_frame=lm_lookahead_max_fills)
+                max_fills_per_frame=lm_lookahead_max_fills,
+                depth_limit=lm_lookahead_depth)
         self.acoustic_lookahead = int(acoustic_lookahead)
         self.acoustic_lookahead_scale = acoustic_lookahead_scale
         self.dynamic_beam = dynamic_beam

@@ -42,11 +42,20 @@ class LmLookahead:
 
     def __init__(self, tree, net, lexicon, lm, lm_scale: float,
                  history_limit: int = 1, max_slots: int = 32,
-                 min_hyps: int = 1, max_fills_per_frame: int = 8):
+                 min_hyps: int = 1, max_fills_per_frame: int = 8,
+                 depth_limit: int = 0):
         """history_limit: number of history words the table conditions
         on (1 = bigram lookahead, 0 = unigram only).  min_hyps: smallest
         tree-instance size that triggers a history-specific fill;
-        smaller instances use the unigram table (slot 0)."""
+        smaller instances use the unigram table (slot 0).
+
+        depth_limit > 0 caps the lookahead network at that tree depth
+        (the reference's size-capped lookahead tree,
+        src/Search/LanguageModelLookahead.hh:64): states deeper than the
+        cap share their depth-cap ancestor's table entry.  Tables shrink
+        from O(tree) to O(branching^depth) — fills get much cheaper and
+        the slot pool becomes cache-resident — at the cost of a coarser
+        (still subtree-min) pruning bias below the cap."""
         self.lm = lm
         self.lm_scale = float(lm_scale)
         self.history_limit = int(history_limit)
@@ -83,17 +92,39 @@ class LmLookahead:
                 break
             level = new
 
+        rep = None
+        if depth_limit > 0:
+            # BFS (min-)depth + representative: nodes below the cap
+            # share their depth-cap ancestor's lookahead entry
+            rep = np.arange(n_nodes, dtype=np.int64)
+            depth = np.full(n_nodes, -1, np.int64)
+            depth[0] = 0
+            queue = [0]
+            head = 0
+            while head < len(queue):
+                i = queue[head]
+                head += 1
+                for c in child_lists[i]:
+                    if depth[c] < 0:
+                        depth[c] = depth[i] + 1
+                        rep[c] = c if depth[c] <= depth_limit else rep[i]
+                        queue.append(c)
+
         la_of = np.full(n_nodes, -1, np.int64)
         n_la = 0
         order = np.argsort(level, kind="stable")  # leaves first
         for i in order:
             i = int(i)
+            if rep is not None and rep[i] != i:
+                continue              # assigned via its representative
             cs = child_lists[i]
-            if len(cs) == 1 and not has_wend[i]:
+            if rep is None and len(cs) == 1 and not has_wend[i]:
                 la_of[i] = la_of[cs[0]]
             else:
                 la_of[i] = n_la
                 n_la += 1
+        if rep is not None:
+            la_of = la_of[rep]
         self.n_la = n_la
         self.la_of_node = la_of
 

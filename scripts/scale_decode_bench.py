@@ -47,6 +47,7 @@ def main():
     ap.add_argument("--lookahead-slots", type=int, default=192)
     ap.add_argument("--lookahead-min-hyps", type=int, default=8)
     ap.add_argument("--lookahead-max-fills", type=int, default=16)
+    ap.add_argument("--lookahead-depth", type=int, default=0)
     ap.add_argument("--out", default="SCALE_BENCH.json")
     args = ap.parse_args()
 
@@ -89,6 +90,7 @@ def main():
         lm_lookahead=True, lm_lookahead_slots=args.lookahead_slots,
         lm_lookahead_min_hyps=args.lookahead_min_hyps,
         lm_lookahead_max_fills=args.lookahead_max_fills,
+        lm_lookahead_depth=args.lookahead_depth,
         acoustic_lookahead=args.acoustic_lookahead,
         acoustic_lookahead_scale=args.acoustic_lookahead_scale)
     t_tree = time.perf_counter() - t0
