@@ -709,6 +709,336 @@ class DynamicLmWfstDecoder:
         return [lexicon.lemmas[w].preferred_orth for w in words]
 
 
+class BatchedDynamicLmDecoder:
+    """Vocabulary-scale on-the-fly LM composition over a static
+    emission-level C o L graph.
+
+    The per-hypothesis dict decoder (DynamicLmWfstDecoder) and eager
+    G composition both collapse at production vocabulary; this decoder
+    keeps the reference's dynamic-composition architecture
+    (src/Search/Wfst/DynamicLmFst.cc over a compressed static network,
+    src/Search/Wfst/CompressedNetwork.hh:36) but runs the beam as
+    structure-of-arrays numpy over CSR-flattened arcs — the same
+    runtime shape as the word-conditioned tree search:
+
+      * the graph flattens once into emission-arc and epsilon-arc CSR
+        arrays (the compressed static network);
+      * hypotheses are (state, LM-history id) rows; word outputs score
+        through cached dense LM rows grouped by history (one
+        score_dense per distinct history per wave);
+      * recombination on (state, history) via lexsort, score-threshold
+        + beam pruning, word traceback in an append-only arena.
+    """
+
+    def __init__(self, graph: Automaton, lm, lexicon,
+                 lm_scale: float = 1.0, beam_size: int = 4096,
+                 score_threshold: float = math.inf,
+                 dense_cache_size: int = 256,
+                 anticipation_cap: float = 20.0,
+                 acoustic_lookahead: int = 6,
+                 acoustic_lookahead_scale: float = 0.5):
+        S = graph.n_states
+        em_rows: List[List[Tuple[int, int, int, float]]] = []
+        eps_rows: List[List[Tuple[int, int, float]]] = []
+        for s in range(S):
+            em: List[Tuple[int, int, int, float]] = []
+            ep: List[Tuple[int, int, float]] = []
+            for arc in graph.arcs[s]:
+                if arc.ilabel == EPS:
+                    ep.append((arc.target, arc.olabel, arc.weight))
+                else:
+                    em.append((arc.target, arc.ilabel - 1, arc.olabel,
+                               arc.weight))
+            em_rows.append(em)
+            eps_rows.append(ep)
+
+        def csr(rows, width):
+            off = np.zeros(len(rows) + 1, np.int64)
+            for i, r in enumerate(rows):
+                off[i + 1] = off[i] + len(r)
+            flat = [np.asarray([r[k] for row in rows for r in row],
+                               np.float64 if k == width - 1 else np.int64)
+                    for k in range(width)]
+            return off, flat
+
+        self.em_off, (self.em_tgt, self.em_in, self.em_out,
+                      self.em_w) = csr(em_rows, 4)
+        self.eps_off, (self.eps_tgt, self.eps_out,
+                       self.eps_w) = csr(eps_rows, 3)
+        self.em_pos = np.arange(len(self.em_tgt), dtype=np.int64)
+        self.eps_pos = np.arange(len(self.eps_tgt), dtype=np.int64)
+        self.initial = graph.initial
+        self.final_w = np.full(S, np.inf)
+        for s, w in graph.final.items():
+            self.final_w[s] = w
+        self.lm = lm
+        self.lm_scale = float(lm_scale)
+        self.beam_size = int(beam_size)
+        self.score_threshold = float(score_threshold)
+        max_lemma = max((l.id for l in lexicon.lemmas), default=0)
+        tok = np.full(max_lemma + 1, -1, np.int64)
+        for lemma in lexicon.lemmas:
+            st = lemma.syntactic_tokens
+            if st:
+                t = lm.token_id(st[0])
+                tok[lemma.id] = t if t is not None else -1
+        self.lemma_token = tok
+        self._dense_cap = dense_cache_size
+        self.frames_decoded = 0
+
+        # static unigram LM anticipation (weight-pushing lite, the role
+        # OpenFST weight pushing plays for the reference's static
+        # graphs): la[s] = min over paths from s to the FIRST word
+        # output of that word's scaled unigram score.  Biases pruning
+        # only; exact scores stay at the word outputs.
+        # cap: a rare word's unigram anticipation can exceed its actual
+        # CONTEXTUAL cost by tens of nats -- uncapped it pushes correct
+        # hypotheses outside any practical threshold (the reference
+        # controls the same effect through its lookahead scale/cutoffs)
+        u = np.minimum(
+            self.lm_scale * np.asarray(lm.score_dense(()), np.float64),
+            float(anticipation_cap))
+        em_uv = np.where(self.em_out > 0, 0.0, np.inf)
+        eps_uv = np.where(self.eps_out > 0, 0.0, np.inf)
+        idx_em = np.flatnonzero(self.em_out > 0)
+        tk = self.lemma_token[self.em_out[idx_em] - 1]
+        em_uv[idx_em] = np.where(tk >= 0, u[np.maximum(tk, 0)], 0.0)
+        idx_ep = np.flatnonzero(self.eps_out > 0)
+        tk = self.lemma_token[self.eps_out[idx_ep] - 1]
+        eps_uv[idx_ep] = np.where(tk >= 0, u[np.maximum(tk, 0)], 0.0)
+        la = np.full(S, np.inf)
+        for _ in range(256):
+            cand_em = np.where(np.isfinite(em_uv), em_uv,
+                               la[self.em_tgt])
+            cand_ep = np.where(np.isfinite(eps_uv), eps_uv,
+                               la[self.eps_tgt])
+            new = la.copy()
+            # per-state min via reduceat over the CSR layout
+            new = np.minimum(new, _csr_min(self.em_off, cand_em, S))
+            new = np.minimum(new, _csr_min(self.eps_off, cand_ep, S))
+            if np.allclose(new, la, equal_nan=True):
+                break
+            la = new
+        np.nan_to_num(la, copy=False, posinf=0.0)
+        self.la = la
+        self.acoustic_lookahead = int(acoustic_lookahead)
+        self.acoustic_lookahead_scale = float(acoustic_lookahead_scale)
+
+    # -- LM helpers -----------------------------------------------------------
+
+    def _dense_row(self, hist_id: int) -> np.ndarray:
+        h = self._hist_list[hist_id]
+        row = self._dense.get(h)
+        if row is None:
+            row = np.asarray(self.lm.score_dense(h), np.float64)
+            self._dense[h] = row
+            if len(self._dense) > self._dense_cap:
+                self._dense.popitem(last=False)
+        else:
+            self._dense.move_to_end(h)
+        return row
+
+    def _hist_id(self, h) -> int:
+        i = self._hist_index.get(h)
+        if i is None:
+            i = len(self._hist_list)
+            self._hist_index[h] = i
+            self._hist_list.append(h)
+        return i
+
+    def _apply_words(self, sc, hi, tr, out, t1: int):
+        """Score word outputs (out > 0) through the LM, extend histories
+        and write arena entries; arrays are modified in place."""
+        idx = np.flatnonzero(out > 0)
+        if len(idx) == 0:
+            return
+        lemmas = out[idx] - 1
+        toks = self.lemma_token[lemmas]
+        val = np.flatnonzero(toks >= 0)
+        if len(val):
+            vi = idx[val]
+            hh = hi[vi]
+            uh, inv = np.unique(hh, return_inverse=True)
+            add = np.zeros(len(vi))
+            nh = np.zeros(len(vi), np.int64)
+            for k, h in enumerate(uh.tolist()):
+                grp = np.flatnonzero(inv == k)
+                row = self._dense_row(h)
+                add[grp] = self.lm_scale * row[toks[val][grp]]
+                base = self._hist_list[h]
+                ext = self._ext_cache
+                for g in grp.tolist():
+                    tkn = int(toks[val][g])
+                    key = (h, tkn)
+                    hid = ext.get(key)
+                    if hid is None:
+                        hid = self._hist_id(
+                            self.lm.extended_history(
+                                base, self._tok_str[tkn]))
+                        ext[key] = hid
+                    nh[g] = hid
+            sc[vi] += add
+            hi[vi] = nh
+        # arena entries for every emitted word (silence included)
+        par = tr[idx]
+        start = len(self._arena_parent)
+        self._arena_parent.extend(par.tolist())
+        self._arena_word.extend(lemmas.tolist())
+        self._arena_t.extend([t1] * len(idx))
+        tr[idx] = np.arange(start, start + len(idx), dtype=np.int64)
+
+    def _eps_closure(self, st, hi, sc, tr, em, t1: int,
+                     max_iters: int = 24):
+        """Vectorized bounded epsilon closure with word outputs; `em`
+        (last consumed emission class, for acoustic lookahead) rides
+        along unchanged through epsilon moves."""
+        pool_st, pool_hi, pool_sc, pool_tr, pool_em = st, hi, sc, tr, em
+        frontier = (st, hi, sc, tr, em)
+        for _ in range(max_iters):
+            fst, fhi, fsc, ftr, fem = frontier
+            own, pos = _csr_expand_wfst(self.eps_off, self.eps_pos, fst)
+            if len(pos) == 0:
+                break
+            n_sc = fsc[own] + self.eps_w[pos]
+            n_st = self.eps_tgt[pos]
+            n_hi = fhi[own].copy()
+            n_tr = ftr[own].copy()
+            n_em = fem[own]
+            n_out = self.eps_out[pos]
+            self._apply_words(n_sc, n_hi, n_tr, n_out, t1)
+            # merge into pool, recombine on (state, hist)
+            a_st = np.concatenate([pool_st, n_st])
+            a_hi = np.concatenate([pool_hi, n_hi])
+            a_sc = np.concatenate([pool_sc, n_sc])
+            a_tr = np.concatenate([pool_tr, n_tr])
+            a_em = np.concatenate([pool_em, n_em])
+            H = len(self._hist_list)
+            key = a_st * H + a_hi
+            order = np.lexsort((a_sc, key))
+            ks = key[order]
+            first = np.ones(len(order), bool)
+            first[1:] = ks[1:] != ks[:-1]
+            keep = order[first]
+            improved = keep[keep >= len(pool_st)]   # new entries that won
+            pool_st, pool_hi = a_st[keep], a_hi[keep]
+            pool_sc, pool_tr = a_sc[keep], a_tr[keep]
+            pool_em = a_em[keep]
+            if len(improved) == 0:
+                break
+            frontier = (a_st[improved], a_hi[improved], a_sc[improved],
+                        a_tr[improved], a_em[improved])
+        return pool_st, pool_hi, pool_sc, pool_tr, pool_em
+
+    def decode(self, scores: np.ndarray) -> Tuple[List[int], float]:
+        """(T, S_emissions) -log emission scores -> (word ids, score)."""
+        from collections import OrderedDict
+        self._hist_list = [self.lm.initial_history()]
+        self._hist_index = {self._hist_list[0]: 0}
+        self._dense: "OrderedDict" = OrderedDict()
+        self._ext_cache: Dict[Tuple[int, int], int] = {}
+        # token id -> token string for extended_history
+        if not hasattr(self, "_tok_str"):
+            vocab = getattr(self.lm, "vocabulary", None)
+            if vocab is None:
+                vocab = getattr(self.lm, "vocab", [])
+            self._tok_str = list(vocab)
+        self._arena_parent: List[int] = []
+        self._arena_word: List[int] = []
+        self._arena_t: List[int] = []
+
+        # acoustic lookahead table: mean emission cost over the next L
+        # frames per class (identical to the tree search's
+        # set_lookahead_scores — the bias that keeps lagging hypotheses
+        # from surviving on stale audio)
+        la_ac = None
+        L = self.acoustic_lookahead
+        if L > 0:
+            s64 = np.asarray(scores, np.float64)
+            c = np.concatenate([np.zeros((1,) + s64.shape[1:]),
+                                np.cumsum(s64, 0)])
+            T = len(s64)
+            hi_i = np.minimum(np.arange(T) + L, T)
+            lo_i = np.arange(T)
+            cnt = np.maximum(hi_i - lo_i, 1).astype(np.float64)[:, None]
+            la_ac = (c[hi_i] - c[lo_i]) / cnt
+
+        st = np.asarray([self.initial], np.int64)
+        hi = np.zeros(1, np.int64)
+        sc = np.zeros(1, np.float64)
+        tr = np.full(1, -1, np.int64)
+        em = np.zeros(1, np.int64)
+        st, hi, sc, tr, em = self._eps_closure(st, hi, sc, tr, em, 0)
+        for t in range(scores.shape[0]):
+            frame = scores[t]
+            own, pos = _csr_expand_wfst(self.em_off, self.em_pos, st)
+            if len(pos) == 0:
+                break
+            n_sc = sc[own] + self.em_w[pos] + frame[self.em_in[pos]]
+            n_st = self.em_tgt[pos]
+            n_hi = hi[own].copy()
+            n_tr = tr[own].copy()
+            n_em = self.em_in[pos]
+            self._apply_words(n_sc, n_hi, n_tr, self.em_out[pos], t + 1)
+            st, hi, sc, tr, em = self._eps_closure(
+                n_st, n_hi, n_sc, n_tr, n_em, t + 1)
+            # prune on the anticipated score: unigram pushing (LM) +
+            # acoustic lookahead over the just-consumed emission class
+            prune = sc + self.la[st]
+            if la_ac is not None and t + 1 < len(la_ac):
+                prune = prune + self.acoustic_lookahead_scale                     * la_ac[t + 1][em]
+            best = float(prune.min())
+            m = prune <= best + self.score_threshold
+            if m.sum() > self.beam_size:
+                iidx = np.flatnonzero(m)
+                part = np.argpartition(prune[iidx], self.beam_size - 1)
+                sel = iidx[part[:self.beam_size]]
+            else:
+                sel = np.flatnonzero(m)
+            st, hi, sc, tr, em = (st[sel], hi[sel], sc[sel], tr[sel],
+                                  em[sel])
+            self.frames_decoded += 1
+        fw = self.final_w[st]
+        ok = np.isfinite(fw)
+        if not ok.any():
+            return [], math.inf
+        ends = np.asarray([
+            self.lm_scale * self.lm.sentence_end_score(
+                self._hist_list[h]) for h in hi[ok].tolist()])
+        totals = sc[ok] + fw[ok] + ends
+        j = int(np.argmin(totals))
+        tidx = int(tr[ok][j])
+        words: List[int] = []
+        while tidx >= 0:
+            words.append(self._arena_word[tidx])
+            tidx = self._arena_parent[tidx]
+        return words[::-1], float(totals[j])
+
+    def recognize(self, scores: np.ndarray, lexicon) -> List[str]:
+        words, _ = self.decode(scores)
+        return [lexicon.lemmas[w].preferred_orth for w in words
+                if not lexicon.lemmas[w].special]
+
+
+def _csr_expand_wfst(off: np.ndarray, flat: np.ndarray,
+                     rows: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    from .hmm_timesync import _csr_expand
+    return _csr_expand(off, flat, rows)
+
+
+def _csr_min(off: np.ndarray, values: np.ndarray, n: int) -> np.ndarray:
+    """Per-row min over a CSR-ordered value array (inf for empty rows)."""
+    out = np.full(n, np.inf)
+    if len(values) == 0:
+        return out
+    starts = off[:-1]
+    nonempty = np.flatnonzero(off[1:] > starts)
+    if len(nonempty) == 0:
+        return out
+    out[nonempty] = np.minimum.reduceat(values,
+                                        starts[nonempty].astype(np.int64))
+    return out
+
+
 def _relax_potentials(pot: np.ndarray, src: np.ndarray,
                       tgt: np.ndarray, w: np.ndarray) -> np.ndarray:
     """Bounded epsilon fixpoint over potentials only (the backpointered

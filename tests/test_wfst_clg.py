@@ -311,3 +311,42 @@ class TestWfstLattice:
         hyp = [lat.words[l] for l in labels if lat.words.get(l)
                and lat.words[l] != "[SILENCE]"]  # words keyed lemma+1
         assert hyp == [f"w{int(w)}" for w in ws]
+
+
+class TestBatchedDynamicLm:
+    def test_batched_matches_dict_decoder(self, setup):
+        """The SoA vocabulary-scale decoder must reproduce the
+        per-hypothesis dict decoder (same dynamic-composition
+        semantics) on the toy C o L o G setup."""
+        from rasr_tpu.search.wfst import (BatchedDynamicLmDecoder,
+                                          DynamicLmWfstDecoder)
+        lex, am, prons, lm, lang = setup
+        lm_scale = 2.0
+        graph = expand_hmm(build_clg(am, None), am)
+        dict_dec = DynamicLmWfstDecoder(graph, lm, lex,
+                                        lm_scale=lm_scale,
+                                        beam_size=4096)
+        soa_dec = BatchedDynamicLmDecoder(graph, lm, lex,
+                                          lm_scale=lm_scale,
+                                          beam_size=4096)
+        rng = np.random.default_rng(77)
+        for _ in range(4):
+            ws = lang.sample_sentence(rng, 3, 5)
+            scores = synth_triphone_emissions(ws, prons, am, rng)
+            w_d, s_d = dict_dec.decode(scores)
+            w_b, s_b = soa_dec.decode(scores)
+            assert w_d == w_b
+            assert abs(s_d - s_b) < 1e-6
+
+    def test_prunes_and_still_decodes(self, setup):
+        from rasr_tpu.search.wfst import BatchedDynamicLmDecoder
+        lex, am, prons, lm, lang = setup
+        graph = expand_hmm(build_clg(am, None), am)
+        dec = BatchedDynamicLmDecoder(graph, lm, lex, lm_scale=2.0,
+                                      beam_size=64,
+                                      score_threshold=30.0)
+        rng = np.random.default_rng(5)
+        ws = lang.sample_sentence(rng, 3, 5)
+        scores = synth_triphone_emissions(ws, prons, am, rng)
+        hyp = dec.recognize(scores, lex)
+        assert hyp == [f"w{int(w)}" for w in ws]
