@@ -104,9 +104,8 @@ class NeuralLanguageModel(LanguageModel):
         self.eos = eos
         self.unk_id = self._ids.get(unk, 0)
         self.max_batch = max_batch
-        if state_compression not in (None, "int8"):
-            raise ValueError(
-                f"unknown state-compression {state_compression!r}")
+        from ..nn.compressed import StateCodec
+        self._codec = StateCodec(state_compression)   # validates mode
         self.state_compression = state_compression
         self._cache: Dict[Tuple[int, ...], object] = {}
         # backend="cpu" keeps the (small) LM forward off the accelerator:
@@ -136,31 +135,15 @@ class NeuralLanguageModel(LanguageModel):
     # -- cached-row codec -----------------------------------------------------
 
     def _encode_row(self, row: np.ndarray):
-        if self.state_compression is None:
-            return row
-        lo = float(row.min())
-        hi = float(row.max())
-        scale = max(hi - lo, 1e-6) / 255.0
-        q = np.clip(np.round((row - lo) / scale), 0, 255) \
-            .astype(np.uint8)
-        return (q, np.float32(lo), np.float32(scale))
+        return self._codec.encode(row)
 
     def _decode_row(self, packed) -> np.ndarray:
-        if self.state_compression is None:
-            return packed
-        q, lo, scale = packed
-        return q.astype(np.float32) * scale + lo
+        return self._codec.decode(packed)
 
     def cache_bytes(self) -> int:
         """Resident byte size of the history-row cache (for the
         state-compression artifact)."""
-        total = 0
-        for v in self._cache.values():
-            if self.state_compression is None:
-                total += v.nbytes
-            else:
-                total += v[0].nbytes + 8
-        return total
+        return sum(self._codec.nbytes(v) for v in self._cache.values())
 
     def _forward(self, tokens):
         logits = self.model.apply({"params": self.params}, tokens)

@@ -315,6 +315,7 @@ def transducer_decoder_from_config(config: Configuration):
         # score-killed on device, so long segments need it raised
         # (host path has no cap; documented in the decoder docstring)
         max_labels=int(sa.get("max-labels") or 128),
+        state_compression=sa.get("state-compression") or None,
         device_beam=(sa.get("device-beam") or "true").lower()
         not in ("false", "no", "0"))
 

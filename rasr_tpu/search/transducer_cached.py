@@ -34,7 +34,8 @@ class CachedTransducerDecoder(TransducerBeamSearch):
 
     def __init__(self, model, params, blank: int = 0, beam_size: int = 8,
                  max_symbols_per_frame: int = 3, expansion_topk: int = 4,
-                 device_beam: bool = True, max_labels: int = 128):
+                 device_beam: bool = True, max_labels: int = 128,
+                 state_compression=None):
         self.model = model
         # device-resident jit ARGUMENT, never a closure constant (the
         # remote-compile tunnel rejects flagship-size embedded literals)
@@ -87,9 +88,26 @@ class CachedTransducerDecoder(TransducerBeamSearch):
                          beam_size=beam_size,
                          max_symbols_per_frame=max_symbols_per_frame,
                          expansion_topk=expansion_topk)
-        # prefix -> (carry_c, carry_h, pred_out) host arrays
-        self._state_cache: Dict[Tuple[int, ...],
-                                Tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+        # prefix -> (carry_c, carry_h, pred_out) host arrays; opt-in
+        # int8 storage (reference per-hypothesis state compression,
+        # src/Nn/CompressedVector.hh:52)
+        from ..nn.compressed import StateCodec
+        self._codec = StateCodec(state_compression)
+        self._state_cache: Dict[Tuple[int, ...], tuple] = {}
+
+    def _cache_put(self, key, c, h, o) -> None:
+        enc = self._codec.encode
+        self._state_cache[key] = (enc(c), enc(h), enc(o))
+
+    def _cache_get(self, key):
+        dec = self._codec.decode
+        c, h, o = self._state_cache[key]
+        return dec(c), dec(h), dec(o)
+
+    def cache_bytes(self) -> int:
+        nb = self._codec.nbytes
+        return sum(nb(c) + nb(h) + nb(o)
+                   for c, h, o in self._state_cache.values())
 
     def _seed_cache(self) -> None:
         self._state_cache.clear()
@@ -97,9 +115,8 @@ class CachedTransducerDecoder(TransducerBeamSearch):
                                  method=self.model.predict_init)
         carry, out = self._pred_step(carry,
                                      jnp.asarray([self.blank], jnp.int32))
-        self._state_cache[()] = (np.asarray(carry[0][0]),
-                                 np.asarray(carry[1][0]),
-                                 np.asarray(out[0]))
+        self._cache_put((), np.asarray(carry[0][0]),
+                        np.asarray(carry[1][0]), np.asarray(out[0]))
 
     def _pred_batch(self, hyps: Sequence[TransducerHypothesis]) -> np.ndarray:
         if () not in self._state_cache:
@@ -111,8 +128,9 @@ class CachedTransducerDecoder(TransducerBeamSearch):
             # every parent prefix is cached (hypotheses grow one label
             # at a time), so one batched step fills all gaps; rows pad
             # to the next power of two for static jit shapes
-            cs = np.stack([self._state_cache[m[:-1]][0] for m in missing])
-            hs = np.stack([self._state_cache[m[:-1]][1] for m in missing])
+            parents = [self._cache_get(m[:-1]) for m in missing]
+            cs = np.stack([p[0] for p in parents])
+            hs = np.stack([p[1] for p in parents])
             toks = np.asarray([m[-1] for m in missing], np.int32)
             n = len(missing)
             n_pad = 1 << (n - 1).bit_length() if n > 1 else 1
@@ -126,8 +144,8 @@ class CachedTransducerDecoder(TransducerBeamSearch):
             c_np, h_np, o_np = (np.asarray(carry[0]), np.asarray(carry[1]),
                                 np.asarray(out))
             for i, m in enumerate(missing):
-                self._state_cache[m] = (c_np[i], h_np[i], o_np[i])
-        return np.stack([self._state_cache[h.labels][2] for h in hyps])
+                self._cache_put(m, c_np[i], h_np[i], o_np[i])
+        return np.stack([self._cache_get(h.labels)[2] for h in hyps])
 
     def decode(self, enc: np.ndarray, enc_len: int
                ) -> List[TransducerHypothesis]:
