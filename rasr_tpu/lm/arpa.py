@@ -83,6 +83,14 @@ class LanguageModel:
             total += self.sentence_end_score(h)
         return total
 
+    def set_search_space_info(self, info: Dict) -> None:
+        """Search-space-aware hook (reference
+        src/Lm/SearchSpaceAwareLanguageModel.hh:38): the search passes
+        per-frame hypothesis statistics ({"frame", "active_states",
+        "active_histories"}) so batching LMs can schedule their
+        forwards.  Default: ignore."""
+        return None
+
 
 class ArpaLm(LanguageModel):
     def __init__(self, path: Optional[str] = None, unknown_token: str = UNKNOWN):

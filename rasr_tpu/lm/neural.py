@@ -220,6 +220,17 @@ class NeuralLanguageModel(LanguageModel):
             out[i] = -row[tids]
         return out
 
+    def set_search_space_info(self, info: Dict) -> None:
+        """Search-space-aware scheduling (reference
+        src/Lm/SearchSpaceAwareLanguageModel.hh:38): size the prefetch
+        wave to the live history count so one device forward covers a
+        frame's requests without padding waste."""
+        self.search_space_info = dict(info)
+        n = int(info.get("active_histories", 0))
+        if n > 0:
+            self.max_batch = max(16, min(512,
+                                         1 << (n - 1).bit_length()))
+
     def cleanup_cache(self, keep: Optional[Sequence[Tuple[int, ...]]] = None
                       ) -> None:
         """History pruning (reference history_pruning / cache-cleanup)."""

@@ -396,6 +396,11 @@ class WordConditionedTreeSearch:
                 else:
                     toks.append(-2)
             self._lemma_token = np.asarray(toks, np.int64)
+        # search-space-aware LM scheduling hook
+        self._lm_aware = (
+            lm is not None
+            and getattr(type(lm), "set_search_space_info", None)
+            not in (None, LanguageModel.set_search_space_info))
         # native expansion kernel (native/rasr_beam.cpp): fused
         # move/entry generation + recombination + pruning, the
         # reference's C++ hot core (SearchSpace.cc); numpy fallback.
@@ -589,6 +594,14 @@ class WordConditionedTreeSearch:
         st, hi, sc = self._b_state, self._b_hist, self._b_score
         tr, bf, bs = self._b_trace, self._b_bframe, self._b_bscore
         native = self._native
+        if self._lm_aware and len(hi):
+            # search-space-aware LM hook (reference
+            # src/Lm/SearchSpaceAwareLanguageModel.hh:38): per-frame
+            # hypothesis statistics for the LM's batch scheduling
+            self.lm.set_search_space_info({
+                "frame": self._t,
+                "active_states": int(len(st)),
+                "active_histories": int(len(np.unique(hi)))})
         if self._lmla is not None and len(hi):
             # lookahead laziness: fill tables for the lookahead histories
             # whose instances hold enough hypotheses this frame

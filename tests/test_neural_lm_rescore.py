@@ -281,3 +281,36 @@ class TestStateCompression:
         with pytest.raises(ValueError):
             NeuralLanguageModel(model, params, VOCAB,
                                 state_compression="fp4")
+
+
+class TestSearchSpaceAware:
+    def test_search_feeds_stats_to_lm(self, tmp_path, lm):
+        """The tree search passes per-frame hypothesis statistics to
+        LMs that override set_search_space_info (reference
+        src/Lm/SearchSpaceAwareLanguageModel.hh:38)."""
+        from rasr_tpu.am.acoustic_model import (AcousticModel, HmmTopology,
+                                                MonophoneStateTying, Tdp,
+                                                TransitionModel)
+        from rasr_tpu.am.allophone import AllophoneAlphabet
+        from rasr_tpu.bliss.lexicon import Lexicon
+        from rasr_tpu.search.hmm_timesync import WordConditionedTreeSearch
+        p = tmp_path / "lex.xml"
+        p.write_text(LEXICON_XML)
+        lex = Lexicon()
+        lex.load(str(p))
+        am = AcousticModel(
+            lex, AllophoneAlphabet(lex.phoneme_inventory, 1),
+            HmmTopology(3, 1, 1), MonophoneStateTying(5, 3),
+            TransitionModel(Tdp(2.0, 0.0, 20.0, 0.0),
+                            Tdp(0.0, 2.0, float("inf"), 4.0)))
+        search = WordConditionedTreeSearch(am, lm=lm, lm_scale=3.0,
+                                           beam_size=64)
+        assert search._lm_aware
+        scores = np.full((9, 15), 8.0)
+        for t, cls in enumerate([0, 1, 2, 3, 4, 5, 6, 7, 8]):
+            scores[t, cls] = 1.0
+        search.recognize(scores)
+        info = lm.search_space_info
+        assert info["active_states"] >= 1
+        assert info["active_histories"] >= 1
+        assert 0 < info["frame"] <= 9
