@@ -53,7 +53,9 @@ WER_ABS_GATE = 0.15            # and must actually recognize the task
 # calibrated (scripts/calibrate_wer.py on the real chip: 25 dB -> 20.5%,
 # 30 dB -> 4.4%, clean -> 0%) so the flagship lands in the 2-10% WER band
 # ("test-other-like" operating point)
-EVAL_CONDITION = dict(snr_db=30.0, noise="babble", warp_range=(0.96, 1.04))
+EVAL_CONDITION = dict(
+    snr_db=float(os.environ.get("RASR_BENCH_SNR", "30")),
+    noise="babble", warp_range=(0.96, 1.04))
 EVAL_SEED = 10_000_000
 
 # TPU v5e (v5 lite) peak: 197 bf16 TFLOP/s, 394 int8 TOP/s per chip

@@ -36,8 +36,9 @@ from train_flagship import (L_MAX, SAMPLE_RATE, TRAIN_SECONDS,  # noqa: E402
                             feature_pipeline)
 
 ASSET_DIR = os.path.join(REPO, "assets", "aed")
+LM_DIR = os.path.join(REPO, "assets", "flagship")
 SECONDS = TRAIN_SECONDS
-EVAL_BATCH = 32
+EVAL_BATCH = 64
 
 
 def main() -> int:
@@ -126,8 +127,11 @@ def main() -> int:
 
     clean_feats, clean_flens, clean_orths, wer_clean = eval_condition(
         "clean", {}, 10_000_000)
-    _hf, _hl, _ho, wer_hard = eval_condition(
+    hard_feats, hard_flens, hard_orths, wer_hard = eval_condition(
         "hard", bench.EVAL_CONDITION, bench.EVAL_SEED)
+    # disjoint dev stream at the hard condition tunes the fusion scale
+    dev_feats, dev_flens, dev_orths, _dw = eval_condition(
+        "dev-hard", bench.EVAL_CONDITION, bench.EVAL_SEED + 177)
 
     # throughput: synchronous scalar-fetch timing of the batched greedy
     reps = 8
@@ -186,6 +190,54 @@ def main() -> int:
     batch_wall = time.perf_counter() - t0
     beam_wer = wer_of([task.units_to_orth(h[0].labels) for h in nbest],
                       clean_orths)
+
+    def beam_wer_of(algo_, feats_a, flens_a, orths_a):
+        nb = algo_._search.recognize_batch(np.asarray(feats_a),
+                                           np.asarray(flens_a))
+        return wer_of([task.units_to_orth(h[0].labels) for h in nb],
+                      orths_a)
+
+    beam_wer_hard = beam_wer_of(algo, hard_feats, hard_flens, hard_orths)
+
+    # ---- unit-LM shallow fusion inside the device beam: dev-tune the
+    # scale on the HARD condition, then evaluate hard + clean ----------
+    fusion = {}
+    lm_ckpt = os.path.join(LM_DIR, "unit_lm.msgpack")
+    lm_json = os.path.join(LM_DIR, "unit_lm.json")
+    if os.path.exists(lm_ckpt) and os.path.exists(lm_json):
+        best = None
+        for s in (0.25, 0.5):
+            fconf_path = f"/tmp/aed_labelsync_lm{s}.config"
+            with open(fconf_path, "w") as fh:
+                fh.write(conf_text + textwrap.dedent(f"""\
+
+                    [search-algorithm]
+                    lm-checkpoint = {lm_ckpt}
+                    lm-info = {lm_json}
+                    lm-scale = {s}
+                """))
+            fc = Configuration()
+            fc.set_from_file(fconf_path)
+            falgo = SearchAlgorithm(fc)
+            dwer = beam_wer_of(falgo, dev_feats, dev_flens, dev_orths)
+            print(f"dev fused lm-scale {s}: WER {dwer:.4f}", flush=True)
+            if best is None or dwer < best[1]:
+                best = (s, dwer, falgo)
+        s, _dw2, falgo = best
+        fusion = {
+            "fused_lm_scale": s,
+            "fused_beam_wer_hard": round(
+                beam_wer_of(falgo, hard_feats, hard_flens, hard_orths),
+                4),
+            "fused_beam_wer_clean": round(
+                beam_wer_of(falgo, clean_feats, clean_flens,
+                            clean_orths), 4),
+        }
+        t0 = time.perf_counter()
+        _ = falgo._search.recognize_batch(np.asarray(hard_feats),
+                                          np.asarray(hard_flens))
+        fusion["fused_batch_x_realtime"] = round(
+            EVAL_BATCH * SECONDS / (time.perf_counter() - t0), 1)
     # per-utterance latency of the segment API (warmed buckets)
     for i in range(4):
         algo.recognize_segment(cf[i, :fl[i]])
@@ -202,11 +254,14 @@ def main() -> int:
             int(np.prod(np.asarray(x).shape))
             for x in jax.tree_util.tree_leaves(params)) / 1e6, 1),
         "greedy_wer_clean": round(wer_clean, 4),
-        "greedy_wer_hard_babble30db": round(wer_hard, 4),
+        "greedy_wer_hard": round(wer_hard, 4),
+        "hard_condition": dict(bench.EVAL_CONDITION),
         "greedy_throughput_x_realtime": round(rt, 1),
         "labelsync_beam8_wer_clean": round(beam_wer, 4),
+        "labelsync_beam8_wer_hard": round(beam_wer_hard, 4),
         "same_eval_set": EVAL_BATCH,
         "beam_beats_or_ties_greedy": bool(beam_wer <= wer_clean),
+        **fusion,
         "labelsync_beam8_batch_x_realtime": round(
             EVAL_BATCH * SECONDS / batch_wall, 1),
         "labelsync_beam8_latency_s_per_utt": round(
@@ -214,6 +269,10 @@ def main() -> int:
         "labelsync_path": "config -> scorer_factory -> "
                           "lexiconfree-labelsync (zero Python)",
     }
+    best_hard = min(result.get("fused_beam_wer_hard", 1e9),
+                    result["labelsync_beam8_wer_hard"])
+    result["beam_beats_greedy_hard_strict"] = bool(
+        best_hard < result["greedy_wer_hard"])
     with open(os.path.join(REPO, "AED_BENCH.json"), "w") as fh:
         json.dump(result, fh, indent=1)
     print(json.dumps(result))
