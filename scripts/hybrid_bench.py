@@ -423,6 +423,11 @@ def main():
                     help="coarticulated rendering strength")
     ap.add_argument("--across-word", action=argparse.BooleanOptionalAction,
                     default=True)
+    ap.add_argument("--compare-monophone",
+                    action=argparse.BooleanOptionalAction, default=False,
+                    help="additionally decode the same eval with a "
+                         "monophone-tied AM (same arch/steps) to show "
+                         "what the CART inventory buys")
     ap.add_argument("--beam", type=int, default=4096)
     ap.add_argument("--word-end-beam", type=int, default=192)
     ap.add_argument("--threshold", type=float, default=32.0)
@@ -511,6 +516,29 @@ def main():
     eval_seeds = [9_500_000 + i for i in range(args.utterances)]
     wer, audio_seconds, wall, stats, err, ref_len = decode_set(
         task, search, scorer, eval_seeds, 8, 18, snr_db=args.snr_db)
+
+    mono = {}
+    if args.compare_monophone and cart_tree is not None:
+        # same eval with monophone tying: retrain labels + AM, decode
+        # with the within-word monophone tree at the same pruning
+        task.label_fn = None
+        task.n_classes = 3 * (task.n_phonemes + 1)
+        m_model, m_params, m_priors, _ts, m_acc = train_am(
+            task, args, pipe, feats_of)
+        m_scorer = make_scorer(task, args, m_model, m_params, m_priors,
+                               pipe, feats_of)
+        import argparse as _ap
+        m_args = _ap.Namespace(**vars(args))
+        m_args.across_word = False
+        m_search = make_search(task, lm, m_args, lm_scale)
+        m_wer, _a2, m_wall, _st2, m_err, m_ref = decode_set(
+            task, m_search, m_scorer, eval_seeds, 8, 18,
+            snr_db=args.snr_db)
+        mono = {"monophone_wer": round(m_wer, 4),
+                "monophone_errors": [int(m_err), int(m_ref)],
+                "monophone_heldout_accuracy": m_acc,
+                "monophone_x_real_time": round(audio_seconds / m_wall,
+                                               2)}
     la = search._lmla
     # binomial 95% CI on the word error rate (Wilson interval over
     # ref_len trials with err successes)
@@ -566,6 +594,7 @@ def main():
                           "lm_trie": round(t_lm, 1),
                           "cart": round(t_cart, 1),
                           "tree": round(t_tree, 1)},
+        **mono,
     }
     with open(args.out, "w") as fh:
         json.dump(result, fh, indent=1)
