@@ -366,3 +366,14 @@ def collect_recordings(corpus: "CorpusDescription") -> List[Recording]:
             seen[id(rec)] = rec
             recs.append(rec)
     return recs
+
+
+def corpus_key(segment) -> str:
+    """Grouping key for per-speaker estimation AND per-segment transform
+    selection (reference Bliss::CorpusKey): speaker name when present,
+    else the recording's full name.  The trainer writes adaptation
+    transforms under these keys and the recognizer looks them up — both
+    must use THIS helper."""
+    if getattr(segment, "speaker", None) is not None:
+        return segment.speaker.name
+    return segment.recording.full_name

@@ -104,6 +104,7 @@ class NeuralLanguageModel(LanguageModel):
         self.eos = eos
         self.unk_id = self._ids.get(unk, 0)
         self.max_batch = max_batch
+        self._max_batch_configured = max_batch
         from ..nn.compressed import StateCodec
         self._codec = StateCodec(state_compression)   # validates mode
         self.state_compression = state_compression
@@ -228,8 +229,11 @@ class NeuralLanguageModel(LanguageModel):
         self.search_space_info = dict(info)
         n = int(info.get("active_histories", 0))
         if n > 0:
-            self.max_batch = max(16, min(512,
-                                         1 << (n - 1).bit_length()))
+            # grow-only up to the configured cap: shrinking would churn
+            # padded batch shapes (recompiles) and override the user
+            want = max(16, 1 << (n - 1).bit_length())
+            self.max_batch = min(self._max_batch_configured,
+                                 max(self.max_batch, want))
 
     def cleanup_cache(self, keep: Optional[Sequence[Tuple[int, ...]]] = None
                       ) -> None:

@@ -1078,6 +1078,14 @@ class WordConditionedTreeSearch:
             for e in entries_of.get(c, []):
                 p = ar.parent[e]
                 pc = INIT if p < 0 else cls_of(p)
+                if pc == c:
+                    # q > 1 can fold a repeated word's two boundaries
+                    # into one class; a self-loop would make the lattice
+                    # cyclic, so give the later entry an exact-time class
+                    c2 = (ar.t1[e], red[ar.hist[e]], ar.group[e], "x")
+                    entries_of.setdefault(c2, [])
+                    arcs.append((pc, c2, e))
+                    continue
                 arcs.append((pc, c, e))
                 if pc != INIT and pc not in keep:
                     stack.append(pc)
@@ -1087,7 +1095,13 @@ class WordConditionedTreeSearch:
 
         def state(c: tuple) -> int:
             if c not in sid:
-                sid[c] = lat.add_state(0 if c == INIT else c[0] * q)
+                if c == INIT:
+                    frame = 0
+                elif len(c) == 4:          # exact-time self-loop split
+                    frame = c[0]
+                else:
+                    frame = c[0] * q
+                sid[c] = lat.add_state(frame)
             return sid[c]
 
         lat.initial = state(INIT)

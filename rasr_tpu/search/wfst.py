@@ -777,11 +777,16 @@ class BatchedDynamicLmDecoder:
         self.score_threshold = float(score_threshold)
         max_lemma = max((l.id for l in lexicon.lemmas), default=0)
         tok = np.full(max_lemma + 1, -1, np.int64)
+        unk = lm.token_id(getattr(lm, "unknown", "<unk>"))
         for lemma in lexicon.lemmas:
             st = lemma.syntactic_tokens
             if st:
                 t = lm.token_id(st[0])
-                tok[lemma.id] = t if t is not None else -1
+                if t is None or t < 0:
+                    # OOV scores as <unk> and still consumes the LM
+                    # history (matches DynamicLmWfstDecoder / lm.score)
+                    t = unk if unk is not None and unk >= 0 else -1
+                tok[lemma.id] = t
         self.lemma_token = tok
         self._dense_cap = dense_cache_size
         self.frames_decoded = 0
@@ -892,6 +897,19 @@ class BatchedDynamicLmDecoder:
         """Vectorized bounded epsilon closure with word outputs; `em`
         (last consumed emission class, for acoustic lookahead) rides
         along unchanged through epsilon moves."""
+        # recombine the INCOMING pool first: the frame expansion
+        # produces duplicate (state, hist) rows (loop + forward into the
+        # same state), and a frontier without epsilon arcs must still
+        # come back deduplicated
+        H0 = len(self._hist_list)
+        key0 = st * H0 + hi
+        order0 = np.lexsort((sc, key0))
+        ks0 = key0[order0]
+        first0 = np.ones(len(order0), bool)
+        first0[1:] = ks0[1:] != ks0[:-1]
+        keep0 = order0[first0]
+        st, hi, sc, tr, em = (st[keep0], hi[keep0], sc[keep0], tr[keep0],
+                              em[keep0])
         pool_st, pool_hi, pool_sc, pool_tr, pool_em = st, hi, sc, tr, em
         frontier = (st, hi, sc, tr, em)
         for _ in range(max_iters):
@@ -932,12 +950,15 @@ class BatchedDynamicLmDecoder:
     def decode(self, scores: np.ndarray) -> Tuple[List[int], float]:
         """(T, S_emissions) -log emission scores -> (word ids, score)."""
         from collections import OrderedDict
-        self._hist_list = [self.lm.initial_history()]
-        self._hist_index = {self._hist_list[0]: 0}
-        self._dense: "OrderedDict" = OrderedDict()
-        self._ext_cache: Dict[Tuple[int, int], int] = {}
-        # token id -> token string for extended_history
-        if not hasattr(self, "_tok_str"):
+        # history interning + dense-row LRU + extension cache persist
+        # across segments (the LM is fixed per decoder; recurring
+        # histories keep their score_dense rows like the tree search's
+        # cross-segment dense cache)
+        if not hasattr(self, "_hist_list"):
+            self._hist_list = [self.lm.initial_history()]
+            self._hist_index = {self._hist_list[0]: 0}
+            self._dense: "OrderedDict" = OrderedDict()
+            self._ext_cache: Dict[Tuple[int, int], int] = {}
             vocab = getattr(self.lm, "vocabulary", None)
             if vocab is None:
                 vocab = getattr(self.lm, "vocab", [])

@@ -369,10 +369,10 @@ class AcousticModelTrainerApp(Application):
 
     def _corpus_key(self, seg) -> str:
         """Grouping key for per-speaker estimation (reference
-        Bliss::CorpusKey; speaker name when present, else recording)."""
-        if getattr(seg, "speaker", None) is not None:
-            return seg.speaker.name
-        return seg.recording.full_name
+        Bliss::CorpusKey) — shared with the recognizer's transform
+        lookup."""
+        from ..bliss.corpus import corpus_key
+        return corpus_key(seg)
 
     # -- score-features (reference src/Speech/FeatureScorer.cc) ---------------
 
@@ -545,9 +545,17 @@ class AcousticModelTrainerApp(Application):
         for f in files:
             for k, acc in self._read_adaptation_accumulators(f).items():
                 if k in merged:
-                    merged[k].gamma = merged[k].gamma + acc.gamma
-                    merged[k].sum_x = merged[k].sum_x + acc.sum_x
-                    merged[k].sum_x2 = merged[k].sum_x2 + acc.sum_x2
+                    m = merged[k]
+                    m.gamma = m.gamma + acc.gamma
+                    m.sum_x = m.sum_x + acc.sum_x
+                    m.sum_x2 = m.sum_x2 + acc.sum_x2
+                    # full scatter (estimate-affine-transform writes it);
+                    # merging only the diagonal stats would silently
+                    # corrupt the exact-moment CMLLR solve
+                    if m.sum_xx is not None and acc.sum_xx is not None:
+                        m.sum_xx = m.sum_xx + acc.sum_xx
+                    elif acc.sum_xx is not None:
+                        m.sum_xx = acc.sum_xx
                 else:
                     merged[k] = acc
         out = tc.get("affine-transform-accumulator-file") or "cmllr.acc.npz"

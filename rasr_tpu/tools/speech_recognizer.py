@@ -62,10 +62,7 @@ class SpeechRecognizerApp(Application):
             self.log("adaptation: %d corpus-key transforms from %s",
                      len(transforms), adapt_path)
 
-        def corpus_key(seg) -> str:
-            if getattr(seg, "speaker", None) is not None:
-                return seg.speaker.name
-            return seg.recording.full_name
+        from ..bliss.corpus import corpus_key
 
         evaluator = Evaluator("recognition")
         ctm_channel = Channel(self.config.sub("recognizer"), "ctm",

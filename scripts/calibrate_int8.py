@@ -22,7 +22,7 @@ def main():
     from rasr_tpu.models.quantized import (calibrate_activation_scales,
                                            quantize_params)
     (task, model, params, trained, pipe, decode, T_feat, N,
-     _df, _lp, _lmm) = bench.setup()
+     _df, _lp, _lmm, _stages) = bench.setup()
     assert trained, "flagship checkpoint required"
     qparams = quantize_params(params, model.n_layers, keep_names=True)
 

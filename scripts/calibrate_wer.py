@@ -19,7 +19,7 @@ def main():
     snrs = [float(a) for a in sys.argv[1:]] or [None, 20.0, 15.0, 10.0,
                                                 8.0, 5.0, 3.0, 0.0]
     (task, model, params, trained, pipe, decode, T_feat, N,
-     _df, _lp, _lmm) = bench.setup()
+     _df, _lp, _lmm, _stages) = bench.setup()
     print(f"flagship trained={trained}")
     for snr in snrs:
         for warp in [(0.92, 1.08)] if snr is not None else [(0.96, 1.04)]:

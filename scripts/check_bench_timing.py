@@ -28,7 +28,7 @@ def main() -> int:
     import jax.numpy as jnp
 
     (task, model, params, trained, pipe, decode, T_feat, N,
-     _df, _lp, _lmm) = bench.setup("")
+     _df, _lp, _lmm, _stages) = bench.setup("")
     ev_batch = 32
     wer, greedy_wer, pad, flens, _o = bench.eval_wer(
         task, pipe, decode, params, T_feat, N, ev_batch)

@@ -344,7 +344,8 @@ def make_search(task, lm, args, lm_scale, am=None):
     tree_image = None
     if args.across_word:
         tree_image = os.path.join(
-            CACHE, f"tree_xw_{args.words}_{task.n_classes}.npz")
+            CACHE, f"tree_xw_{args.words}_{task.n_classes}"
+                   f"{getattr(task, 'cache_tag', '')}.npz")
     return WordConditionedTreeSearch(
         am or task.am, lm=lm, lm_scale=lm_scale,
         beam_size=args.beam, word_end_beam_size=args.word_end_beam,
@@ -491,6 +492,8 @@ def main():
     model, params, priors, train_seconds, acc = train_am(
         task, args, pipe, feats_of)
     scorer = make_scorer(task, args, model, params, priors, pipe, feats_of)
+    tied_states = task.n_classes   # snapshot: the mono comparison
+    #                                retrains with task.n_classes reset
 
     # dev-tune the LM scale on a tiny disjoint dev set (one search
     # instance; set_lm_scale retunes without rebuilding tree/lookahead)
@@ -554,7 +557,7 @@ def main():
                "params_m": round(sum(
                    int(np.prod(np.asarray(x).shape))
                    for x in jax.tree_util.tree_leaves(params)) / 1e6, 1),
-               "tied_states": task.n_classes,
+               "tied_states": tied_states,
                "state_tying": ("cart-triphone" if cart_tree is not None
                                else "monophone"),
                "coarticulation": args.coart,
