@@ -78,9 +78,19 @@ def push_forward_rescore(lattice: WordLattice, lm: LanguageModel,
     Returns up to n_out (word-id sequence, total score), best first."""
     words = lattice.words or {}
     n_states = lattice.n_states
-    # topological order over the DAG (states are not guaranteed sorted)
+    # restrict to the subgraph reachable from the initial state first:
+    # in-degrees from unreachable states would otherwise never drain and
+    # silently cut off their downstream suffix (finals included)
+    reach = {lattice.initial}
+    stack = [lattice.initial]
+    while stack:
+        s = stack.pop()
+        for arc in lattice.arcs[s]:
+            if arc.target not in reach:
+                reach.add(arc.target)
+                stack.append(arc.target)
     indeg = [0] * n_states
-    for s in range(n_states):
+    for s in reach:
         for arc in lattice.arcs[s]:
             indeg[arc.target] += 1
     order: List[int] = [lattice.initial]

@@ -250,6 +250,10 @@ def aed_decoder_from_config(config: Configuration,
 
         from ..lm.neural import LstmLmModel
         from .checkpoint import load_params as _load
+        if not sa.get("lm-info"):
+            raise ValueError(
+                "search-algorithm.lm-checkpoint needs lm-info "
+                "(JSON with the LM model kwargs)")
         with open(sa.get("lm-info")) as fh:
             lm_meta = _json.load(fh)
         lm_model = LstmLmModel(**lm_meta["model"])

@@ -56,6 +56,10 @@ class CachedAedDecoder:
                     lambda p, e, m: fn(p, e, m, lm_p)
             else:
                 self._device_search = fn
+        elif lm_model is not None and lm_scale:
+            raise ValueError(
+                "shallow fusion (lm-scale/lm-checkpoint) requires the "
+                "device beam; the host decode path does not fuse")
 
         _encode = jax.jit(
             lambda p, f, l: model.apply({"params": p}, f, l,

@@ -155,7 +155,7 @@ class MinimizedTreeBuilder:
             if rho == CI_NEXT:
                 # followed by silence/noise, or segment end
                 return 1, True
-            return group_of(self._ctx(final_phone), rho)
+            return group_of(self._ctx(final_phone), rho), False
 
         # merged entry groups: when the tying maps several right contexts
         # of a word-final allophone onto the SAME emission sequence, the

@@ -547,7 +547,9 @@ def main():
     # ref_len trials with err successes)
     z = 1.959964
     nn = max(ref_len, 1)
-    ph = err / nn
+    # WER counts insertions, so err can exceed ref_len; the binomial CI
+    # is over the clamped per-word error probability
+    ph = min(err / nn, 1.0)
     denom = 1.0 + z * z / nn
     center = (ph + z * z / (2 * nn)) / denom
     half = z * np.sqrt(ph * (1 - ph) / nn + z * z / (4 * nn * nn)) / denom

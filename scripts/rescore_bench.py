@@ -44,6 +44,28 @@ import hybrid_bench as hb
 CACHE = hb.CACHE
 
 
+
+
+def masked_nll(model, params, toks, lens, reduce="mean"):
+    """Masked next-token NLL over BOS-prefixed, EOS-terminated rows:
+    toks (B, L+1) int32, lens (B,) = number of predicted positions.
+    reduce="mean" -> scalar mean; "sum" -> (total, count);
+    "per-row" -> (B,) row sums."""
+    import jax
+    import jax.numpy as jnp
+    logits = model.apply({"params": params}, toks[:, :-1])
+    lp = jax.nn.log_softmax(logits, -1)
+    tgt = toks[:, 1:]
+    valid = jnp.arange(tgt.shape[1])[None, :] < lens[:, None]
+    nll = -jnp.take_along_axis(lp, tgt[..., None], -1)[..., 0]
+    if reduce == "per-row":
+        return jnp.sum(nll * valid, axis=1)
+    total = jnp.sum(nll * valid)
+    if reduce == "sum":
+        return total, valid.sum()
+    return total / jnp.maximum(valid.sum(), 1)
+
+
 def train_word_lm(task, args, corpus_sents):
     """Word-level LSTM trained on the SAME sampled corpus the 4-gram was
     counted from.  Returns (model, params, vocab)."""
@@ -94,14 +116,8 @@ def train_word_lm(task, args, corpus_sents):
 
     @jax.jit
     def train_step(p, o, toks, lens):
-        def loss_fn(p):
-            logits = model.apply({"params": p}, toks[:, :-1])
-            lp = jax.nn.log_softmax(logits, -1)
-            tgt = toks[:, 1:]
-            valid = jnp.arange(tgt.shape[1])[None, :] < lens[:, None]
-            nll = -jnp.take_along_axis(lp, tgt[..., None], -1)[..., 0]
-            return jnp.sum(nll * valid) / jnp.maximum(valid.sum(), 1)
-        loss, g = jax.value_and_grad(loss_fn)(p)
+        loss, g = jax.value_and_grad(
+            lambda p: masked_nll(model, p, toks, lens))(p)
         up, o = opt.update(g, o, p)
         return optax.apply_updates(p, up), o, loss
 
@@ -133,12 +149,7 @@ def heldout_nll(task, args, model, params, arpa):
              for _ in range(args.nll_sentences)]
 
     def loss_sum(p, toks, lens):
-        logits = model.apply({"params": p}, toks[:, :-1])
-        lp = jax.nn.log_softmax(logits, -1)
-        tgt = toks[:, 1:]
-        valid = jnp.arange(tgt.shape[1])[None, :] < lens[:, None]
-        nll = -jnp.take_along_axis(lp, tgt[..., None], -1)[..., 0]
-        return jnp.sum(nll * valid), valid.sum()
+        return masked_nll(model, p, toks, lens, reduce="sum")
 
     toks = np.full((len(sents), L + 1), EOS, np.int32)
     lens = np.zeros((len(sents),), np.int32)
@@ -237,15 +248,8 @@ def collect_candidates(task, lats, arpa, lm4_scale, model, params,
         toks[j, 1 + len(ids)] = EOS
         lens[j] = len(ids) + 1
 
-    def seq_nll(p, toks, lens):
-        logits = model.apply({"params": p}, toks[:, :-1])
-        lp = jax.nn.log_softmax(logits, -1)
-        tgt = toks[:, 1:]
-        valid = jnp.arange(tgt.shape[1])[None, :] < lens[:, None]
-        nll = -jnp.take_along_axis(lp, tgt[..., None], -1)[..., 0]
-        return jnp.sum(nll * valid, axis=1)
-
-    fn = jax.jit(seq_nll)
+    fn = jax.jit(lambda p, toks, lens: masked_nll(
+        model, p, toks, lens, reduce="per-row"))
     scores = []
     for lo in range(0, len(cand), 512):
         hi = min(lo + 512, len(cand))

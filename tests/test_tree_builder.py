@@ -266,3 +266,38 @@ class TestMergedEntryGroups:
         xw = WordConditionedTreeSearch(am, beam_size=256,
                                        across_word=True)
         assert xw.recognize(scores) == ["AB", "BA"]
+
+
+class TestSinglePhoneAcrossWord:
+    def test_one_phoneme_word_builds_and_decodes(self, tmp_path):
+        """Regression: wend_group's non-CI branch must return
+        (group, close) — single-phoneme context-dependent words
+        tuple-concatenate it in across-word mode."""
+        p = tmp_path / "lex1.xml"
+        p.write_text(textwrap.dedent("""\
+            <lexicon>
+              <phoneme-inventory>
+                <phoneme><symbol>a</symbol></phoneme>
+                <phoneme><symbol>b</symbol></phoneme>
+                <phoneme><symbol>si</symbol><variation>none</variation></phoneme>
+              </phoneme-inventory>
+              <lemma special="silence"><orth>[SILENCE]</orth><phon>si</phon></lemma>
+              <lemma><orth>A</orth><phon>a</phon></lemma>
+              <lemma><orth>BA</orth><phon>b a</phon></lemma>
+            </lexicon>
+        """))
+        from rasr_tpu.bliss.lexicon import Lexicon
+        lex = Lexicon()
+        lex.load(str(p))
+        from rasr_tpu.am.acoustic_model import (AcousticModel, HmmTopology,
+                                                Tdp, TransitionModel)
+        from rasr_tpu.am.allophone import AllophoneAlphabet
+        am = AcousticModel(
+            lex, AllophoneAlphabet(lex.phoneme_inventory, 1),
+            HmmTopology(3, 1, 1), TriphoneTying(),
+            TransitionModel(Tdp(2.0, 0.0, 20.0, 0.0),
+                            Tdp(0.0, 2.0, float("inf"), 4.0)))
+        tree = MinimizedTreeBuilder(am, across_word=True).build()
+        assert len(tree.nodes) > 1
+        ends = [w for nd in tree.nodes for w in nd.word_ends]
+        assert any(not c for (_l, _p, _g, c) in ends)
