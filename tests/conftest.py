@@ -75,6 +75,7 @@ FAST_MODULES = {
     "test_bliss_tools.py", "test_mt_aligner.py", "test_archive.py",
     "test_flow_tier3.py", "test_flow_speech_nodes.py",
     "test_quantized.py", "test_native_beam.py",
+    "test_sat_recognition.py", "test_cart_hybrid.py",
 }
 
 
