@@ -442,8 +442,9 @@ def main():
         "tflops": round(tflops, 1),
         "mfu": round(tflops / peak, 4),
         "mfu_encoder_only": (round(mfu_encoder_only, 4)
-                             if mfu_encoder_only else None),
-        "stage_seconds": {k: round(v, 2) for k, v in stage_s.items()},
+                             if mfu_encoder_only is not None else None),
+        "stage_seconds": {k: (round(v, 2) if isinstance(v, float) else v)
+                          for k, v in stage_s.items()},
         "e2e_seconds": round(dt, 2),
         **fused,
     }

@@ -229,11 +229,13 @@ class NeuralLanguageModel(LanguageModel):
         self.search_space_info = dict(info)
         n = int(info.get("active_histories", 0))
         if n > 0:
-            # grow-only up to the configured cap: shrinking would churn
-            # padded batch shapes (recompiles) and override the user
+            # size the prefetch wave to the LARGEST live-history count
+            # seen so far (grow-only: shrinking would churn padded batch
+            # shapes), bounded by the configured cap
             want = max(16, 1 << (n - 1).bit_length())
+            self._hook_hwm = max(getattr(self, "_hook_hwm", 16), want)
             self.max_batch = min(self._max_batch_configured,
-                                 max(self.max_batch, want))
+                                 self._hook_hwm)
 
     def cleanup_cache(self, keep: Optional[Sequence[Tuple[int, ...]]] = None
                       ) -> None:

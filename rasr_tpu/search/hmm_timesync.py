@@ -1058,7 +1058,18 @@ class WordConditionedTreeSearch:
         q = max(int(time_quantum), 1)
 
         def cls_of(e: int):
-            return (ar.t1[e] // q, red[ar.hist[e]], ar.group[e])
+            """Recombination class of entry e.  With q > 1, an entry
+            whose PARENT falls in the same time bucket takes an
+            exact-time class instead: word boundaries strictly increase
+            along paths, so bucketed classes order by bucket, exact
+            classes by frame, and mixed arcs still move forward in time
+            — the quantized lattice stays acyclic and repeated words
+            keep their arcs."""
+            b = ar.t1[e] // q
+            p = ar.parent[e]
+            if q > 1 and p >= 0 and ar.t1[p] // q == b:
+                return (ar.t1[e], red[ar.hist[e]], ar.group[e], "x")
+            return (b, red[ar.hist[e]], ar.group[e])
 
         entries_of: Dict[tuple, List[int]] = {}
         for e in range(n):
@@ -1078,14 +1089,6 @@ class WordConditionedTreeSearch:
             for e in entries_of.get(c, []):
                 p = ar.parent[e]
                 pc = INIT if p < 0 else cls_of(p)
-                if pc == c:
-                    # q > 1 can fold a repeated word's two boundaries
-                    # into one class; a self-loop would make the lattice
-                    # cyclic, so give the later entry an exact-time class
-                    c2 = (ar.t1[e], red[ar.hist[e]], ar.group[e], "x")
-                    entries_of.setdefault(c2, [])
-                    arcs.append((pc, c2, e))
-                    continue
                 arcs.append((pc, c, e))
                 if pc != INIT and pc not in keep:
                     stack.append(pc)

@@ -777,16 +777,19 @@ class BatchedDynamicLmDecoder:
         self.score_threshold = float(score_threshold)
         max_lemma = max((l.id for l in lexicon.lemmas), default=0)
         tok = np.full(max_lemma + 1, -1, np.int64)
+        self.lemma_tok_str: List[Optional[str]] =             [None] * (max_lemma + 1)
         unk = lm.token_id(getattr(lm, "unknown", "<unk>"))
         for lemma in lexicon.lemmas:
             st = lemma.syntactic_tokens
             if st:
                 t = lm.token_id(st[0])
                 if t is None or t < 0:
-                    # OOV scores as <unk> and still consumes the LM
-                    # history (matches DynamicLmWfstDecoder / lm.score)
+                    # OOV lemmas SCORE as <unk>; the history still
+                    # extends with the real token (matches lm.score +
+                    # extended_history in DynamicLmWfstDecoder)
                     t = unk if unk is not None and unk >= 0 else -1
                 tok[lemma.id] = t
+                self.lemma_tok_str[lemma.id] = st[0]
         self.lemma_token = tok
         self._dense_cap = dense_cache_size
         self.frames_decoded = 0
@@ -872,14 +875,15 @@ class BatchedDynamicLmDecoder:
                 add[grp] = self.lm_scale * row[toks[val][grp]]
                 base = self._hist_list[h]
                 ext = self._ext_cache
+                lem_here = lemmas[val]
                 for g in grp.tolist():
-                    tkn = int(toks[val][g])
-                    key = (h, tkn)
+                    lem = int(lem_here[g])
+                    key = (h, lem)
                     hid = ext.get(key)
                     if hid is None:
                         hid = self._hist_id(
                             self.lm.extended_history(
-                                base, self._tok_str[tkn]))
+                                base, self.lemma_tok_str[lem]))
                         ext[key] = hid
                     nh[g] = hid
             sc[vi] += add
@@ -959,10 +963,6 @@ class BatchedDynamicLmDecoder:
             self._hist_index = {self._hist_list[0]: 0}
             self._dense: "OrderedDict" = OrderedDict()
             self._ext_cache: Dict[Tuple[int, int], int] = {}
-            vocab = getattr(self.lm, "vocabulary", None)
-            if vocab is None:
-                vocab = getattr(self.lm, "vocab", [])
-            self._tok_str = list(vocab)
         self._arena_parent: List[int] = []
         self._arena_word: List[int] = []
         self._arena_t: List[int] = []

@@ -551,11 +551,18 @@ class AcousticModelTrainerApp(Application):
                     m.sum_x2 = m.sum_x2 + acc.sum_x2
                     # full scatter (estimate-affine-transform writes it);
                     # merging only the diagonal stats would silently
-                    # corrupt the exact-moment CMLLR solve
+                    # corrupt the exact-moment CMLLR solve.  If one side
+                    # lacks scatter, the merged exact moments would be
+                    # inconsistent with gamma — drop to the diagonal
+                    # approximation instead.
                     if m.sum_xx is not None and acc.sum_xx is not None:
                         m.sum_xx = m.sum_xx + acc.sum_xx
-                    elif acc.sum_xx is not None:
-                        m.sum_xx = acc.sum_xx
+                    elif m.sum_xx is not None or acc.sum_xx is not None:
+                        self.warning(
+                            "key %s: scatter present in only one "
+                            "accumulator; falling back to diagonal "
+                            "second moments", k)
+                        m.sum_xx = None
                 else:
                     merged[k] = acc
         out = tc.get("affine-transform-accumulator-file") or "cmllr.acc.npz"
