@@ -53,8 +53,11 @@ WER_ABS_GATE = 0.15            # and must actually recognize the task
 # calibrated (scripts/calibrate_wer.py on the real chip: 25 dB -> 20.5%,
 # 30 dB -> 4.4%, clean -> 0%) so the flagship lands in the 2-10% WER band
 # ("test-other-like" operating point)
+# main anchored condition: babble 28 dB — hard enough that the
+# LM-fused operating point also sits at NONZERO WER (30 dB saturated
+# the fused anchor; see hard2 below for the 25 dB condition)
 EVAL_CONDITION = dict(
-    snr_db=float(os.environ.get("RASR_BENCH_SNR", "30")),
+    snr_db=float(os.environ.get("RASR_BENCH_SNR", "28")),
     noise="babble", warp_range=(0.96, 1.04))
 EVAL_SEED = 10_000_000
 
