@@ -314,3 +314,70 @@ class TestSearchSpaceAware:
         assert info["active_states"] >= 1
         assert info["active_histories"] >= 1
         assert 0 < info["frame"] <= 9
+
+
+class TestQuantizedLattice:
+    def _decode(self, tmp_path, orth_classes):
+        from rasr_tpu.am.acoustic_model import (AcousticModel, HmmTopology,
+                                                MonophoneStateTying, Tdp,
+                                                TransitionModel)
+        from rasr_tpu.am.allophone import AllophoneAlphabet
+        from rasr_tpu.bliss.lexicon import Lexicon
+        from rasr_tpu.search.hmm_timesync import WordConditionedTreeSearch
+        p = tmp_path / "lexq.xml"
+        p.write_text(LEXICON_XML)
+        lex = Lexicon()
+        lex.load(str(p))
+        am = AcousticModel(
+            lex, AllophoneAlphabet(lex.phoneme_inventory, 1),
+            HmmTopology(3, 1, 1), MonophoneStateTying(5, 3),
+            TransitionModel(Tdp(2.0, 0.0, 20.0, 0.0),
+                            Tdp(0.0, 2.0, float("inf"), 4.0)))
+        search = WordConditionedTreeSearch(am, lm=None, beam_size=128)
+        T = len(orth_classes)
+        scores = np.full((T, 15), 8.0)
+        for t, cls in enumerate(orth_classes):
+            scores[t, cls] = 0.5
+        search.recognize(scores)
+        return search
+
+    def test_repeated_word_survives_quantization(self, tmp_path):
+        """q>1 must keep both occurrences of a repeated word even when
+        their boundaries fold into one time bucket."""
+        # 'a a b': tracks 0-2 twice then 3-5
+        classes = [0, 1, 2, 0, 1, 2, 3, 4, 5]
+        search = self._decode(tmp_path, classes)
+        for q in (1, 4, 8):
+            lat = search.create_lattice(time_quantum=q)
+            labels, _ = lat.best()
+            words = [lat.words[l] for l in labels if l in lat.words]
+            assert words == ["a", "a", "b"], (q, words)
+
+    def test_quantized_lattice_is_acyclic(self, tmp_path):
+        classes = [0, 1, 2, 3, 4, 5, 0, 1, 2, 6, 7, 8]
+        search = self._decode(tmp_path, classes)
+        for q in (2, 4, 16):
+            lat = search.create_lattice(time_quantum=q)
+            # Kahn over the reachable subgraph must drain every state
+            reach = {lat.initial}
+            stack = [lat.initial]
+            while stack:
+                s = stack.pop()
+                for arc in lat.arcs[s]:
+                    if arc.target not in reach:
+                        reach.add(arc.target)
+                        stack.append(arc.target)
+            indeg = {s: 0 for s in reach}
+            for s in reach:
+                for arc in lat.arcs[s]:
+                    indeg[arc.target] += 1
+            frontier = [s for s in reach if indeg[s] == 0]
+            drained = 0
+            while frontier:
+                s = frontier.pop()
+                drained += 1
+                for arc in lat.arcs[s]:
+                    indeg[arc.target] -= 1
+                    if indeg[arc.target] == 0:
+                        frontier.append(arc.target)
+            assert drained == len(reach), f"cycle at q={q}"
