@@ -47,6 +47,13 @@ def lexicon_to_transducer(lexicon: Lexicon, token_of_phoneme=None,
     L.set_final(root)
     closure = (EPS if word_boundary_label is None
                else word_boundary_label)
+    # PREFIX TRIE over pronunciations (the property the whole decoder
+    # architecture rests on: the trie front after one phone is
+    # |phonemes| chains, not |words| chains — without sharing a
+    # 100k-word front floods any beam at the first frame).  The word
+    # output and pronunciation weight ride the CLOSURE arc, which is
+    # unique per word end even under full prefix sharing.
+    trie: Dict[Tuple[int, int], int] = {}
     for lemma in lexicon.lemmas:
         is_sil = lemma.special == "silence"
         if lemma.special and not (include_silence and is_sil):
@@ -55,19 +62,26 @@ def lexicon_to_transducer(lexicon: Lexicon, token_of_phoneme=None,
             tokens = [tok(p) for p in lp.pronunciation.phonemes]
             if not tokens:
                 continue
+            if is_sil:
+                # silence keeps its own LM-transparent chain (epsilon
+                # output lets it pass composition at every G state —
+                # the reference adds silence self-loops to G)
+                state = root
+                for t in tokens:
+                    nxt = L.add_state()
+                    L.add_arc(state, nxt, t, EPS, 0.0)
+                    state = nxt
+                L.add_arc(state, root, closure, EPS, 0.0)
+                continue
             state = root
-            for i, t in enumerate(tokens):
-                nxt = L.add_state()
-                last = i == len(tokens) - 1
-                # silence is LM-transparent: epsilon output lets the
-                # chain pass composition at every G state (the
-                # reference adds silence self-loops to G)
-                out_label = (EPS if is_sil or not last
-                             else lemma.id + 1)
-                L.add_arc(state, nxt, t, out_label,
-                          lp.score if last else 0.0)
+            for t in tokens:
+                nxt = trie.get((state, t))
+                if nxt is None:
+                    nxt = L.add_state()
+                    L.add_arc(state, nxt, t, EPS, 0.0)
+                    trie[(state, t)] = nxt
                 state = nxt
-            L.add_arc(state, root, closure, EPS, 0.0)
+            L.add_arc(state, root, closure, lemma.id + 1, lp.score)
     return L
 
 
@@ -429,10 +443,13 @@ def expand_context(LG: Automaton, am, wb_label: int) -> Automaton:
                                             p_init)),
                                 EPS, arc.olabel, arc.weight)
                 elif arc.ilabel == wb_label:
-                    # pending phoneme is word-final
+                    # pending phoneme is word-final; the closure arc
+                    # carries the word output (trie L), unless the
+                    # pending arc already held one
                     lab = allo_label(pid, left, 0, p_init, True)
                     mid = state((arc.target, 0, None, True))
-                    out.add_arc(sid, mid, lab, p_out, p_w + arc.weight)
+                    out_l = p_out if p_out != EPS else arc.olabel
+                    out.add_arc(sid, mid, lab, out_l, p_w + arc.weight)
                 else:
                     lab = allo_label(pid, left, arc.ilabel, p_init, False)
                     nxt = state((arc.target, ctx(pid),
@@ -736,7 +753,8 @@ class BatchedDynamicLmDecoder:
                  dense_cache_size: int = 256,
                  anticipation_cap: float = 20.0,
                  acoustic_lookahead: int = 6,
-                 acoustic_lookahead_scale: float = 0.5):
+                 acoustic_lookahead_scale: float = 0.5,
+                 emission_to_phone=None):
         S = graph.n_states
         em_rows: List[List[Tuple[int, int, int, float]]] = []
         eps_rows: List[List[Tuple[int, int, float]]] = []
@@ -831,6 +849,94 @@ class BatchedDynamicLmDecoder:
         self.la = la
         self.acoustic_lookahead = int(acoustic_lookahead)
         self.acoustic_lookahead_scale = float(acoustic_lookahead_scale)
+
+        # ---- per-history FIRST-PHONE anticipation (the discriminator
+        # the static unigram pushing lacks exactly where the beam
+        # saturates: the trie front right after word re-entry).  A
+        # (history, |phones|) table is tiny; deep states keep the static
+        # subtree-min bias.  `emission_to_phone(em_class) -> phone id`
+        # identifies a front state's phone from its self-loop emission
+        # (exact under monophone-style tying); None disables.
+        self._fp = None
+        self._anticipation_cap = float(anticipation_cap)
+        if emission_to_phone is not None:
+            # front = states within 3 emission steps of the root region
+            root = {self.initial}
+            stack = [self.initial]
+            while stack:  # eps closure of the initial state
+                s0 = stack.pop()
+                for k in range(self.eps_off[s0], self.eps_off[s0 + 1]):
+                    t = int(self.eps_tgt[k])
+                    if t not in root:
+                        root.add(t)
+                        stack.append(t)
+            depth = np.full(S, 99, np.int64)
+            frontier = sorted(root)
+            for s0 in frontier:
+                depth[s0] = 0
+            for d in (1, 2, 3):
+                nxt = []
+                for s0 in frontier:
+                    for k in range(self.em_off[s0],
+                                   self.em_off[s0 + 1]):
+                        t = int(self.em_tgt[k])
+                        if depth[t] > d:
+                            depth[t] = d
+                            nxt.append(t)
+                frontier = nxt
+            in_front = (depth >= 1) & (depth <= 3)
+            # phone of a front state: its self-loop emission class
+            phone_of = np.full(S, -1, np.int64)
+            for s0 in np.flatnonzero(in_front):
+                for k in range(self.em_off[s0], self.em_off[s0 + 1]):
+                    if int(self.em_tgt[k]) == s0:
+                        phone_of[s0] = emission_to_phone(
+                            int(self.em_in[k]))
+                        break
+            ok = in_front & (phone_of >= 0)
+            # word tokens grouped by FIRST phone (from the lexicon)
+            n_ph = int(phone_of[ok].max()) + 1 if ok.any() else 0
+            by_phone: List[List[int]] = [[] for _ in range(n_ph)]
+            for lemma in lexicon.lemmas:
+                if lemma.special:
+                    continue
+                ph = lemma.pronunciations[0].pronunciation.phonemes
+                t = int(self.lemma_token[lemma.id])
+                p0 = emission_to_phone(
+                    (ph[0] - 1) * 3) if ph else -1
+                if t >= 0 and 0 <= p0 < n_ph:
+                    by_phone[p0].append(t)
+            if n_ph and any(by_phone):
+                starts = np.zeros(n_ph + 1, np.int64)
+                for p, lst in enumerate(by_phone):
+                    starts[p + 1] = starts[p] + len(lst)
+                flat = np.asarray([t for lst in by_phone for t in lst],
+                                  np.int64)
+                self._fp = {
+                    "front": ok, "phone_of": phone_of,
+                    "starts": starts, "flat": flat, "n_ph": n_ph,
+                    "tables": {},          # hist id -> (n_ph,) float64
+                }
+
+    def _fp_table(self, hist_id: int) -> np.ndarray:
+        fp = self._fp
+        tab = fp["tables"].get(hist_id)
+        if tab is None:
+            dense = self._dense_row(hist_id)   # already cached/LRU
+            vals = self.lm_scale * dense[fp["flat"]]
+            tab = np.full(fp["n_ph"], 0.0)
+            ne = np.flatnonzero(np.diff(fp["starts"]) > 0)
+            if len(ne):
+                tab[ne] = np.minimum.reduceat(
+                    vals, fp["starts"][ne])
+            # same cap as the static pushing: mixing uncapped front
+            # biases with capped deep biases would distort the relative
+            # pruning scores across depths
+            np.minimum(tab, self._anticipation_cap, out=tab)
+            fp["tables"][hist_id] = tab
+            if len(fp["tables"]) > 4 * self._dense_cap:
+                fp["tables"].clear()    # simple bound; refills are cheap
+        return tab
 
     # -- LM helpers -----------------------------------------------------------
 
@@ -1003,8 +1109,21 @@ class BatchedDynamicLmDecoder:
             st, hi, sc, tr, em = self._eps_closure(
                 n_st, n_hi, n_sc, n_tr, n_em, t + 1)
             # prune on the anticipated score: unigram pushing (LM) +
-            # acoustic lookahead over the just-consumed emission class
+            # acoustic lookahead over the just-consumed emission class;
+            # front states upgrade to the per-history first-phone table
             prune = sc + self.la[st]
+            if self._fp is not None:
+                fr = self._fp["front"][st]
+                if fr.any():
+                    idxf = np.flatnonzero(fr)
+                    ph = self._fp["phone_of"][st[idxf]]
+                    hh = hi[idxf]
+                    uh = np.unique(hh)
+                    bias = np.empty(len(idxf))
+                    for h in uh.tolist():
+                        m2 = hh == h
+                        bias[m2] = self._fp_table(int(h))[ph[m2]]
+                    prune[idxf] = sc[idxf] + bias
             if la_ac is not None and t + 1 < len(la_ac):
                 prune = prune + self.acoustic_lookahead_scale                     * la_ac[t + 1][em]
             best = float(prune.min())

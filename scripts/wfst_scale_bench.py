@@ -85,7 +85,9 @@ def main():
     dec = BatchedDynamicLmDecoder(
         graph, lm, lex, lm_scale=args.lm_scale, beam_size=args.beam,
         score_threshold=args.threshold,
-        anticipation_cap=args.anticipation_cap)
+        anticipation_cap=args.anticipation_cap,
+        # monophone layout: emission class // states-per-phone
+        emission_to_phone=lambda em: em // 3)
     t_flat = time.perf_counter() - t0
     print(f"flattened ({t_flat:.0f}s)", flush=True)
 
