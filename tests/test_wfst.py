@@ -155,3 +155,28 @@ class TestGraphImageCache:
         # preservation, with only loose growth
         assert gm.n_states <= 2 * g.n_states
         assert best_path(gm)[2] == pytest.approx(best_path(g)[2], abs=1e-6)
+
+
+class TestTrieSharing:
+    def test_root_fanout_is_phones_not_words(self, lexicon):
+        """The L transducer must be a prefix TRIE: the root's out-degree
+        is bounded by the distinct first tokens, not the word count —
+        the property the whole beam architecture rests on (a
+        chain-per-word L floods any beam at frame 0 at vocabulary
+        scale)."""
+        L = lexicon_to_transducer(lexicon)
+        first_tokens = {arc.ilabel for arc in L.arcs[L.initial]}
+        assert len(L.arcs[L.initial]) == len(first_tokens)
+        # shared prefix: 'AB' and a hypothetical 'A*' word share the
+        # 'a' arc — here just assert state count ~ total distinct
+        # prefixes + closure structure, far below sum of pron lengths
+        total_phones = 4  # AB (2) + CA (2)
+        assert L.n_states <= 1 + total_phones
+
+    def test_word_output_rides_closure_arc(self, lexicon):
+        L = lexicon_to_transducer(lexicon)
+        out_arcs = [(s, a) for s in range(L.n_states)
+                    for a in L.arcs[s] if a.olabel != EPS]
+        # outputs only on arcs returning to the root (closure)
+        assert out_arcs
+        assert all(a.target == L.initial for _s, a in out_arcs)
