@@ -30,11 +30,38 @@ scores take exact LM values at word ends.
 
 from __future__ import annotations
 
+import os
 import time
 from collections import OrderedDict
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
+
+
+def _la_lib():
+    """ctypes handle to the fused C fill (native/rasr_la.cpp), or None
+    (numpy fallback).  RASR_NATIVE_LA=0 disables the native path."""
+    if os.environ.get("RASR_NATIVE_LA", "1") == "0":
+        return None
+    try:
+        import ctypes
+
+        from ..speech.native_io import _ensure_built
+        lib = _ensure_built()
+        if lib is None:
+            return None
+        if not getattr(lib, "_la_ready", False):
+            P = ctypes.c_void_p
+            lib.rasr_la_fill.restype = None
+            lib.rasr_la_fill.argtypes = [
+                P, ctypes.c_int64, P, ctypes.c_double,
+                P, P, P, ctypes.c_int64, ctypes.c_int64,
+                P, ctypes.c_int64, ctypes.c_int64,
+                P, P, P, P, P, ctypes.c_float]
+            lib._la_ready = True
+        return lib
+    except Exception:
+        return None
 
 
 class LmLookahead:
@@ -181,9 +208,13 @@ class LmLookahead:
             wla = self.wend_la[ws]
             starts = np.flatnonzero(
                 np.concatenate([[True], wla[1:] != wla[:-1]]))
-            self._w_tok = self.wend_token[ws]
-            self._w_starts = starts
-            self._w_la_unique = wla[starts]
+            self._w_tok = np.ascontiguousarray(self.wend_token[ws])
+            self._w_starts = np.ascontiguousarray(starts)
+            self._w_la_unique = np.ascontiguousarray(wla[starts])
+        else:
+            self._w_tok = np.zeros(0, np.int64)
+            self._w_starts = np.zeros(0, np.int64)
+            self._w_la_unique = np.zeros(0, np.int64)
         self._levels_fast = []
         for parents, children in self.levels:
             ps = np.argsort(parents, kind="stable")
@@ -192,6 +223,24 @@ class LmLookahead:
             starts = np.flatnonzero(
                 np.concatenate([[True], p[1:] != p[:-1]]))
             self._levels_fast.append((p[starts], c, starts))
+
+        # flattened level layout + native binding for the fused C fill
+        # (native/rasr_la.cpp); the numpy path below stays as fallback
+        # and parity oracle
+        self._free = np.ascontiguousarray(self.free_la)
+        pf, cf, sf, po, co = [], [], [], [0], [0]
+        for pu, c, starts in self._levels_fast:
+            pf.append(pu)
+            cf.append(c)
+            sf.append(starts)
+            po.append(po[-1] + len(pu))
+            co.append(co[-1] + len(c))
+        cat = (lambda xs: np.ascontiguousarray(
+            np.concatenate(xs), np.int64) if xs else np.zeros(0, np.int64))
+        self._p_flat, self._c_flat, self._s_flat = cat(pf), cat(cf), cat(sf)
+        self._pstart = np.asarray(po, np.int64)
+        self._cstart = np.asarray(co, np.int64)
+        self._native = _la_lib()
 
         # per-state la node for the search kernel: state -> la node
         self.la_of_state = la_of[net.node_of]
@@ -220,21 +269,40 @@ class LmLookahead:
 
     def _fill(self, slot: int, hist: tuple) -> None:
         t0 = time.perf_counter()
-        tab = np.full(self.n_la, np.inf, np.float32)
-        if len(self.wend_la):
-            dense = self.lm.score_dense(hist)
-            vals = (self.lm_scale
-                    * dense[self._w_tok]).astype(np.float32)
-            tab[self._w_la_unique] = np.minimum.reduceat(
-                vals, self._w_starts)
-        if len(self.free_la):
-            tab[self.free_la] = np.minimum(tab[self.free_la], 0.0)
-        for pu, c, starts in self._levels_fast:
-            tab[pu] = np.minimum(
-                tab[pu], np.minimum.reduceat(tab[c], starts))
-        # unreachable la nodes (none in practice) must not poison pruning
-        np.nan_to_num(tab, copy=False, posinf=3.0e8)
-        self.pool[slot] = tab
+        if self._native is not None:
+            dense = (self.lm.score_dense(hist) if len(self.wend_la)
+                     else np.zeros(1, np.float32))
+            if dense.dtype != np.float32 or not dense.flags["C_CONTIGUOUS"]:
+                dense = np.ascontiguousarray(dense, np.float32)
+            tab = self.pool[slot]
+            self._native.rasr_la_fill(
+                tab.ctypes.data, self.n_la,
+                dense.ctypes.data, float(self.lm_scale),
+                self._w_tok.ctypes.data, self._w_starts.ctypes.data,
+                self._w_la_unique.ctypes.data,
+                len(self._w_tok), len(self._w_starts),
+                self._free.ctypes.data, len(self._free),
+                len(self._pstart) - 1,
+                self._p_flat.ctypes.data, self._pstart.ctypes.data,
+                self._c_flat.ctypes.data, self._cstart.ctypes.data,
+                self._s_flat.ctypes.data, 3.0e8)
+        else:
+            tab = np.full(self.n_la, np.inf, np.float32)
+            if len(self.wend_la):
+                dense = self.lm.score_dense(hist)
+                vals = (self.lm_scale
+                        * dense[self._w_tok]).astype(np.float32)
+                tab[self._w_la_unique] = np.minimum.reduceat(
+                    vals, self._w_starts)
+            if len(self.free_la):
+                tab[self.free_la] = np.minimum(tab[self.free_la], 0.0)
+            for pu, c, starts in self._levels_fast:
+                tab[pu] = np.minimum(
+                    tab[pu], np.minimum.reduceat(tab[c], starts))
+            # unreachable la nodes (none in practice) must not poison
+            # pruning
+            np.nan_to_num(tab, copy=False, posinf=3.0e8)
+            self.pool[slot] = tab
         self.n_fills += 1
         self.version += 1
         self.fill_seconds += time.perf_counter() - t0

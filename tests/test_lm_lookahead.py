@@ -213,3 +213,25 @@ class TestLookaheadSearch:
         la = s._lmla
         assert la.n_fills >= 1
         assert la.fill_seconds >= 0.0
+
+    def test_native_fill_matches_numpy(self, am, lm):
+        """The fused C fill (native/rasr_la.cpp) is bit-compatible with
+        the numpy fill it replaces (same dense scores, same segment
+        mins, same inf replacement)."""
+        search = WordConditionedTreeSearch(am, lm=lm, lm_scale=2.0,
+                                           lm_lookahead=True)
+        la = search._lmla
+        if la._native is None:
+            pytest.skip("native library unavailable")
+        native = la._native
+        for hist in [(), ("AB",), ("CA",), ("BA", "CA")]:
+            la_hist = la.lookahead_history(hist)
+            slot = la.ensure(la_hist)
+            got = la.pool[slot].copy()
+            la._native = None
+            try:
+                la._fill(slot, la_hist)
+            finally:
+                la._native = native
+            want = la.pool[slot].copy()
+            np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
