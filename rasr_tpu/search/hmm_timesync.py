@@ -485,7 +485,10 @@ class WordConditionedTreeSearch:
                 self._lmla.lookahead_history(self._hist_list[0]))
         self.arena = _TraceArena()
         self._lm_cache.clear()
-        self._ext_cache: Dict[Tuple[int, int], int] = {}
+        # int keys (hist_id * n_lemmas + lemma_id): cheaper to hash than
+        # tuples on the per-word-end lookup path
+        self._ext_cache: Dict[int, int] = {}
+        self._n_lemmas = max(len(self.am.lexicon.lemmas), 1)
         # SoA beam (empty until the first feed enters the tree)
         self._b_state = np.zeros(0, np.int64)
         self._b_hist = np.zeros(0, np.int64)
@@ -543,7 +546,7 @@ class WordConditionedTreeSearch:
     def _extend_hist(self, hist_id: int, lemma_id: int) -> int:
         """Successor history id only (no score) — cached separately so
         the dense word-end path never recomputes scalar LM scores."""
-        key = (hist_id, lemma_id)
+        key = hist_id * self._n_lemmas + lemma_id
         hit = self._ext_cache.get(key)
         if hit is not None:
             return hit
@@ -829,8 +832,9 @@ class WordConditionedTreeSearch:
             # bulk successor-history lookup: inline dict hits (the
             # common case), method call only on misses
             ext = self._ext_cache
+            nl = self._n_lemmas
             kh_sel = np.fromiter(
-                (hit if (hit := ext.get((h, l))) is not None
+                (hit if (hit := ext.get(h * nl + l)) is not None
                  else self._extend_hist(h, l)
                  for h, l in zip(hists[idx].tolist(),
                                  lemmas[idx].tolist())),
