@@ -38,7 +38,7 @@ from train_flagship import (SAMPLE_RATE, TRAIN_SECONDS,  # noqa: E402
 
 ASSET_DIR = os.path.join(REPO, "assets", "transducer")
 SECONDS = TRAIN_SECONDS
-EVAL_BATCH = 32
+EVAL_BATCH = 64
 K = 3                       # max emitted symbols per frame
 
 
